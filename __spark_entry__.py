@@ -23,7 +23,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from engineering_school_bigdata_project_f1_weather_spark.operators import marts
+from engineering_school_bigdata_project_f1_weather_spark.operators import (
+    dedup,
+    events,
+    marts,
+    multimodal,
+    similarity,
+    text,
+)
+
+_MODULES = [marts, dedup, similarity, text, events, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,9 +42,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(marts.QUERIES)
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents, same column aliases."""
-    return dict(marts.ORACLE_SQL)
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE_SQL)
+    return out

@@ -1,0 +1,62 @@
+"""Text expression helpers shared by the dedup / text-analysis operators.
+
+All of these are JVM-side built-in expressions (split / md5 / conv /
+higher-order array functions) — no Python in the hot path — and each has an
+exact DuckDB twin so operator outputs hash-match the oracle:
+
+- token/shingle hashing uses the first 8 hex chars of md5 → uint32, via
+  ``conv(hex, 16, 10)`` (Spark) / ``CAST('0x…' AS BIGINT)`` (DuckDB);
+  both engines agree on md5, so the integer domain is identical.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# English-ish stopword list used by langid / quality scoring. Shared with
+# the generated oracle SQL — single source of truth.
+STOPWORDS = ["the", "a", "of", "is", "and", "to", "in", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (documents are single-space separated)."""
+    return F.split(text, " ")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles ('w1 w2 w3'). Empty array when the doc has
+    fewer than k tokens (guards Spark's descending ``sequence``)."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    # transform over the index array, concatenating k consecutive tokens
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def shingles_sql(text_expr: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (1-based list indexing)."""
+    toks = f"string_split({text_expr}, ' ')"
+    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {k - 2}, 1)), "
+        f"i -> {concat}))".replace("t[", f"{toks}[")
+    )
+
+
+def hash32(col: Column) -> Column:
+    """uint32 hash of a string via md5 prefix — identical across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash32_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"

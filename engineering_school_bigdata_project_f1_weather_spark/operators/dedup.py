@@ -1,0 +1,360 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables —
+the training-data-pipeline surface beyond the reference's own queries
+(BASELINE.json north star).
+
+Five strategies, cheapest→strongest, all declarative DataFrame plans:
+
+- exact           : md5 content hash, hash-partitioned groupBy.
+- fingerprint     : canonical md5 over sorted distinct tokens (doc
+                    "family" dedup — word-order / repetition invariant).
+- minhash LSH     : shingle → uint32 → H permutation-mins → banded
+                    candidate join → exact-Jaccard verify. The scale path:
+                    candidate pairs only, never all pairs.
+- simhash         : 32-bit sign-aggregated token hash per doc.
+- embedding       : quantized-cosine threshold pairs (brute force; the
+                    LSH-bucketed variant lives in operators/similarity.py).
+
+Scale notes (100 TB): every strategy shuffles on a derived key (content
+hash / minhash band / LSH bucket) so work is proportional to candidate
+pairs, not |docs|². The only quadratic operator (ngram_jaccard,
+embedding_pairs) is deliberately labeled as the small-side/verify path.
+All hashing is md5-prefix based (``functions.texts.hash32``) so the DuckDB
+oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import texts, vectors
+from ..sources.tables import load_table
+
+# MinHash parameters — shared between the Spark plan and the generated
+# oracle SQL (single source of truth). H hash functions, 1-row bands
+# (a candidate pair shares at least one minhash value).
+MINHASH_P = 4294967311  # prime > 2^32
+MINHASH_A = [1021, 2039, 4093, 8191, 16381, 32749, 65521, 131071]
+MINHASH_B = [7, 11, 13, 17, 19, 23, 29, 31]
+SIMHASH_BITS = 32
+NGRAM_JACCARD_MIN_E6 = 10_000  # jaccard ≥ 0.01 (synthetic docs barely overlap)
+EMBED_DUP_MIN_E6 = 300_000  # cosine ≥ 0.3 (synthetic max ≈ 0.48)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ------------------------------------------------------------------ exact
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash; keeper = min doc_id.
+
+    One hash-partitioned shuffle on the digest — the 100 TB-safe shape
+    (map-side partial aggregation, no driver involvement).
+    """
+    return (
+        _docs(spark, sf_dir)
+        .select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+# ------------------------------------------------------------ fingerprint
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical fingerprint: md5 over sorted distinct tokens — catches
+    word-order permutations and repetition-only edits."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(texts.tokens(F.col("text")))), " ")
+    )
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+# ------------------------------------------------------------ minhash LSH
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle-hash x) — distinct 3-token shingles, uint32 domain."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.explode(texts.shingles(F.col("text"))).alias("g")
+    ).select("doc_id", texts.hash32(F.col("g")).alias("x"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates with exact-Jaccard verification.
+
+    Plan shape (every stage a shuffle on a *derived small key*):
+      1. shingle+hash (narrow), 2. groupBy doc → H mins (partial agg),
+      3. explode signature → self-join on (h, min) = banded LSH bucket join,
+      4. exact |∩|/|∪| verify on candidates only.
+    Output: (doc_a, doc_b, inter, un, jaccard_e6) for verified candidates.
+    """
+    sh = _shingle_hashes(spark, sf_dir).cache()
+
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{h}")
+            for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    n_h = len(MINHASH_A)
+    stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
+    sig = mins.select(
+        "doc_id", F.expr(f"stack({n_h}, {stack_args}) AS (h, v)")
+    )
+
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("ea"), F.col("doc_a") == F.col("ea.doc_id"))
+        .join(
+            sh.alias("eb"),
+            (F.col("doc_b") == F.col("eb.doc_id"))
+            & (F.col("ea.x") == F.col("eb.x")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill(0, ["inter"])
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("un"),
+            F.expr("div(inter * 1000000, na + nb - inter)").alias("jaccard_e6"),
+        )
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    sh = texts.shingles_sql("text")
+    x = texts.hash32_sql("g")
+    min_exprs = ",\n        ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS mh{h}"
+        for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    sig_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {h} AS h, mh{h} AS v FROM mins" for h in range(len(MINHASH_A))
+    )
+    return f"""
+WITH sh0 AS (
+    SELECT doc_id, unnest({sh}) AS g FROM documents
+),
+sh AS (
+    SELECT doc_id, {x} AS x FROM sh0
+),
+mins AS (
+    SELECT doc_id,
+        {min_exprs}
+    FROM sh GROUP BY doc_id
+),
+sig AS ({sig_rows}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.h = b.h AND a.v = b.v AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN sh ea ON c.doc_a = ea.doc_id
+    JOIN sh eb ON c.doc_b = eb.doc_id AND ea.x = eb.x
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       COALESCE(i.inter, 0) AS inter,
+       sa.n + sb.n - COALESCE(i.inter, 0) AS un,
+       (COALESCE(i.inter, 0) * 1000000) // (sa.n + sb.n - COALESCE(i.inter, 0))
+           AS jaccard_e6
+FROM cand c
+LEFT JOIN inter i USING (doc_a, doc_b)
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+"""
+
+
+# ---------------------------------------------------------------- simhash
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over distinct token hashes: bit i of the
+    sketch is the sign of the summed ±1 contributions of bit i across
+    tokens. One explode + one groupBy with 32 conditional sums — all
+    map-side combinable."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(texts.tokens(F.col("text")))).alias("t")
+    ).select("doc_id", texts.hash32(F.col("t")).alias("x"))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(x, {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(SIMHASH_BITS)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return sums.select("doc_id", acc.cast("long").alias("simhash32"))
+
+
+def _simhash_oracle_sql() -> str:
+    x = texts.hash32_sql("t")
+    sum_exprs = ",\n        ".join(
+        f"SUM(CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    bit_expr = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+    FROM documents
+),
+hx AS (SELECT doc_id, {x} AS x FROM tok),
+sums AS (
+    SELECT doc_id,
+        {sum_exprs}
+    FROM hx GROUP BY doc_id
+)
+SELECT doc_id, CAST({bit_expr} AS BIGINT) AS simhash32 FROM sums
+"""
+
+
+# ---------------------------------------------------------- ngram jaccard
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard over 3-token shingles for pairs sharing ≥1
+    shingle. This is the *verify* path — candidate generation by shared
+    shingle is quadratic in the worst case; at scale use dedup_minhash_lsh
+    for candidates first."""
+    sh = _shingle_hashes(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard_e6", F.expr("div(inter * 1000000, na + nb - inter)"))
+        .where(F.col("jaccard_e6") >= NGRAM_JACCARD_MIN_E6)
+        .select("doc_a", "doc_b", "inter", "jaccard_e6")
+    )
+
+
+def _ngram_oracle_sql() -> str:
+    sh = texts.shingles_sql("text")
+    x = texts.hash32_sql("g")
+    return f"""
+WITH sh0 AS (SELECT doc_id, unnest({sh}) AS g FROM documents),
+sh AS (SELECT doc_id, {x} AS x FROM sh0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       (inter * 1000000) // (sa.n + sb.n - inter) AS jaccard_e6
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= {NGRAM_JACCARD_MIN_E6}
+"""
+
+
+# ------------------------------------------------------ embedding pairs
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by quantized cosine ≥ threshold. Brute-force
+    pair enumeration (oracle-checkable); the LSH-bucketed scale path is
+    ``operators.similarity.sim_lsh``."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vectors.quantize(F.col("embedding")).alias("q")
+    )
+    e = e.withColumn("n2", vectors.norm2(F.col("q")))
+    pairs = e.alias("a").join(
+        F.broadcast(e.alias("b")), F.col("a.vec_id") < F.col("b.vec_id")
+    )
+    d = vectors.dot(F.col("a.q"), F.col("b.q"))
+    sim = vectors.sim_e6(d, F.col("a.n2"), F.col("b.n2"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim_e6"),
+        )
+        .where(F.col("sim_e6") >= EMBED_DUP_MIN_E6)
+    )
+
+
+def _embedding_oracle_sql() -> str:
+    q = vectors.quantize_sql("embedding")
+    d = vectors.dot_sql("a.q", "b.q")
+    sim = vectors.sim_e6_sql(d, "a.n2", "b.n2")
+    return f"""
+WITH e AS (
+    SELECT vec_id, {q} AS q FROM embeddings
+),
+en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {sim} AS sim_e6
+FROM en a JOIN en b ON a.vec_id < b.vec_id
+WHERE {sim} >= {EMBED_DUP_MIN_E6}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+               MIN(doc_id) AS keeper_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_fingerprint": """
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fingerprint,
+               COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+        FROM documents GROUP BY 1
+    """,
+    "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_simhash": _simhash_oracle_sql(),
+    "dedup_ngram_jaccard": _ngram_oracle_sql(),
+    "dedup_embedding": _embedding_oracle_sql(),
+}

@@ -1,0 +1,157 @@
+"""Event-stream analytics over the ``events`` table (batch side; the
+Structured Streaming ingest of the same table lives in ``streaming/``).
+
+- ``events_hourly``     : tumbling-window aggregation (epoch-aligned hour).
+- ``events_sessionize`` : gaps-and-islands sessionization (30-min gap) via
+                          lag + running-sum windows — the batch equivalent
+                          of a session_window streaming agg.
+- ``events_json``       : JSON scalar extraction from the ``props`` column.
+
+Time domain: the parquet stores INT64 TIMESTAMP(NANOS), which Spark cannot
+read as a timestamp type — we read raw nanos (legacy.parquet.nanosAsLong)
+and truncate to **integer epoch-microseconds** (`div(ts, 1000)`), exactly
+what DuckDB's nanos→TIMESTAMP read produces. All outputs stay in that
+integer domain, which is also timezone-proof: no session-tz dependence in
+either engine.
+
+Monetary/double sums are quantized to integer cents
+(``floor(value * 100 + 0.5)``) so aggregates are exact and
+order-independent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..schemas import TESTDATA_SCHEMAS
+
+HOUR_US = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_us`` (epoch micros, bigint) added."""
+    # Runtime-settable legacy conf — works on the caller's session too
+    # (the driver uses its own SparkSession).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    return df.withColumn("ts_us", F.expr("div(ts, 1000)"))
+
+
+def _cents(col: str) -> F.Column:
+    return F.floor(F.col(col) * 100.0 + F.lit(0.5)).cast("long")
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation per event type — partial+final hash agg,
+    shuffle keyed on (hour, type)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.withColumn("value_cents", _cents("value"))
+        .groupBy(
+            (F.col("ts_us") - F.col("ts_us") % HOUR_US).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents_sum"),
+            F.min("event_id").alias("first_event_id"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-min silence.
+
+    lag + cumulative-sum windows partitioned by user — each user's events
+    shuffle to one partition group; no driver-side state. (Streaming
+    equivalent: session_window in streaming/events_stream.py.)
+    """
+    e = load_events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(order).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(order) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_seq", F.sum("new_sess").over(running))
+    return (
+        sess.withColumn("value_cents", _cents("value"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents_sum"),
+        )
+    )
+
+
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (`props` → `$.k`) + grouped aggregation."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+QUERIES = {
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "events_json": events_json,
+}
+
+ORACLE_SQL = {
+    "events_hourly": f"""
+        SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS value_cents_sum,
+               MIN(event_id) AS first_event_id
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        sess AS (
+            SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS value_cents_sum
+        FROM sess GROUP BY user_id, session_seq
+    """,
+    "events_json": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        FROM events GROUP BY event_type
+    """,
+}

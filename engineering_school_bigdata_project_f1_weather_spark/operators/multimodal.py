@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(`decode_image` raises NotImplementedError; `multimodal_features` uses a
+deterministic byte-level feature extractor instead). Everything around the
+stub — binary column creation, schema declaration, Arrow batch transfer,
+partition-parallel pandas iteration — is real and oracle-tested.
+
+Scale notes: mapInPandas streams Arrow record batches per partition; no
+driver collection, no per-row Python. At 100 TB the payload column stays
+columnar parquet (binary) and only batches in flight are materialized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("md5_hex", T.StringType()),
+        T.StructField("head_hex", T.StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder hook — requires an image codec, not present here."""
+    raise NotImplementedError(
+        "image decoding requires PIL/libjpeg; wire your codec here — the "
+        "Spark-side plumbing (binary column → mapInPandas batches) is what "
+        "this module provides"
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic byte-level features per Arrow batch (the stub stand-in
+    for decode/resize/feature-extract)."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payloads.map(len).astype("int64"),
+                "md5_hex": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                "head_hex": payloads.map(lambda b: b[:8].hex()),
+            }
+        )
+
+
+def with_payload(df: DataFrame) -> DataFrame:
+    """Attach an opaque binary column (UTF-8 bytes of the text — the test
+    stand-in for an image/audio blob) plus typed metadata."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(F.col("text")).cast("long").alias("payload_len"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas (Arrow batches)."""
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        _feature_batches, schema=FEATURE_SCHEMA
+    )
+
+
+QUERIES = {"multimodal_features": multimodal_features}
+
+# Text is ASCII, so byte ops ≡ char ops; md5(text) ≡ md5(utf8 payload).
+ORACLE_SQL = {
+    "multimodal_features": """
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS byte_len,
+               md5(text) AS md5_hex,
+               lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+        FROM documents
+    """,
+}

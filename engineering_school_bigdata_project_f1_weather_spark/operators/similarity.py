@@ -1,0 +1,158 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths:
+
+- ``sim_topk``  : brute-force cosine top-k for a query subset — the
+                  correctness baseline. Broadcast the (small) query side,
+                  scan the corpus once, rank per query. No UDFs: the dot
+                  product is a zip_with/aggregate higher-order expression
+                  inside codegen.
+- ``sim_lsh``   : random-hyperplane LSH — 16 deterministic integer
+                  hyperplanes, sign-bit signature, bucket self-join, then
+                  exact quantized-cosine verify on bucket collisions only.
+                  This is the 100 TB shape: shuffle on the 16-bit bucket
+                  key, candidate count ∝ bucket collisions, never |V|².
+
+Determinism: embeddings quantized to the 1/1024 grid (see
+functions/vectors.py) — integer dots, single final division, bit-identical
+vs the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import vectors
+from ..sources.tables import load_table
+
+TOPK = 5
+QUERY_STRIDE = 50  # vec_id % 50 == 0 are the query vectors
+N_PLANES = 16
+DIM = 64
+LSH_VERIFY_MIN_E6 = 100_000  # report bucket-mates with cosine ≥ 0.1
+
+
+def _hyperplane(j: int) -> list[int]:
+    """Deterministic pseudo-random integer hyperplane (shared with SQL)."""
+    return [((j * 73856093 + d * 19349663) % 2001) - 1000 for d in range(DIM)]
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", vectors.quantize(F.col("embedding")).alias("q"))
+    return q.withColumn("n2", vectors.norm2(F.col("q")))
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: every stride-th vector queries the corpus.
+
+    Plan: broadcast(queries) ⨯ corpus scan → per-query window rank. The
+    corpus is scanned exactly once regardless of query count.
+    """
+    base = _quantized(spark, sf_dir)
+    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = base.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    sim = vectors.sim_e6(
+        vectors.dot(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_e6"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim_e6"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+    )
+
+
+def _topk_oracle_sql() -> str:
+    q = vectors.quantize_sql("embedding")
+    sim = vectors.sim_e6_sql(vectors.dot_sql("q.q", "c.q"), "q.n2", "c.n2")
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {sim} AS sim_e6
+    FROM en q JOIN en c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % {QUERY_STRIDE} = 0
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, sim_e6, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: bucket = 16 sign bits; verify bucket-mates.
+
+    At 100 TB: one narrow map to compute the bucket (16 integer dots per
+    row, codegen'd), one shuffle on the bucket key, pair verification only
+    inside buckets (expected collisions ≪ |V|²).
+    """
+    base = _quantized(spark, sf_dir)
+    bucket = None
+    for j in range(N_PLANES):
+        plane = F.array(*[F.lit(w) for w in _hyperplane(j)])
+        d = vectors.dot(F.col("q"), plane)
+        bit = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = base.withColumn("bucket", bucket.cast("long"))
+    pairs = b.alias("a").join(
+        b.alias("b"),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = vectors.sim_e6(
+        vectors.dot(F.col("a.q"), F.col("b.q")), F.col("a.n2"), F.col("b.n2")
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.bucket").alias("bucket"),
+        sim.alias("sim_e6"),
+    ).where(F.col("sim_e6") >= LSH_VERIFY_MIN_E6)
+
+
+def _lsh_oracle_sql() -> str:
+    q = vectors.quantize_sql("embedding")
+    bits = " + ".join(
+        f"CASE WHEN {vectors.dot_sql('q', str(_hyperplane(j)))} >= 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(N_PLANES)
+    )
+    sim = vectors.sim_e6_sql(vectors.dot_sql("a.q", "b.q"), "a.n2", "b.n2")
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
+bk AS (SELECT vec_id, q, n2, CAST({bits} AS BIGINT) AS bucket FROM en)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       {sim} AS sim_e6
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {sim} >= {LSH_VERIFY_MIN_E6}
+"""
+
+
+QUERIES = {
+    "sim_topk": sim_topk,
+    "sim_lsh": sim_lsh,
+}
+
+ORACLE_SQL = {
+    "sim_topk": _topk_oracle_sql(),
+    "sim_lsh": _lsh_oracle_sql(),
+}

@@ -1,0 +1,143 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting. All built-in expressions (split / higher-order
+filters / regexp) — zero Python in the hot path, fully distributable.
+
+Ratios are reported as ``*_e6`` integers (``div(x * 1e6, n)``) so the
+DuckDB oracle matches exactly (no float-division drift).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.texts import STOPWORDS, tokens
+from ..sources.tables import load_table
+
+LANGID_MIN_RATIO_E6 = 20_000  # ≥2% stopwords → 'en'
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_TOKENS = 1000
+TOKEN_RE = "[a-z0-9]+"
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex (BPE-ish pre-tokenizer)
+    word counts + byte length."""
+    d = _with_tokens(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_tokens_re"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic (n-gram-free variant): the
+    fraction of tokens in an English stopword list decides 'en' vs 'und'."""
+    d = _with_tokens(spark, sf_dir)
+    hits = F.size(
+        F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))
+    ).cast("long")
+    n = F.size("toks").cast("long")
+    ratio = F.expr(f"div(size(filter(toks, t -> t IN ({_STOP_SQL}))) * 1000000, size(toks))")
+    return d.select(
+        "doc_id",
+        "lang",
+        hits.alias("stop_hits"),
+        n.alias("n_tokens"),
+        ratio.alias("stop_ratio_e6"),
+        F.when(ratio >= LANGID_MIN_RATIO_E6, F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token counts, type-token ratio, mean token length,
+    stopword ratio, and a boolean keep/drop gate — the usual pre-training
+    corpus filter shape."""
+    d = _with_tokens(spark, sf_dir)
+    n = F.size("toks").cast("long")
+    n_distinct = F.size(F.array_distinct("toks")).cast("long")
+    char_sum = F.aggregate(
+        F.transform(F.col("toks"), F.length),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    ttr = F.expr("div(size(array_distinct(toks)) * 1000000, size(toks))")
+    stop_ratio = F.expr(
+        f"div(size(filter(toks, t -> t IN ({_STOP_SQL}))) * 1000000, size(toks))"
+    )
+    avg_len = F.expr(
+        "div(aggregate(transform(toks, t -> length(t)), 0, (a, v) -> a + v) * 1000000, size(toks))"
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        char_sum.alias("char_sum"),
+        ttr.alias("ttr_e6"),
+        avg_len.alias("avg_token_len_e6"),
+        stop_ratio.alias("stop_ratio_e6"),
+        (
+            (n >= QUALITY_MIN_TOKENS)
+            & (n <= QUALITY_MAX_TOKENS)
+            & (F.expr("div(size(array_distinct(toks)) * 1000000, size(toks))") > 100_000)
+        ).alias("keep"),
+    )
+
+
+QUERIES = {
+    "text_tokens": text_tokens,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+}
+
+ORACLE_SQL = {
+    "text_tokens": f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+               CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens_re,
+               CAST(strlen(text) AS BIGINT) AS n_chars_calc
+        FROM documents
+    """,
+    "text_langid": f"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id, lang,
+               CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS BIGINT) AS stop_hits,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               (len(list_filter(toks, t -> t IN ({_STOP_SQL}))) * 1000000) // len(toks)
+                   AS stop_ratio_e6,
+               CASE WHEN (len(list_filter(toks, t -> t IN ({_STOP_SQL}))) * 1000000)
+                         // len(toks) >= {LANGID_MIN_RATIO_E6}
+                    THEN 'en' ELSE 'und' END AS lang_pred
+        FROM t
+    """,
+    "text_quality": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) AS char_sum,
+               (len(list_distinct(toks)) * 1000000) // len(toks) AS ttr_e6,
+               (CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) * 1000000)
+                   // len(toks) AS avg_token_len_e6,
+               (len(list_filter(toks, t -> t IN ({_STOP_SQL}))) * 1000000) // len(toks)
+                   AS stop_ratio_e6,
+               len(toks) BETWEEN {QUALITY_MIN_TOKENS} AND {QUALITY_MAX_TOKENS}
+                   AND (len(list_distinct(toks)) * 1000000) // len(toks) > 100000
+                   AS keep
+        FROM t
+    """,
+}

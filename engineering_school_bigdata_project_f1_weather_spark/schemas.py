@@ -82,10 +82,15 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # events.ts is INT64 TIMESTAMP(NANOS) parquet — Spark has no nanosecond
+    # timestamp type, so it is read as raw nanos (LongType) under
+    # spark.sql.legacy.parquet.nanosAsLong and converted to integer
+    # microseconds in operators/events.py (DuckDB truncates to micros on
+    # read, so micros is the shared exact domain).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
