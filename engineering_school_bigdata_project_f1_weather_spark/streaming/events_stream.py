@@ -1,0 +1,96 @@
+"""Structured Streaming ingest of the ``events`` table.
+
+The reference is pure batch (SURVEY §2.10 — an @monthly Airflow DAG is its
+only notion of time), so this module is the streaming *extension* surface
+(SURVEY §7.1 step 6): the same event analytics as ``operators/events.py``
+expressed as an incremental plan:
+
+- ``stream_events``        : file-source stream over the events parquet.
+- ``hourly_counts_stream`` : watermarked tumbling-window agg.
+- ``sessions_stream``      : watermarked session_window (30-min gap) agg.
+
+Batch/stream parity is tested in tests/test_streaming.py by running the
+stream with ``availableNow`` into a memory sink and comparing against the
+batch operators.
+
+Scale notes: file-source streams list incrementally (maxFilesPerTrigger),
+the window aggs are stateful with watermark-based eviction — state size is
+bounded by (windows in flight × keys), not history. On a cluster this is
+the standard continuous-ingest shape; checkpointing makes it exactly-once.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_SCHEMAS
+
+WATERMARK = "1 hour"
+SESSION_GAP = "30 minutes"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of events with an ``event_time`` timestamp.
+
+    The parquet stores INT64 nanos (see operators/events.py); converted to
+    micros → TimestampType for the windowing APIs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "event_time", F.timestamp_micros(F.expr("div(ts, 1000)"))
+    )
+
+
+def hourly_counts_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed counts with late-data watermark."""
+    return (
+        events.withWatermark("event_time", WATERMARK)
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("value_cents_sum"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "value_cents_sum",
+        )
+    )
+
+
+def sessions_stream(events: DataFrame) -> DataFrame:
+    """Session-window (30-min inactivity gap) aggregation per user."""
+    return (
+        events.withWatermark("event_time", WATERMARK)
+        .groupBy(F.session_window("event_time", SESSION_GAP), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, table_name: str, spark: SparkSession) -> DataFrame:
+    """Drain the stream with the availableNow trigger into a memory sink and
+    return the materialized result (test/dev helper)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
