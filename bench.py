@@ -47,6 +47,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
+    # Untimed warmup: spin up executors, codegen, and the parquet reader so
+    # the first timed query reflects steady-state, not JVM startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    queries["q3_filter"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()

@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local-mode broadcast threshold: the dimension side of the fact
+        # joins (orders/customer at bench SF) fits comfortably in memory;
+        # broadcasting removes the fact-table shuffle. On a cluster this is
+        # a per-deployment setting — AQE still re-plans from runtime stats.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # Reference semantics: implicit casts, 'N/A' → NULL, never error.
         .config("spark.sql.ansi.enabled", "false")
         # Deterministic wall-clock formatting of naive parquet timestamps.
