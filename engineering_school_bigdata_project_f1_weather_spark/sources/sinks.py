@@ -77,6 +77,12 @@ def csv_to_parquet(
     reader.csv(csv_path).write.mode("overwrite").parquet(parquet_path)
 
 
+def serving_prep(df: DataFrame, drop_cols: tuple[str, ...] = ("best_lap_time",), fill=0) -> DataFrame:
+    """Pre-serving cleanup (T10/T11, `Martin files/elsastic parquet.py:22,26`):
+    null-fill then drop the columns the serving layer excludes."""
+    return df.na.fill(fill).drop(*drop_cols)
+
+
 def foreach_partition_sink(
     df: DataFrame, send: Callable[[Iterator[dict[str, Any]]], None]
 ) -> None:

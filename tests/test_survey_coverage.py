@@ -1,0 +1,120 @@
+"""Coverage pins for the remaining SURVEY §2 inventory items: U1/T5
+(per-city union with literal tagging), T10/T11 (serving prep), S8
+(partition-parallel serving sink), and FIXTURES.md §5 golden mart schemas."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from engineering_school_bigdata_project_f1_weather_spark.operators import marts
+from engineering_school_bigdata_project_f1_weather_spark.sources import weather as weather_src
+from engineering_school_bigdata_project_f1_weather_spark.sources.sinks import (
+    foreach_partition_sink,
+    serving_prep,
+)
+from engineering_school_bigdata_project_f1_weather_spark.sources.weather import (
+    WEATHER_CSV_SCHEMA,
+)
+
+from tests.test_etl import CITIES, WEATHER_ONLY_CITY, raw_dir  # noqa: F401
+
+
+def test_u1_union_with_lit_tagging_matches_glob_scan(spark, raw_dir):  # noqa: F811
+    """U1 + T5: the reference's per-city read + lit(city)/lit(country) +
+    iterative union (`finalversion:253-272`) produces the same table as the
+    engine's single glob scan + dim join."""
+    frames = []
+    for path in sorted(glob.glob(f"{raw_dir}/METEO2_data_*.csv")):
+        city = os.path.basename(path)[len("METEO2_data_"):-len(".csv")]
+        country = dict([WEATHER_ONLY_CITY]).get(city) or CITIES.get(city, (None,))[0]
+        df = (
+            spark.read.schema(WEATHER_CSV_SCHEMA)
+            .option("header", True)
+            .csv(path)
+            .withColumn("country", F.lit(country))
+            .withColumn("city", F.lit(city))
+        )
+        frames.append(df)
+    unioned = weather_src.union_cities(frames)
+
+    stations = spark.createDataFrame(
+        [(c, CITIES[c][0]) for c in CITIES if CITIES[c][1]]
+        + [WEATHER_ONLY_CITY, ("Empty", None)],
+        ["city", "country"],
+    )
+    scanned = weather_src.read_weather(spark, raw_dir, stations)
+    assert sorted(unioned.columns) == sorted(scanned.columns)
+    a = {tuple(r) for r in unioned.select(*sorted(unioned.columns)).collect()}
+    b = {tuple(r) for r in scanned.select(*sorted(scanned.columns)).collect()}
+    assert a == b
+
+
+def test_t10_t11_serving_prep(spark):
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, 3.5, None)], ["id", "best_lap_time", "note"]
+    )
+    out = serving_prep(df.withColumn("val", F.lit(None).cast("double")), fill=0)
+    assert "best_lap_time" not in out.columns
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].val == 0.0  # numeric nulls filled before drop
+
+
+def test_s8_foreach_partition_sink(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out_dir = str(tmp_path / "sink")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def send(rows):
+        import os as _os
+        import uuid
+
+        recs = list(rows)
+        if recs:
+            p = _os.path.join(out_dir, f"part-{uuid.uuid4().hex}.json")
+            with open(p, "w") as f:
+                json.dump(recs, f)
+
+    foreach_partition_sink(df, send)
+    got = []
+    for p in glob.glob(f"{out_dir}/part-*.json"):
+        got.extend(json.load(open(p)))
+    assert len(got) == 100
+    assert {r["id"] for r in got} == set(range(100))
+    assert all(r["v"] == r["id"] * 2 for r in got)
+
+
+# FIXTURES.md §5 — golden output schemas from the reference's committed
+# parquets (`Martin files/index/*.parquet`).
+GOLDEN_SCHEMAS = {
+    "q1_wins": [("driverFullName", "string"), ("year", "bigint"),
+                ("city", "string"), ("wins", "bigint")],
+    "q2_fastestlap": [("year", "bigint"), ("circuit", "string"), ("city", "string"),
+                      ("driverFullName", "string"), ("fastestLapTime", "string")],
+    "q3_filter": [("year", "bigint"), ("city", "string"), ("driverFullName", "string")],
+    "q4_weather": [("year", "bigint"), ("city", "string"), ("driverFullName", "string"),
+                   ("temp_min", "double"), ("temp_max", "double"), ("temp_avg", "double"),
+                   ("precipitation", "double"), ("wspd", "double")],
+    "q5_evopoints": [("year", "bigint"), ("date", "string"), ("driverFullName", "string"),
+                     ("totalPoints", "double"), ("city", "string")],
+    "q6_constructor": [("year", "bigint"), ("date", "string"), ("driverFullName", "string"),
+                       ("ConstructorName", "string"), ("totalPoints", "double"),
+                       ("city", "string")],
+    "q7_pitstops": [("year", "bigint"), ("date", "string"), ("driverFullName", "string"),
+                    ("pitStops", "bigint"), ("city", "string")],
+    "q8_circuit_stats": [("circuit", "string"), ("avg_laps", "double"),
+                         ("best_lap_time", "string"), ("total_races", "bigint")],
+    "q9_top10": [("driverFullName", "string"), ("circuit", "string"),
+                 ("fastestLapTime", "string")],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_SCHEMAS))
+def test_golden_mart_schema(name, spark, sf_dir):
+    df = getattr(marts, name)(spark, sf_dir)
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    assert got == GOLDEN_SCHEMAS[name]
