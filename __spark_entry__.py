@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from engineering_school_bigdata_project_f1_weather_spark.operators import (
+    analytics,
     dedup,
     events,
     marts,
@@ -32,7 +33,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     text,
 )
 
-_MODULES = [marts, dedup, similarity, text, events, multimodal]
+_MODULES = [marts, analytics, dedup, similarity, text, events, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,240 @@
+"""General OLAP operator surface beyond the reference's nine queries —
+the shapes SURVEY §2.10 lists as absent from the reference but expected of
+the engine (outer/semi/anti joins, rollup, top-k per group, multi-way
+join aggregation), expressed over the TPC-H-ish test lake.
+
+Money math: ``l_extendedprice * (1 - l_discount)`` is computed per-row in
+doubles (bit-identical across engines for identical inputs), quantized to
+integer cents with ``floor(x + 0.5)``, then summed exactly — aggregate
+order never matters, so the DuckDB oracle matches bit-for-bit.
+
+Scale notes: every query is the canonical distributed shape — partial+final
+hash aggregation, broadcast dimensions (AQE), shuffle only on group/join
+keys. ``top_orders_per_customer`` is a bounded window (rank ≤ k) that
+compiles to a single shuffle on the partition key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+
+TOP_ORDERS_K = 3
+
+
+def _revenue_cents() -> F.Column:
+    return F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+        + F.lit(0.5)
+    ).cast("long")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with several aggregates."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.withColumn("rev_cents", _revenue_cents())
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum("rev_cents").alias("sum_rev_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.col("l_quantity").cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join + grouped revenue. Dimensions broadcast
+    (nation/region explicitly, customer/orders via AQE stats)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("rev_cents", _revenue_cents())
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum("rev_cents").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region → nation → total) — hierarchical subtotals in one
+    pass (Spark expands grouping sets; no repeated scans)."""
+    base = revenue_by_nation(spark, sf_dir)
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.sum("rev_cents").alias("rev_cents"),
+            F.sum("n_items").alias("n_items"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: each customer's 3 largest orders by total price
+    (cents) — single shuffle on the partition key, bounded window."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("price_cents"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_ORDERS_K)
+        .select("o_custkey", "o_orderkey", "price_cents", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+ANTI_PRICE_MIN = 300000.0
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no high-value order (left_anti — builds
+    the hash on the filtered side, no row explosion)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > ANTI_PRICE_MIN
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers having ≥1 order above a price threshold."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def order_fulfillment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join audit: orders vs lineitem presence, with match-side
+    indicators — the reconciliation shape (which orders have no items,
+    which items have no order)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "full_outer")
+    return (
+        j.select(
+            F.when(F.col("o_orderkey").isNotNull() & F.col("l_orderkey").isNotNull(), "both")
+            .when(F.col("o_orderkey").isNotNull(), "order_only")
+            .otherwise("items_only")
+            .alias("side"),
+        )
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES = {
+    "tpch_pricing_summary": pricing_summary,
+    "tpch_revenue_by_nation": revenue_by_nation,
+    "tpch_revenue_rollup": revenue_rollup,
+    "top_orders_per_customer": top_orders_per_customer,
+    "join_anti_customers": customers_without_orders,
+    "join_semi_customers": customers_with_high_value_orders,
+    "join_outer_audit": order_fulfillment_audit,
+}
+
+_REV = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+
+ORACLE_SQL = {
+    "tpch_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM({_REV}) AS BIGINT) AS sum_rev_cents,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_revenue_by_nation": f"""
+        SELECT r.r_name, n.n_name,
+               CAST(SUM({_REV}) AS BIGINT) AS rev_cents,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    "tpch_revenue_rollup": f"""
+        WITH base AS (
+            SELECT r.r_name, n.n_name,
+                   CAST(SUM({_REV}) AS BIGINT) AS rev_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT r_name, n_name,
+               CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+               CAST(SUM(n_items) AS BIGINT) AS n_items
+        FROM base
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "top_orders_per_customer": f"""
+        SELECT o_custkey, o_orderkey,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                         o_orderkey ASC) AS rnk
+            FROM orders
+        ) t WHERE rnk <= {TOP_ORDERS_K}
+    """,
+    "join_anti_customers": f"""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > {ANTI_PRICE_MIN})
+    """,
+    "join_semi_customers": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+    """,
+    "join_outer_audit": """
+        WITH li AS (SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1),
+        j AS (
+            SELECT CASE WHEN o.o_orderkey IS NOT NULL AND li.l_orderkey IS NOT NULL THEN 'both'
+                        WHEN o.o_orderkey IS NOT NULL THEN 'order_only'
+                        ELSE 'items_only' END AS side
+            FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+        )
+        SELECT side, COUNT(*) AS n FROM j GROUP BY side
+    """,
+}
