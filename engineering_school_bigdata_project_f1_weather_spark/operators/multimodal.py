@@ -77,7 +77,49 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"multimodal_features": multimodal_features}
+FRAME_BYTES = 32
+MAX_FRAMES = 4
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1:N frame sampling per payload — the video-frame-extraction batch
+    shape (each input row yields up to MAX_FRAMES output rows)."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = min((len(payload) + FRAME_BYTES - 1) // FRAME_BYTES, MAX_FRAMES)
+            for i in range(n):
+                frame = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_len"].append(len(frame))
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (1:N mapInPandas) — the decode
+    step is a deterministic byte-slice stand-in (no codecs in this
+    container); the partitioning/batching/explosion plumbing is real."""
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        _frame_batches, schema=FRAME_SCHEMA
+    )
+
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "multimodal_frames": multimodal_frames,
+}
 
 # Text is ASCII, so byte ops ≡ char ops; md5(text) ≡ md5(utf8 payload).
 ORACLE_SQL = {
@@ -87,5 +129,16 @@ ORACLE_SQL = {
                md5(text) AS md5_hex,
                lower(hex(encode(substr(text, 1, 8)))) AS head_hex
         FROM documents
+    """,
+    "multimodal_frames": f"""
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(strlen(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS BIGINT)
+                   AS frame_len,
+               md5(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+        FROM documents,
+             unnest(range(0, least(
+                 (strlen(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES},
+                 {MAX_FRAMES}))) AS t(i)
     """,
 }
