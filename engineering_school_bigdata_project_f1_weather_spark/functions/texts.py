@@ -25,9 +25,19 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles ('w1 w2 w3'). Empty array when the doc has
-    fewer than k tokens (guards Spark's descending ``sequence``)."""
-    t = tokens(text)
+    """Distinct k-token shingles of a raw text column.
+
+    NOTE: prefer projecting ``tokens(text)`` into its own column and calling
+    :func:`shingles_of_tokens` — higher-order lambdas are interpreted, so a
+    ``split`` embedded in the lambda body re-runs per element (O(tokens^2)
+    per doc)."""
+    return shingles_of_tokens(tokens(text), k)
+
+
+def shingles_of_tokens(t: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles ('w1 w2 w3') over a pre-split token array.
+    Empty array when the doc has fewer than k tokens (guards Spark's
+    descending ``sequence``)."""
     n = F.size(t)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")

@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import texts, vectors
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_spread
 
 # MinHash parameters — shared between the Spark plan and the generated
 # oracle SQL (single source of truth). H hash functions, 1-row bands
@@ -42,7 +42,9 @@ EMBED_DUP_MIN_E6 = 300_000  # cosine ≥ 0.3 (synthetic max ≈ 0.48)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # Spread: every dedup strategy does per-token md5 work downstream of
+    # this scan — a single-row-group file must not pin that to one core.
+    return load_table_spread(spark, sf_dir, "documents")
 
 
 # ------------------------------------------------------------------ exact
@@ -77,11 +79,20 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ minhash LSH
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle-hash x) — distinct 3-token shingles, uint32 domain."""
+    """(doc_id, shingle-hash x) — distinct 3-token shingles, uint32 domain.
+
+    Tokenizes into a materialized column first so the shingle lambda
+    references a cheap attribute, not a re-evaluated ``split`` (interpreted
+    higher-order lambdas re-run embedded expressions per element)."""
     d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id", F.explode(texts.shingles(F.col("text"))).alias("g")
-    ).select("doc_id", texts.hash32(F.col("g")).alias("x"))
+    return (
+        d.select("doc_id", texts.tokens(F.col("text")).alias("_t"))
+        .select(
+            "doc_id",
+            F.explode(texts.shingles_of_tokens(F.col("_t"))).alias("g"),
+        )
+        .select("doc_id", texts.hash32(F.col("g")).alias("x"))
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,12 +106,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingle_hashes(spark, sf_dir).cache()
 
+    # One pass over the shingle table yields BOTH the signature and the set
+    # size (the reference shape used two groupBys = two shuffles of sh).
     mins = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{h}")
             for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         ]
     )
+    sizes = mins.select("doc_id", "n")
     n_h = len(MINHASH_A)
     stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
     sig = mins.select(
@@ -121,7 +136,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Every candidate pair shares >= 1 shingle: the permutation
+    # (a*x + b) mod P is injective on the uint32 shingle domain (P > 2^32),
+    # so equal minhash values imply an identical argmin shingle. `inter`
+    # therefore covers cand exactly — no left-join / fill(0) needed.
     inter = (
         cand.join(sh.alias("ea"), F.col("doc_a") == F.col("ea.doc_id"))
         .join(
@@ -133,8 +151,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .na.fill(0, ["inter"])
+        inter
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .select(
@@ -298,7 +315,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by quantized cosine ≥ threshold. Brute-force
     pair enumeration (oracle-checkable); the LSH-bucketed scale path is
     ``operators.similarity.sim_lsh``."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table_spread(spark, sf_dir, "embeddings").select(
         "vec_id", vectors.quantize(F.col("embedding")).alias("q")
     )
     e = e.withColumn("n2", vectors.norm2(F.col("q")))

@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table_spread
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -71,7 +71,7 @@ def with_payload(df: DataFrame) -> DataFrame:
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via mapInPandas (Arrow batches)."""
-    d = with_payload(load_table(spark, sf_dir, "documents"))
+    d = with_payload(load_table_spread(spark, sf_dir, "documents"))
     return d.select("doc_id", "payload").mapInPandas(
         _feature_batches, schema=FEATURE_SCHEMA
     )
@@ -110,7 +110,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (1:N mapInPandas) — the decode
     step is a deterministic byte-slice stand-in (no codecs in this
     container); the partitioning/batching/explosion plumbing is real."""
-    d = with_payload(load_table(spark, sf_dir, "documents"))
+    d = with_payload(load_table_spread(spark, sf_dir, "documents"))
     return d.select("doc_id", "payload").mapInPandas(
         _frame_batches, schema=FRAME_SCHEMA
     )

@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import vectors
-from ..sources.tables import load_table
+from ..sources.tables import load_table_spread
 
 TOPK = 5
 QUERY_STRIDE = 50  # vec_id % 50 == 0 are the query vectors
@@ -39,7 +39,7 @@ def _hyperplane(j: int) -> list[int]:
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_spread(spark, sf_dir, "embeddings")
     q = e.select("vec_id", vectors.quantize(F.col("embedding")).alias("q"))
     return q.withColumn("n2", vectors.norm2(F.col("q")))
 
@@ -111,7 +111,10 @@ def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = vectors.dot(F.col("q"), plane)
         bit = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    b = base.withColumn("bucket", bucket.cast("long"))
+    # Cache the signature frame: the 16 hyperplane dots are computed once,
+    # not once per self-join side (at cluster scale the signature table is
+    # what you'd materialize before the bucket shuffle anyway).
+    b = base.withColumn("bucket", bucket.cast("long")).cache()
     pairs = b.alias("a").join(
         b.alias("b"),
         (F.col("a.bucket") == F.col("b.bucket"))

@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.texts import STOPWORDS, tokens
-from ..sources.tables import load_table
+from ..sources.tables import load_table_spread
 
 LANGID_MIN_RATIO_E6 = 20_000  # ≥2% stopwords → 'en'
 QUALITY_MIN_TOKENS = 20
@@ -23,7 +23,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 def _with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").withColumn(
+    return load_table_spread(spark, sf_dir, "documents").withColumn(
         "toks", tokens(F.col("text"))
     )
 

@@ -37,11 +37,35 @@ hints.
 
 from __future__ import annotations
 
+import weakref
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.storagelevel import StorageLevel
 
 from ..schemas import F1_FORMATTED, WEATHER_DAILY
 from ..sources.tables import load_table
+
+# The reference materializes ``combined_data.parquet`` ONCE and runs all
+# nine usage queries over the mart (`Lucas files/finalversion:283-293,326`).
+# We mirror that staging in-session: the model frames are built once per
+# (session, sf_dir) and persisted, so Q1-Q9 scan the materialized relation
+# instead of re-running the 6-table join + window. At cluster scale the
+# same role is played by writing the combined mart to parquet (see
+# pipeline.py); MEMORY_AND_DISK keeps local iteration spill-safe.
+_MODEL_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _staged(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    per_session = _MODEL_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        per_session[key] = df
+    return df
 
 # Internal tie-break columns, unique per combined row at every scale factor:
 # (l_orderkey, l_linenumber, l_partkey, l_suppkey, l_linestatus). Kept so
@@ -53,6 +77,12 @@ _POINTS = {1: 25.0, 2: 18.0, 3: 15.0, 4: 12.0, 5: 10.0, 6: 8.0, 7: 6.0}
 
 
 def f1_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (memoized+persisted) ``formatted_ergastF1_data`` — see
+    ``_staged``."""
+    return _staged(spark, sf_dir, "f1", lambda: _build_f1_results(spark, sf_dir))
+
+
+def _build_f1_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``formatted_ergastF1_data`` shape (SURVEY §1.2) + internal row keys.
 
     Replaces the reference's driver-side Python normalization loop
@@ -150,6 +180,14 @@ def f1_results(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def weather_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (memoized+persisted) ``METEO2_data_aggregated`` — see
+    ``_staged``."""
+    return _staged(
+        spark, sf_dir, "weather", lambda: _build_weather_daily(spark, sf_dir)
+    )
+
+
+def _build_weather_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``METEO2_data_aggregated`` shape — one row per (city, date).
 
     Nations with ``n_nationkey % 5 == 4`` have no weather station: their
@@ -218,9 +256,12 @@ def combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cities × dates| ≪ fact side at any scale, so it is explicitly
     broadcast — no shuffle of the fact table on (city, country, date).
     """
-    f1 = f1_results(spark, sf_dir)
-    w = weather_daily(spark, sf_dir)
-    return f1.join(F.broadcast(w), ["city", "country", "date"], "inner")
+    def build() -> DataFrame:
+        f1 = f1_results(spark, sf_dir)
+        w = weather_daily(spark, sf_dir)
+        return f1.join(F.broadcast(w), ["city", "country", "date"], "inner")
+
+    return _staged(spark, sf_dir, "combined", build)
 
 
 # ---------------------------------------------------------------------------

@@ -21,3 +21,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and guarantee >= defaultParallelism partitions.
+
+    Parquet splits by row group, so a small single-row-group file becomes
+    ONE scan task; any CPU-heavy downstream expression (per-token hashing,
+    per-vector dots) then runs on one core. The conditional repartition
+    spreads such scans; tables that already arrive well-split (the normal
+    case at cluster scale) pass through untouched — no extra shuffle.
+    """
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
