@@ -31,8 +31,10 @@ BENCH_QUERIES = [
     "p3_combined",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_winnow",
     "sim_topk",
     "sim_lsh",
+    "sim_ivf",
     "text_quality",
     "events_hourly",
     "events_sessionize",

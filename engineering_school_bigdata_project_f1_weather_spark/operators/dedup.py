@@ -310,6 +310,92 @@ WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= {NGRAM_JACCARD_MIN_E6}
 """
 
 
+# ----------------------------------------------------- winnowing (MOSS)
+WINNOW_K = 3  # k-gram width for the rolling hash
+WINNOW_W = 4  # winnowing window (guarantee: any match >= w+k-1 tokens shares a fp)
+WINNOW_B = 131
+WINNOW_B2 = WINNOW_B * WINNOW_B
+WINNOW_M = 1_000_000_007
+
+
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): k-gram
+    polynomial rolling hash over token hashes, then the min hash of each
+    w-window — the classic plagiarism/near-dup fingerprint set.
+
+    Output: exploded distinct (doc_id, fp) pairs — group/join on ``fp`` to
+    find overlapping documents. Every stage is a narrow per-row expression
+    (no shuffle until the consumer aggregates); each intermediate array is
+    materialized as its own column because interpreted higher-order lambdas
+    re-evaluate embedded subexpressions per element.
+    """
+    d = _docs(spark, sf_dir)
+    th = F.transform(F.col("_t"), lambda t: texts.hash32(t))
+    rh = F.when(
+        F.size(F.col("_th")) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_th")) - (WINNOW_K - 1)),
+            lambda i: (
+                F.element_at(F.col("_th"), i) * WINNOW_B2
+                + F.element_at(F.col("_th"), i + 1) * WINNOW_B
+                + F.element_at(F.col("_th"), i + 2)
+            )
+            % WINNOW_M,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fps = (
+        F.when(
+            F.size(F.col("_rh")) >= WINNOW_W,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("_rh")) - (WINNOW_W - 1)),
+                lambda j: F.array_min(F.slice(F.col("_rh"), j, WINNOW_W)),
+            ),
+        )
+        .when(F.size(F.col("_rh")) > 0, F.array(F.array_min(F.col("_rh"))))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return (
+        d.select("doc_id", texts.tokens(F.col("text")).alias("_t"))
+        .select("doc_id", th.alias("_th"))
+        .select("doc_id", rh.alias("_rh"))
+        .select("doc_id", F.array_distinct(fps).alias("_fps"))
+        .select("doc_id", F.explode(F.col("_fps")).alias("fp"))
+    )
+
+
+def _winnow_oracle_sql() -> str:
+    th_elem = texts.hash32_sql("t")
+    return f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+th AS (
+    SELECT doc_id, list_transform(t, t -> {th_elem}) AS th FROM tok
+),
+rh AS (
+    SELECT doc_id,
+           CASE WHEN len(th) >= {WINNOW_K}
+                THEN list_transform(
+                    range(1, len(th) - {WINNOW_K - 1} + 1),
+                    i -> (th[i] * {WINNOW_B2} + th[i+1] * {WINNOW_B}
+                          + th[i+2]) % {WINNOW_M})
+                ELSE CAST([] AS BIGINT[]) END AS rh
+    FROM th
+),
+fps AS (
+    SELECT doc_id,
+           CASE WHEN len(rh) >= {WINNOW_W}
+                THEN list_transform(
+                    range(1, len(rh) - {WINNOW_W - 1} + 1),
+                    j -> list_min(list_slice(rh, j, j + {WINNOW_W - 1})))
+                WHEN len(rh) > 0 THEN [list_min(rh)]
+                ELSE CAST([] AS BIGINT[]) END AS fps
+    FROM rh
+)
+SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM fps
+"""
+
+
 # ------------------------------------------------------ embedding pairs
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by quantized cosine ≥ threshold. Brute-force
@@ -355,6 +441,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_winnow": dedup_winnow,
     "dedup_embedding": dedup_embedding,
 }
 
@@ -373,5 +460,6 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_ngram_jaccard": _ngram_oracle_sql(),
+    "dedup_winnow": _winnow_oracle_sql(),
     "dedup_embedding": _embedding_oracle_sql(),
 }

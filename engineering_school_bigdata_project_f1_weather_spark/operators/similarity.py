@@ -150,12 +150,142 @@ WHERE {sim} >= {LSH_VERIFY_MIN_E6}
 """
 
 
+K_CENTROIDS = 16  # coarse-quantizer size; centroid seeds are vec_id 1..16
+NPROBE = 4
+
+
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into K_CENTROIDS
+    lists, probe the NPROBE nearest lists per query, exact-search inside.
+
+    The 100 TB shape: assignment is one broadcast pass over the corpus (the
+    centroid table is tiny by construction), the inverted lists are just a
+    ``cluster`` column to shuffle/join on, and per-query work is bounded by
+    the probed lists — never the full corpus. Centroids here are seeded
+    deterministically (vec_id 1..K) instead of k-means-trained so the
+    DuckDB oracle replicates the exact output; a trained quantizer drops in
+    by swapping the centroid frame.
+    """
+    base = _quantized(spark, sf_dir).cache()
+    cents = base.where(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= K_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+
+    # Assignment: argmax_c sim(v, c), deterministic tie-break on the lower
+    # centroid id via an injective integer ordering key (centroid_id < 128).
+    csim = vectors.sim_e6(
+        vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
+    )
+    scored = base.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id",
+        "centroid_id",
+        (csim * F.lit(128) - F.col("centroid_id")).alias("ord"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("centroid_id", "ord").alias("cluster")
+    )
+
+    # Probes: each query ranks centroids and keeps the NPROBE nearest.
+    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    qsim = vectors.sim_e6(
+        vectors.dot(F.col("qq"), F.col("cq")), F.col("qn2"), F.col("cn2")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("ord"))
+    probes = (
+        queries.join(F.broadcast(cents), F.lit(True))
+        .select(
+            "query_id",
+            "qq",
+            "qn2",
+            "centroid_id",
+            (qsim * F.lit(128) - F.col("centroid_id")).alias("ord"),
+        )
+        .withColumn("pr", F.row_number().over(pw))
+        .where(F.col("pr") <= NPROBE)
+        .select("query_id", "qq", "qn2", F.col("centroid_id").alias("cluster"))
+    )
+
+    # Exact search inside the probed lists only.
+    members = assign.join(base, "vec_id")
+    cand = probes.join(members, "cluster").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = vectors.sim_e6(
+        vectors.dot(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_e6"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim_e6"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    q = vectors.quantize_sql("embedding")
+    csim = vectors.sim_e6_sql(vectors.dot_sql("v.q", "c.q"), "v.n2", "c.n2")
+    qsim = vectors.sim_e6_sql(vectors.dot_sql("qs.q", "c.q"), "qs.n2", "c.n2")
+    sim = vectors.sim_e6_sql(vectors.dot_sql("p.qq", "m.q"), "p.qn2", "m.n2")
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
+cents AS (
+    SELECT vec_id AS centroid_id, q, n2 FROM en
+    WHERE vec_id BETWEEN 1 AND {K_CENTROIDS}
+),
+assign AS (
+    SELECT v.vec_id,
+           arg_max(c.centroid_id, {csim} * 128 - c.centroid_id) AS cluster
+    FROM en v CROSS JOIN (SELECT centroid_id, q, n2 FROM cents) c
+    GROUP BY v.vec_id
+),
+probes AS (
+    SELECT query_id, qq, qn2, cluster FROM (
+        SELECT qs.vec_id AS query_id, qs.q AS qq, qs.n2 AS qn2,
+               c.centroid_id AS cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qs.vec_id
+                   ORDER BY ({qsim} * 128 - c.centroid_id) DESC
+               ) AS pr
+        FROM en qs CROSS JOIN (SELECT centroid_id, q, n2 FROM cents) c
+        WHERE qs.vec_id % {QUERY_STRIDE} = 0
+    ) WHERE pr <= {NPROBE}
+),
+cand AS (
+    SELECT p.query_id, m.vec_id AS neighbor_id, {sim} AS sim_e6
+    FROM probes p
+    JOIN assign a ON a.cluster = p.cluster
+    JOIN en m ON m.vec_id = a.vec_id
+    WHERE m.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, sim_e6, CAST(rank AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id ASC) AS rank
+    FROM cand
+) WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_lsh": sim_lsh,
+    "sim_ivf": sim_ivf,
 }
 
 ORACLE_SQL = {
     "sim_topk": _topk_oracle_sql(),
     "sim_lsh": _lsh_oracle_sql(),
+    "sim_ivf": _ivf_oracle_sql(),
 }

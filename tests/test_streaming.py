@@ -9,7 +9,10 @@ from engineering_school_bigdata_project_f1_weather_spark.operators.events import
     events_hourly,
     load_events,
 )
-from engineering_school_bigdata_project_f1_weather_spark.streaming import events_stream
+from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+    events_stream,
+    stateful,
+)
 
 
 def test_hourly_stream_matches_batch(spark, sf_dir):
@@ -61,3 +64,66 @@ def test_session_stream_matches_batch_session_window(spark, sf_dir):
     batched = {(r.user_id, r.session_start, r.n_events) for r in batch}
     assert streamed == batched
     assert len(streamed) > 0
+
+
+def test_stateful_user_totals_carry_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: drain the events table file-by-file (two
+    parquet halves, maxFilesPerTrigger=1) — the final per-user totals must
+    equal one batch groupBy over the whole table, which requires GroupState
+    to survive between micro-batches."""
+    src = load_events(spark, sf_dir)  # ts is raw nanos (long) + ts_us
+    half_dir = str(tmp_path / "halves")
+    base = src.drop("ts_us")
+    base.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        half_dir, mode="overwrite"
+    )
+    base.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        half_dir, mode="append"
+    )
+
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import TESTDATA_SCHEMAS
+
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+        .withColumn("ts_us", F.expr("div(ts, 1000)"))
+    )
+    q = (
+        stateful.user_totals_stream(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    assert len(progress) >= 2, "expected >= 2 micro-batches (one per file)"
+
+    # update-mode memory sink appends one row per (user, batch); totals are
+    # monotone so the final state is the max-n_events row per user.
+    out = spark.table("user_totals_mem").collect()
+    final: dict[int, tuple[int, int, int]] = {}
+    for r in out:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.value_cents_sum, r.last_seen_us)
+
+    batch = (
+        src.withColumn(
+            "value_cents", F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents_sum"),
+            F.max("ts_us").alias("last_seen_us"),
+        )
+        .collect()
+    )
+    expected = {
+        r.user_id: (r.n_events, r.value_cents_sum, r.last_seen_us) for r in batch
+    }
+    assert final == expected
+    assert len(final) > 0
