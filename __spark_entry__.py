@@ -30,10 +30,11 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     marts,
     multimodal,
     similarity,
+    temporal,
     text,
 )
 
-_MODULES = [marts, analytics, dedup, similarity, text, events, multimodal]
+_MODULES = [marts, analytics, dedup, similarity, text, events, temporal, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

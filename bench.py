@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "text_quality",
     "events_hourly",
     "events_sessionize",
+    "events_asof_purchase",
+    "window_suite",
 ]
 
 

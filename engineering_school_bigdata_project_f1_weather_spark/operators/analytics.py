@@ -150,6 +150,58 @@ def order_fulfillment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/offset/frame window surface in one pass (SURVEY
+    §2.10 lists these as absent from the reference): lag/lead offsets,
+    rank/dense_rank over ties, ntile over a unique ordering, and a
+    RANGE frame (peer rows share a date, so RANGE ≠ ROWS here) — all in
+    ONE shuffle on the partition key (Spark fuses same-partition windows).
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    )
+    by_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("price_cents")
+    )
+    range_cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "price_cents",
+        F.lag("price_cents").over(by_time).alias("prev_cents"),
+        F.lead("price_cents").over(by_time).alias("next_cents"),
+        F.rank().over(by_price).cast("int").alias("price_rank"),
+        F.dense_rank().over(by_price).cast("int").alias("price_dense_rank"),
+        F.ntile(4).over(by_time).cast("int").alias("time_quartile"),
+        F.sum("price_cents").over(range_cum).alias("cents_range_cum"),
+    )
+
+
+def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (quarter points only, so the
+    interpolation arithmetic is exact in doubles and matches DuckDB's
+    quantile_cont bit-for-bit). At 100 TB swap for approx_percentile and
+    drop the oracle to a tolerance check — exact percentile requires a
+    per-group sort."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
+            ).alias("qty_quartiles"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": pricing_summary,
     "tpch_revenue_by_nation": revenue_by_nation,
@@ -158,6 +210,8 @@ QUERIES = {
     "join_anti_customers": customers_without_orders,
     "join_semi_customers": customers_with_high_value_orders,
     "join_outer_audit": order_fulfillment_audit,
+    "window_suite": window_suite,
+    "tpch_quantiles": quantile_summary,
 }
 
 _REV = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
@@ -236,5 +290,33 @@ ORACLE_SQL = {
             FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
         )
         SELECT side, COUNT(*) AS n FROM j GROUP BY side
+    """,
+    "window_suite": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+               LAG(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER w_time
+                   AS prev_cents,
+               LEAD(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER w_time
+                   AS next_cents,
+               CAST(RANK() OVER w_price AS INT) AS price_rank,
+               CAST(DENSE_RANK() OVER w_price AS INT) AS price_dense_rank,
+               CAST(NTILE(4) OVER w_time AS INT) AS time_quartile,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    OVER w_range AS BIGINT) AS cents_range_cum
+        FROM orders
+        WINDOW
+            w_time AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            w_price AS (PARTITION BY o_custkey
+                        ORDER BY CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC),
+            w_range AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "tpch_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
 }

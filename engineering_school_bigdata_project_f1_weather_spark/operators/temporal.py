@@ -1,0 +1,214 @@
+"""Temporal join operators over ``events`` — the time-series shapes Spark
+has no single built-in for (as-of join, range join, hypertable-style
+multi-grain rollup), each composed from declarative primitives:
+
+- ``events_asof_purchase`` : AS-OF join — every event picks the user's most
+  recent purchase at-or-before its timestamp. Spark lacks ASOF JOIN; the
+  composition is the classic union + last-non-null window (one shuffle on
+  the user key, no per-row range probing). The DuckDB oracle uses its
+  native ``ASOF LEFT JOIN`` — proving the composition implements exactly
+  those semantics.
+- ``events_value_bands``   : range (interval) join of events against an
+  irregular value-band dimension. The naive Spark plan for a theta join is
+  a broadcast nested loop; the scale path implemented here bins both sides
+  on a fixed grid and equi-joins on the bin + residual filter — shuffle
+  keyed, never O(|events| x |bands|) probing.
+- ``events_multigrain``    : hypertable-style rollup to (day, hour) grains
+  in one pass via ROLLUP + grouping flags.
+
+Time domain: integer epoch-micros (``ts_us``) as in operators/events.py —
+exact in both engines, timezone-proof.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .events import HOUR_US, load_events
+
+DAY_US = 24 * HOUR_US
+
+# Irregular value bands (quarter-fraction boundaries => exact doubles in
+# every engine). Half-open [lo, hi).
+VALUE_BANDS = [
+    (0, 0.0, 2.0),
+    (1, 2.0, 7.5),
+    (2, 7.5, 31.25),
+    (3, 31.25, 125.0),
+    (4, 125.0, 1000.0),
+]
+BAND_GRID = 4  # bins per unit: bin = floor(value * 4); boundaries align exactly
+
+
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event → the user's latest purchase with
+    ``purchase.ts_us <= event.ts_us`` (inclusive), NULL when none.
+
+    Composition: markers (deduped to one per (user, ts)) are unioned under
+    the event rows, sorted (ts, markers-first), and a last-non-null window
+    carries the active marker forward — one shuffle on ``user_id``, state
+    bounded per partition. Equivalent DuckDB: native ASOF LEFT JOIN.
+    """
+    e = load_events(spark, sf_dir)
+    markers = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+
+    left = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        F.lit(0).alias("is_marker"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("long").alias("purchase_ts_us"),
+    )
+    right = markers.select(
+        "user_id",
+        "ts_us",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(1).alias("is_marker"),
+        "purchase_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+    )
+
+    # Markers sort before events at equal ts => inclusive (>=) semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("is_marker").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "*",
+        F.last("purchase_id", ignorenulls=True).over(w).alias("last_purchase_id"),
+        F.last("purchase_ts_us", ignorenulls=True).over(w).alias("last_purchase_ts_us"),
+    )
+    return merged.where(F.col("is_marker") == 0).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        "last_purchase_id",
+        "last_purchase_ts_us",
+    )
+
+
+ASOF_ORACLE = """
+WITH mk AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, epoch_us(ts)
+),
+ev AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+)
+SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+       m.purchase_id AS last_purchase_id,
+       m.ts_us AS last_purchase_ts_us
+FROM ev e ASOF LEFT JOIN mk m
+  ON e.user_id = m.user_id AND e.ts_us >= m.ts_us
+"""
+
+
+def _band_bins(spark: SparkSession) -> DataFrame:
+    """Expand each band into its covering grid bins (tiny driver-side dim —
+    |bands| x |bins per band| rows, broadcast to the join)."""
+    rows = []
+    for band_id, lo, hi in VALUE_BANDS:
+        for b in range(int(lo * BAND_GRID), int(hi * BAND_GRID)):
+            rows.append((band_id, b, lo, hi))
+    return spark.createDataFrame(rows, "band_id INT, bin BIGINT, lo DOUBLE, hi DOUBLE")
+
+
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via grid binning: events equi-join the exploded band-bin
+    dim on ``floor(value * grid)`` then apply the residual range filter —
+    the shuffle-keyed scale path for interval joins (no nested-loop probe).
+    """
+    e = load_events(spark, sf_dir).withColumn(
+        "bin", F.floor(F.col("value") * BAND_GRID).cast("long")
+    )
+    bins = _band_bins(spark)
+    joined = e.join(F.broadcast(bins), "bin").where(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return (
+        joined.groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("value_cents_sum"),
+        )
+    )
+
+
+_BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
+
+BANDS_ORACLE = f"""
+WITH bands0(band_id, lo, hi) AS (VALUES {_BANDS_VALUES}),
+bands AS (
+    SELECT band_id, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+    FROM bands0
+)
+SELECT CAST(b.band_id AS INT) AS band_id, b.lo, b.hi,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents_sum
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band_id, b.lo, b.hi
+"""
+
+
+def events_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: (day, hour) → (day) → (total)
+    in ONE aggregation pass (Spark expands the grouping sets; no re-scan
+    per grain). Grain flags via ``grouping()``."""
+    e = load_events(spark, sf_dir)
+    binned = e.select(
+        (F.col("ts_us") - F.col("ts_us") % DAY_US).alias("day_us"),
+        (F.col("ts_us") - F.col("ts_us") % HOUR_US).alias("hour_us"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("value_cents"),
+    )
+    return (
+        binned.rollup("day_us", "hour_us")
+        .agg(
+            F.grouping("day_us").cast("int").alias("g_day"),
+            F.grouping("hour_us").cast("int").alias("g_hour"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents_sum"),
+        )
+    )
+
+
+MULTIGRAIN_ORACLE = f"""
+WITH binned AS (
+    SELECT epoch_us(ts) - epoch_us(ts) % {DAY_US} AS day_us,
+           epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+    FROM events
+)
+SELECT day_us, hour_us,
+       CAST(GROUPING(day_us) AS INT) AS g_day,
+       CAST(GROUPING(hour_us) AS INT) AS g_hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS value_cents_sum
+FROM binned
+GROUP BY ROLLUP (day_us, hour_us)
+"""
+
+QUERIES = {
+    "events_asof_purchase": events_asof_purchase,
+    "events_value_bands": events_value_bands,
+    "events_multigrain": events_multigrain,
+}
+
+ORACLE_SQL = {
+    "events_asof_purchase": ASOF_ORACLE,
+    "events_value_bands": BANDS_ORACLE,
+    "events_multigrain": MULTIGRAIN_ORACLE,
+}

@@ -1,0 +1,67 @@
+"""Physical-plan regression tests — pin the scale-critical properties the
+engine relies on (SURVEY §4.2 / §4.3): parquet predicate pushdown + column
+pruning, partition pruning on a partitioned lake, broadcast joins in the
+combine model, and top-k compiling to TakeOrderedAndProject instead of a
+global sort. A correctness-neutral refactor that silently loses one of
+these would only show up at cluster scale — these tests catch it at test
+scale."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from engineering_school_bigdata_project_f1_weather_spark.operators.marts import q9_top10
+from engineering_school_bigdata_project_f1_weather_spark.plans.f1_model import combined
+from engineering_school_bigdata_project_f1_weather_spark.sources.tables import load_table
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 30.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+    # ReadSchema must carry only the two projected columns, not all 10.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_partition_pruning_on_partitioned_lake(spark, sf_dir, tmp_path):
+    lake = str(tmp_path / "events_by_type")
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import load_events
+
+    load_events(spark, sf_dir).write.partitionBy("event_type").parquet(
+        lake, mode="overwrite"
+    )
+    df = spark.read.parquet(lake).where(F.col("event_type") == "purchase")
+    plan = _formatted(df)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf and "purchase" in pf
+    # the data filter must NOT degrade into a post-scan filter on all rows
+    assert df.count() > 0
+
+
+def test_combine_model_joins_are_broadcast(spark, sf_dir):
+    plan = _formatted(combined(spark, sf_dir))
+    # fact-side model build: every dimension join is broadcast-hash; the
+    # only exchanges are the window shuffle and broadcast distribution.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q9_topk_is_take_ordered(spark, sf_dir):
+    plan = _formatted(q9_top10(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # a LIMIT 10 must never materialize a global Sort of the full input
+    assert "Sort " not in plan or "TakeOrderedAndProject" in plan
