@@ -202,6 +202,90 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with ``grouping_id()`` — all four
+    grouping combinations in one scan (SURVEY §2.10: cube absent from the
+    reference; Spark expands the grouping sets before the partial
+    aggregate, so it is still a single shuffle). The grouping_id bitmask
+    (first key = MSB) is ANSI, so DuckDB's GROUPING() matches bit-for-bit.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.withColumn("rev_cents", _revenue_cents())
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum("rev_cents").alias("sum_rev_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def shipmonth_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((ship_month), (returnflag)) — two disjoint
+    aggregation grains that neither ROLLUP nor CUBE can express, computed
+    in one pass instead of two scans + union (the 100 TB win: the fact
+    table is read once)."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("rev_cents", _revenue_cents())
+        .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+    )
+    return (
+        l.groupingSets(
+            [["ship_month"], ["l_returnflag"]], "ship_month", "l_returnflag"
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum("rev_cents").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            "gid",
+            F.col("ship_month").asc_nulls_first(),
+            F.col("l_returnflag").asc_nulls_first(),
+        )
+    )
+
+
+APPROX_DISTINCT_RTOL = 0.05
+
+
+def distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (SURVEY §2.10: absent from the reference):
+    exact COUNT(DISTINCT) on two columns in one grouped pass (Spark
+    plans the multi-distinct via a single expand + two-stage aggregate),
+    plus the HLL++ scale path — ``approx_count_distinct`` checked to a
+    5% relative tolerance against the exact count. The tolerance verdict
+    is deterministic for a fixed dataset, so the oracle pins it as a
+    value (TRUE) rather than re-deriving the sketch."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+            F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts",
+            "n_supps",
+            (
+                F.abs(F.col("n_parts_approx") - F.col("n_parts"))
+                <= F.col("n_parts") * APPROX_DISTINCT_RTOL
+            ).alias("approx_within_tol"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": pricing_summary,
     "tpch_revenue_by_nation": revenue_by_nation,
@@ -212,6 +296,9 @@ QUERIES = {
     "join_outer_audit": order_fulfillment_audit,
     "window_suite": window_suite,
     "tpch_quantiles": quantile_summary,
+    "tpch_cube": pricing_cube,
+    "tpch_grouping_sets": shipmonth_grouping_sets,
+    "tpch_distinct_parts": distinct_parts,
 }
 
 _REV = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
@@ -316,6 +403,31 @@ ORACLE_SQL = {
         SELECT l_returnflag,
                quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
                COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "tpch_cube": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM({_REV}) AS BIGINT) AS sum_rev_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "tpch_grouping_sets": f"""
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
+               CAST(GROUPING(ship_month, l_returnflag) AS INT) AS gid,
+               CAST(SUM({_REV}) AS BIGINT) AS rev_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((ship_month), (l_returnflag))
+    """,
+    "tpch_distinct_parts": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               TRUE AS approx_within_tol
         FROM lineitem
         GROUP BY l_returnflag
     """,

@@ -60,6 +60,46 @@ def test_combine_model_joins_are_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key co-locates matching rows
+    at write time, so the orders ⋈ lineitem join needs NO Exchange — at
+    100 TB that shuffle IS the bottleneck, and bucketed layout removes it
+    from every downstream join on the same key."""
+    n_buckets = 8
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "orders_b"))
+        .mode("overwrite")
+        .saveAsTable("orders_bucketed")
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "lineitem_b"))
+        .mode("overwrite")
+        .saveAsTable("lineitem_bucketed")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("orders_bucketed")
+        li = spark.table("lineitem_bucketed")
+        j = o.join(li, o.o_orderkey == li.l_orderkey).groupBy("o_orderkey").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = _formatted(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
 def test_q9_topk_is_take_ordered(spark, sf_dir):
     plan = _formatted(q9_top10(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
