@@ -8,6 +8,10 @@ expressed as an incremental plan:
 - ``stream_events``        : file-source stream over the events parquet.
 - ``hourly_counts_stream`` : watermarked tumbling-window agg.
 - ``sessions_stream``      : watermarked session_window (30-min gap) agg.
+- ``dedup_stream``         : exactly-once event dedup with bounded state
+                             (``dropDuplicatesWithinWatermark``).
+- ``enriched_counts_stream``: stream-static join against a dimension
+                             table + windowed rollup.
 
 Batch/stream parity is tested in tests/test_streaming.py by running the
 stream with ``availableNow`` into a memory sink and comparing against the
@@ -77,6 +81,41 @@ def sessions_stream(events: DataFrame) -> DataFrame:
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on ``event_id`` with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key in state only for the
+    watermark delay — at 100 TB/day ingest the state store holds one delay
+    window of keys, not the full history (a plain ``dropDuplicates`` on a
+    stream would grow state forever). Re-deliveries inside the delay are
+    deduped against state; rows older than the watermark are dropped as
+    late, so an at-least-once upstream source still yields exactly-once
+    rows downstream."""
+    return events.withWatermark("event_time", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enriched_counts_stream(events: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-static join + windowed rollup: tag each event with the
+    user's market segment from a static dimension, then count per
+    (hour, segment). The static side is broadcast to every task — no
+    stream-side shuffle for the join, and the dimension is re-read per
+    micro-batch so slowly-changing updates are picked up for free."""
+    dim = F.broadcast(users.select("c_custkey", "c_mktsegment"))
+    return (
+        events.withWatermark("event_time", WATERMARK)
+        .join(dim, events.user_id == dim.c_custkey, "left")
+        .groupBy(F.window("event_time", "1 hour"), F.col("c_mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour"),
+            F.col("c_mktsegment").alias("segment"),
             "n_events",
         )
     )

@@ -66,6 +66,72 @@ def test_session_stream_matches_batch_session_window(spark, sf_dir):
     assert len(streamed) > 0
 
 
+def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: feed every event TWICE (two identical
+    parquet files, one micro-batch each — an at-least-once source) and
+    assert the deduped stream emits each event_id exactly once."""
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import TESTDATA_SCHEMAS
+
+    src = load_events(spark, sf_dir).drop("ts_us")
+    dup_dir = str(tmp_path / "redelivered")
+    src.coalesce(1).write.parquet(dup_dir, mode="overwrite")
+    src.coalesce(1).write.parquet(dup_dir, mode="append")
+
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dup_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("div(ts, 1000)")))
+    )
+    q = (
+        events_stream.dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_mem")
+    n_unique = src.select("event_id").distinct().count()
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_enriched_stream_matches_batch_join(spark, sf_dir):
+    """Stream-static join parity: hourly per-segment counts from the
+    stream must equal the same join+agg computed in batch."""
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import load_table
+
+    users = load_table(spark, sf_dir, "customer")
+    stream = events_stream.stream_events(spark, sf_dir)
+    out = events_stream.run_available_now(
+        events_stream.enriched_counts_stream(stream, users), "enriched_mem", spark
+    )
+    streamed = {
+        (int(r.hour.timestamp() * 1_000_000), r.segment): r.n_events
+        for r in out.collect()
+    }
+    batch_events = load_events(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    dim = users.select("c_custkey", "c_mktsegment")
+    batch = (
+        batch_events.join(dim, batch_events.user_id == dim.c_custkey, "left")
+        .groupBy(
+            F.window("event_time", "1 hour"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("hour"), "segment", "n_events")
+        .collect()
+    )
+    batched = {
+        (int(r.hour.timestamp() * 1_000_000), r.segment): r.n_events for r in batch
+    }
+    assert streamed == batched
+    assert len(streamed) > 0
+
+
 def test_stateful_user_totals_carry_across_microbatches(spark, sf_dir, tmp_path):
     """applyInPandasWithState: drain the events table file-by-file (two
     parquet halves, maxFilesPerTrigger=1) — the final per-user totals must
