@@ -254,6 +254,35 @@ def shipmonth_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_QUANTILE_ATOL = 2.0  # absolute tolerance on l_quantity (domain 1..50)
+
+
+def quantile_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (Greenwald-Khanna
+    sketch — mergeable partials, no per-group sort) for the same quarter
+    points as ``quantile_summary``, each checked against the exact value
+    to an absolute tolerance. Deterministic for a fixed dataset, so the
+    oracle pins the verdict columns plus the exact medians."""
+    l = load_table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("exact"),
+        F.expr(
+            "approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 1000)"
+        ).alias("approx"),
+    )
+    ok = lambda i: (  # noqa: E731
+        F.abs(F.element_at("approx", i) - F.element_at("exact", i))
+        <= APPROX_QUANTILE_ATOL
+    )
+    return agg.select(
+        "l_returnflag",
+        F.element_at("exact", 1).alias("p25"),
+        F.element_at("exact", 2).alias("p50"),
+        F.element_at("exact", 3).alias("p75"),
+        (ok(1) & ok(2) & ok(3)).alias("approx_within_tol"),
+    ).orderBy("l_returnflag")
+
+
 APPROX_DISTINCT_RTOL = 0.05
 
 
@@ -299,6 +328,7 @@ QUERIES = {
     "tpch_cube": pricing_cube,
     "tpch_grouping_sets": shipmonth_grouping_sets,
     "tpch_distinct_parts": distinct_parts,
+    "tpch_quantiles_approx": quantile_summary_approx,
 }
 
 _REV = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
@@ -427,6 +457,15 @@ ORACLE_SQL = {
         SELECT l_returnflag,
                COUNT(DISTINCT l_partkey) AS n_parts,
                COUNT(DISTINCT l_suppkey) AS n_supps,
+               TRUE AS approx_within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "tpch_quantiles_approx": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.50) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
                TRUE AS approx_within_tol
         FROM lineitem
         GROUP BY l_returnflag
