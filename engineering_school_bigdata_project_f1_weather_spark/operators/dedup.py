@@ -452,6 +452,89 @@ WHERE {sim} >= {EMBED_DUP_MIN_E6}
 """
 
 
+COMPONENT_MIN_JACCARD_E6 = 20_000  # edge = verified pair with jaccard ≥ 2%
+COMPONENT_MAX_ITERS = 20
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the verified
+    minhash-LSH pair graph, so each duplicate *cluster* (not just each
+    pair) gets one canonical keeper — the step a real dedup pipeline runs
+    after pair generation (transitive closure: A~B, B~C ⇒ {A,B,C} even if
+    A≁C directly).
+
+    Iterative Hash-Min label propagation: every doc starts labeled with
+    its own id; each round takes the min label over its neighbors; stop at
+    fixpoint. The driver only steers the loop — each round is one
+    distributed join + partial-agg min, and ``localCheckpoint`` truncates
+    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    Rounds needed = max component diameter (tiny for dup clusters); the
+    oracle is the same fixpoint via DuckDB's recursive CTE.
+
+    Output: (doc_id, component) for every document; component = min doc_id
+    reachable through the pair graph (isolated docs map to themselves).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("jaccard_e6") >= COMPONENT_MIN_JACCARD_E6
+    )
+    half = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    edges = (
+        half.union(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(COMPONENT_MAX_ITERS):
+        nbr_min = edges.join(
+            labels, edges.d == labels.doc_id
+        ).groupBy("s").agg(F.min("label").alias("nbr_label"))
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.s, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def _components_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT * FROM ({_minhash_oracle_sql()})
+    WHERE jaccard_e6 >= {COMPONENT_MIN_JACCARD_E6}
+),
+e AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.s, r.label FROM reach r JOIN e ON r.doc_id = e.d
+)
+SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -460,6 +543,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_winnow": dedup_winnow,
     "dedup_embedding": dedup_embedding,
+    "dedup_components": dedup_components,
 }
 
 ORACLE_SQL = {
@@ -479,4 +563,5 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": _ngram_oracle_sql(),
     "dedup_winnow": _winnow_oracle_sql(),
     "dedup_embedding": _embedding_oracle_sql(),
+    "dedup_components": _components_oracle_sql(),
 }
