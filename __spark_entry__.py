@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from engineering_school_bigdata_project_f1_weather_spark.operators import (
     analytics,
+    curate,
     dedup,
     events,
     marts,
@@ -34,7 +35,9 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     text,
 )
 
-_MODULES = [marts, analytics, dedup, similarity, text, events, temporal, multimodal]
+_MODULES = [
+    marts, analytics, dedup, similarity, text, events, temporal, multimodal, curate,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
