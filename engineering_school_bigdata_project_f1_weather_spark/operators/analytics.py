@@ -190,13 +190,19 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop the oracle to a tolerance check — exact percentile requires a
     per-group sort."""
     l = load_table(spark, sf_dir, "lineitem")
+    # Scalar p25/p50/p75 columns (not an array<double>): the driver's
+    # canonical comparator sorts columns in pandas, which cannot hash a
+    # list-typed cell. Same output shape as quantile_summary_approx.
+    q = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
     return (
         l.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
-            ).alias("qty_quartiles"),
-            F.count(F.lit(1)).alias("n_rows"),
+        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "l_returnflag",
+            F.element_at("qs", 1).alias("p25"),
+            F.element_at("qs", 2).alias("p50"),
+            F.element_at("qs", 3).alias("p75"),
+            "n_rows",
         )
         .orderBy("l_returnflag")
     )
@@ -431,7 +437,9 @@ ORACLE_SQL = {
     """,
     "tpch_quantiles": """
         SELECT l_returnflag,
-               quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.50) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag

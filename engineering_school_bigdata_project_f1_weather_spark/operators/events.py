@@ -135,9 +135,13 @@ ORACLE_SQL = {
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         ),
         sess AS (
-            SELECT *, SUM(new_sess) OVER (
+            -- CAST: DuckDB's windowed SUM over INTEGER yields HUGEINT, which
+            -- pandas materializes as float64 and the value hash diverges from
+            -- Spark's int64 (same trap as window_suite's w_range).
+            SELECT *, CAST(SUM(new_sess) OVER (
                 PARTITION BY user_id ORDER BY ts_us, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_seq
             FROM flagged
         )
         SELECT user_id, session_seq,

@@ -83,6 +83,99 @@ def serving_prep(df: DataFrame, drop_cols: tuple[str, ...] = ("best_lap_time",),
     return df.na.fill(fill).drop(*drop_cols)
 
 
+# S10 (Kibana saved objects): the reference posts hand-written JSON bodies
+# to /api/saved_objects (`Martin files/create_index_pattern.py:10-15`,
+# `create_visualization.py:10-27`, `create_dashboard.py:14-97`). The HTTP
+# POST is serving-infra (out of engine scope per SURVEY §7.4); the part a
+# data engine owns — deriving each body's metadata (index title, time
+# field, field list + ES types) from the mart itself — is implemented here.
+
+_ES_TYPES = {  # Spark simpleString → Elasticsearch field type
+    "bigint": "long", "int": "integer", "double": "double",
+    "float": "float", "string": "keyword", "boolean": "boolean",
+    "date": "date", "timestamp": "date",
+}
+
+
+def serving_manifest(
+    marts: dict[str, DataFrame], usage_dir: str, time_field: str | None = None
+) -> list[dict[str, Any]]:
+    """Per-mart serving metadata: everything the reference's saved-object
+    scripts hard-code by hand (title, timeFieldName, per-field ES types),
+    derived from the mart DataFrames. Pure metadata — ``df.schema`` plus one
+    ``count()`` per mart; no data moves through the driver."""
+    out = []
+    for name, df in marts.items():
+        fields = [
+            {"name": f.name, "es_type": _ES_TYPES.get(f.dataType.simpleString(), "keyword")}
+            for f in df.schema.fields
+        ]
+        entry = {
+            "mart": name,
+            "path": mart_path(usage_dir, name),
+            "index_title": f"f1_{name}",
+            "row_count": df.count(),
+            "fields": fields,
+        }
+        if time_field is not None and any(f["name"] == time_field for f in fields):
+            entry["time_field"] = time_field
+        out.append(entry)
+    return out
+
+
+def index_pattern_saved_object(entry: dict[str, Any]) -> dict[str, Any]:
+    """Kibana index-pattern saved-object body for one manifest entry —
+    same shape as `create_index_pattern.py:10-15`, minus the hand-coding."""
+    attrs: dict[str, Any] = {"title": entry["index_title"]}
+    if "time_field" in entry:
+        attrs["timeFieldName"] = entry["time_field"]
+    return {"attributes": attrs}
+
+
+def visualization_saved_object(
+    entry: dict[str, Any], field: str, viz_type: str = "pie", size: int = 5
+) -> dict[str, Any]:
+    """Kibana visualization saved-object body (terms-agg over ``field``) —
+    the `create_visualization.py:10-27` shape with the field validated
+    against the manifest instead of typo-prone hand-writing."""
+    import json as _json
+
+    names = {f["name"]: f["es_type"] for f in entry["fields"]}
+    if field not in names:
+        raise KeyError(f"{field!r} not in mart {entry['mart']!r} fields {sorted(names)}")
+    # keyword fields are aggregated via the .keyword sub-field, as the
+    # reference does for raceName.
+    agg_field = f"{field}.keyword" if names[field] == "keyword" else field
+    title = f"{entry['mart']}: {field} {viz_type}"
+    return {
+        "attributes": {
+            "title": title,
+            "visState": _json.dumps({
+                "title": title,
+                "type": viz_type,
+                "params": {"addTooltip": True, "addLegend": True, "isDonut": False},
+                "aggs": [
+                    {"id": "1", "enabled": True, "type": "count",
+                     "schema": "metric", "params": {}},
+                    {"id": "2", "enabled": True, "type": "terms",
+                     "schema": "segment",
+                     "params": {"field": agg_field, "size": size, "order": "desc"}},
+                ],
+            }),
+            "uiStateJSON": "{}",
+            "description": "",
+            "version": 1,
+            "kibanaSavedObjectMeta": {
+                "searchSourceJSON": _json.dumps({
+                    "index": entry["index_title"],
+                    "query": {"language": "kuery", "query": ""},
+                    "filter": [],
+                })
+            },
+        }
+    }
+
+
 def foreach_partition_sink(
     df: DataFrame, send: Callable[[Iterator[dict[str, Any]]], None]
 ) -> None:

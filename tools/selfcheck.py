@@ -25,18 +25,20 @@ TABLES = [
 def canon_cell(v) -> str:
     import math
 
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, float):  # includes np.float64
         if math.isnan(v):
             return "NaN"
         # repr round-trips doubles exactly; bit-identical values match.
-        return repr(v)
-    if isinstance(v, bool):
-        return str(int(v))
+        return repr(float(v))
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, np.ndarray)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return str(v)
 
@@ -73,8 +75,11 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # toPandas (Arrow) — same materialization path as the driver, so
+            # dtype-level drift (e.g. int64 vs float64) is caught here too.
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = list(spdf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
@@ -83,9 +88,12 @@ def main() -> int:
             print(f"ok?  {name}: rows-only check, {len(srows)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # .df() (pandas), not fetchall(): the driver compares via pandas,
+            # where DuckDB HUGEINT becomes float64 — fetchall()'s Python ints
+            # would mask that class of hash mismatch.
+            dpdf = con.execute(oracles[name]).df()
+            dcols = list(dpdf.columns)
+            drows = list(dpdf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
