@@ -55,11 +55,14 @@ def shingles_of_tokens(t: Column, k: int = 3) -> Column:
 def shingles_sql(text_expr: str, k: int = 3) -> str:
     """DuckDB twin of :func:`shingles` (1-based list indexing)."""
     toks = f"string_split({text_expr}, ' ')"
-    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    # Build the indexed accesses directly from `toks` — no post-hoc textual
+    # replace, which would corrupt the SQL if text_expr ever contained the
+    # replaced token.
+    concat = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(k))
     return (
         f"list_distinct(list_transform("
         f"range(1, greatest(len({toks}) - {k - 2}, 1)), "
-        f"i -> {concat}))".replace("t[", f"{toks}[")
+        f"i -> {concat}))"
     )
 
 

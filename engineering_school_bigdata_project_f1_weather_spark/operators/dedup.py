@@ -489,6 +489,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(COMPONENT_MAX_ITERS):
         nbr_min = edges.join(
             labels, edges.d == labels.doc_id
@@ -512,6 +513,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Hash-Min needs rounds ≈ max component diameter; a component wider
+        # than the cap would silently return partially propagated labels
+        # (and mismatch the recursive-CTE oracle, which always reaches
+        # fixpoint). Fail loudly instead.
+        raise RuntimeError(
+            f"dedup_components did not converge in {COMPONENT_MAX_ITERS} "
+            f"rounds ({changed} labels still changing); raise "
+            "COMPONENT_MAX_ITERS for graphs with larger diameter"
+        )
     return labels.select("doc_id", F.col("label").alias("component"))
 
 

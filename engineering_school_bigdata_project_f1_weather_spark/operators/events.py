@@ -31,9 +31,15 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts_us`` (epoch micros, bigint) added."""
-    # Runtime-settable legacy conf — works on the caller's session too
-    # (the driver uses its own SparkSession).
+    """events with ``ts_us`` (epoch micros, bigint) added.
+
+    Sets ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session if the
+    caller's session (e.g. the external driver's) didn't come from
+    ``get_spark``, which bakes it in. Documented side effect, not hidden:
+    without it Spark ERRORS on INT64 TIMESTAMP(NANOS) parquet — there is no
+    alternative reading of this file, so the conf can never change another
+    reader's results, only unbreak them. Idempotent; runtime-settable.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(
         f"{sf_dir}/events.parquet"
