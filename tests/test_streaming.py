@@ -193,3 +193,92 @@ def test_stateful_user_totals_carry_across_microbatches(spark, sf_dir, tmp_path)
     }
     assert final == expected
     assert len(final) > 0
+
+
+def test_hourly_stream_drops_late_microbatch(spark, sf_dir, tmp_path):
+    """VERDICT r1 item 6: prove the 1-hour watermark actually fires.
+
+    Micro-batches 1+2 = every event AFTER the earliest hour (two files);
+    micro-batch 3 = that earliest hour, now hopelessly late (older than
+    max(on-time) - 1h). THREE batches, not two: since Spark 3.4
+    (statefulOperator.allowMultiple=true) late records are filtered against
+    the watermark of the PREVIOUS micro-batch, so the watermark must have
+    been committed one full batch before the late file arrives.
+    Update-mode output: the late rows must be dropped by the watermark
+    (numRowsDroppedByWatermark == n_late), so the final counts equal the
+    batch aggregation over the on-time files only — and differ from the
+    full table's aggregation."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import HOUR_US
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import TESTDATA_SCHEMAS
+
+    src = load_events(spark, sf_dir)
+    h0_end = (
+        src.agg(F.min("ts_us")).collect()[0][0] // HOUR_US
+    ) * HOUR_US + HOUR_US
+    late = src.where(F.col("ts_us") < h0_end)
+    ontime = src.where(F.col("ts_us") >= h0_end)
+    n_late = late.count()
+    assert n_late > 0
+    max_ontime = ontime.agg(F.max("ts_us")).collect()[0][0]
+    # guarantee the late file is beyond the watermark horizon
+    assert max_ontime - 3_600_000_000 > h0_end
+
+    split_dir = str(tmp_path / "late_split")
+    ontime.drop("ts_us").where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        split_dir, mode="overwrite"
+    )
+    ontime.drop("ts_us").where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        split_dir, mode="append"
+    )
+    late.drop("ts_us").coalesce(1).write.parquet(split_dir, mode="append")
+
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("div(ts, 1000)")))
+    )
+    q = (
+        events_stream.hourly_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("late_hourly_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == n_late, f"watermark dropped {dropped}, expected {n_late}"
+
+    # update-mode sink: one row per (key, emission); counts are monotone so
+    # the final value per key is the max.
+    final = {}
+    for r in spark.table("late_hourly_mem").collect():
+        k = (int(r.hour.timestamp() * 1_000_000), r.event_type)
+        v = (r.n_events, r.value_cents_sum)
+        if k not in final or v[0] > final[k][0]:
+            final[k] = v
+
+    def _hourly(df):
+        return {
+            (r.hour_us, r.event_type): (r.n_events, r.value_cents_sum)
+            for r in df.withColumn(
+                "value_cents", F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            )
+            .groupBy(
+                (F.col("ts_us") - F.col("ts_us") % HOUR_US).alias("hour_us"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value_cents").alias("value_cents_sum"),
+            )
+            .collect()
+        }
+
+    assert final == _hourly(ontime)
+    assert final != _hourly(src), "late rows should be missing from the stream result"
