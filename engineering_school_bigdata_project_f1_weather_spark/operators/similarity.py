@@ -154,26 +154,90 @@ K_CENTROIDS = 16  # coarse-quantizer size; centroid seeds are vec_id 1..16
 NPROBE = 4
 
 
-def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _seed_centroids(base: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
+    """Deterministic seed centroids: the vectors with vec_id 1..k."""
+    return base.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+
+
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = K_CENTROIDS, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means coarse-quantizer training, fully distributed.
+
+    Init = the same seeded centroids the oracle path uses (vec_id 1..k),
+    so the whole procedure is deterministic — no rand(), reproducible
+    under task retry. Each round: broadcast the k centroids, cosine-argmax
+    assignment (the exact serving-time expression), then per-cluster mean
+    re-quantized to the 1/1024 integer grid (posexplode → (cluster, pos)
+    partial-agg mean → reassemble; one shuffle keyed on (cluster, pos),
+    map-side combinable). Empty clusters keep their previous centroid.
+    Per-round driver traffic is only the k×DIM centroid table — steering,
+    not data movement, same shape as dedup_components.
+    """
+    base = _quantized(spark, sf_dir).cache()
+    cents = _seed_centroids(base, k).localCheckpoint()
+    for _ in range(iters):
+        csim = vectors.sim_e6(
+            vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
+        )
+        assign = (
+            base.join(F.broadcast(cents), F.lit(True))
+            .select(
+                "vec_id",
+                "centroid_id",
+                (csim * F.lit(128) - F.col("centroid_id")).alias("ord"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max_by("centroid_id", "ord").alias("cluster"))
+            .join(base.select("vec_id", "q"), "vec_id")
+        )
+        means = (
+            assign.select("cluster", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cluster").alias("centroid_id"),
+                F.transform(
+                    "pm", lambda s: F.floor(s["m"] + F.lit(0.5))
+                ).alias("cq"),
+            )
+            .withColumn("cn2", vectors.norm2(F.col("cq")))
+        )
+        cents = (
+            cents.select("centroid_id", F.col("cq").alias("ocq"), F.col("cn2").alias("ocn2"))
+            .join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("cq", "ocq").alias("cq"),
+                F.coalesce("cn2", "ocn2").alias("cn2"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def sim_ivf(
+    spark: SparkSession, sf_dir: str, centroids: DataFrame | None = None
+) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into K_CENTROIDS
     lists, probe the NPROBE nearest lists per query, exact-search inside.
 
     The 100 TB shape: assignment is one broadcast pass over the corpus (the
     centroid table is tiny by construction), the inverted lists are just a
     ``cluster`` column to shuffle/join on, and per-query work is bounded by
-    the probed lists — never the full corpus. Centroids here are seeded
-    deterministically (vec_id 1..K) instead of k-means-trained so the
-    DuckDB oracle replicates the exact output; a trained quantizer drops in
-    by swapping the centroid frame.
+    the probed lists — never the full corpus. Default centroids are seeded
+    deterministically (vec_id 1..K) so the DuckDB oracle replicates the
+    exact output; pass ``centroids`` (e.g. :func:`kmeans_centroids`, see
+    :func:`sim_ivf_trained`) to drop in a trained quantizer.
     """
     base = _quantized(spark, sf_dir).cache()
-    cents = base.where(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= K_CENTROIDS)
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("q").alias("cq"),
-        F.col("n2").alias("cn2"),
-    )
+    cents = centroids if centroids is not None else _seed_centroids(base)
 
     # Assignment: argmax_c sim(v, c), deterministic tie-break on the lower
     # centroid id via an injective integer ordering key (centroid_id < 128).
@@ -231,6 +295,13 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOPK)
     )
+
+
+def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the k-means-trained coarse quantizer (VERDICT r1 item 7).
+    Same serving plan as :func:`sim_ivf`; only the centroid frame differs.
+    Recall vs the seeded variant is pinned in tests/test_similarity.py."""
+    return sim_ivf(spark, sf_dir, centroids=kmeans_centroids(spark, sf_dir))
 
 
 def _ivf_oracle_sql() -> str:
