@@ -65,3 +65,21 @@ def test_pipeline_end_to_end(spark, raw_dir, tmp_path):  # noqa: F811
     assert any(
         p.startswith("year=") for p in os.listdir(f"{out}/formatted/ergastF1")
     )
+
+
+def test_compat_single_file_roundtrip(spark, sf_dir, tmp_path):
+    """Quirk 9 end-to-end (VERDICT r1 item 8): compat mode writes the mart
+    as the reference's coalesce(1) single-file layout; re-reading it yields
+    the same rows as the in-memory mart."""
+    from engineering_school_bigdata_project_f1_weather_spark.sources.sinks import write_mart
+
+    df = marts.q1_wins(spark, sf_dir)
+    path = write_mart(df, str(tmp_path / "usage"), "wins", compat_single_file=True)
+    parts = [p for p in os.listdir(path) if p.startswith("part-")]
+    assert len(parts) == 1, f"expected single part file, got {parts}"
+
+    back = spark.read.parquet(path)
+    h1, _ = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+    h2, _ = canon_rows(back.columns, [tuple(r) for r in back.collect()])
+    assert sorted(back.columns) == sorted(df.columns)
+    assert h1 == h2
