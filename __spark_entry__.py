@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from engineering_school_bigdata_project_f1_weather_spark.operators import (
     analytics,
+    corpus,
     curate,
     dedup,
     events,
@@ -36,7 +37,8 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 )
 
 _MODULES = [
-    marts, analytics, dedup, similarity, text, events, temporal, multimodal, curate,
+    marts, analytics, dedup, similarity, text, events, temporal, multimodal,
+    curate, corpus,
 ]
 
 

@@ -1,0 +1,77 @@
+"""Semantic pins for the corpus-preparation operators (oracle parity is
+covered by the driver/selfcheck; these pin the properties the oracle
+can't express)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from engineering_school_bigdata_project_f1_weather_spark.operators import corpus
+
+
+def test_chunks_cover_every_token_with_overlap(spark, sf_dir):
+    """Every token index of every doc is inside >= 1 chunk; consecutive
+    chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE; no chunk is empty."""
+    chunks = corpus.text_chunk(spark, sf_dir).cache()
+    docs = corpus._docs_tokens(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.col("chunk_id") * corpus.CHUNK_STRIDE + F.col("n_chunk_tokens")
+            ).alias("covered"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("n_chunk_tokens").alias("min_chunk"),
+        )
+        .join(docs, "doc_id")
+    )
+    bad = per_doc.where(
+        (F.col("covered") != F.col("n_tokens")) | (F.col("min_chunk") <= 0)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    # docs longer than one window really are split
+    assert (
+        per_doc.where(
+            (F.col("n_tokens") > corpus.CHUNK_TOKENS) & (F.col("n_chunks") < 2)
+        ).count()
+        == 0
+    )
+
+
+def test_chunk_text_roundtrip_matches_tokens(spark, sf_dir):
+    """Re-splitting chunk_text yields exactly the sliced token window."""
+    sample = (
+        corpus.text_chunk(spark, sf_dir)
+        .where(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(F.split("chunk_text", " ")).alias("n_resplit"),
+            "n_chunk_tokens",
+        )
+    )
+    assert sample.where(F.col("n_resplit") != F.col("n_chunk_tokens")).count() == 0
+
+
+def test_sample_split_deterministic_and_partitions_docs(spark, sf_dir):
+    r1 = {tuple(r) for r in corpus.sample_split(spark, sf_dir).collect()}
+    r2 = {tuple(r) for r in corpus.sample_split(spark, sf_dir).collect()}
+    assert r1 == r2
+    total = sum(r[2] for r in r1)
+    n_docs = corpus._docs_tokens(spark, sf_dir).count()
+    assert total == n_docs  # every doc in exactly one (lang, split) cell
+    splits = {r[1] for r in r1}
+    assert splits == {"train", "val", "test"}
+    # train dominates (~90%)
+    train = sum(r[2] for r in r1 if r[1] == "train")
+    assert 0.8 < train / n_docs < 0.98
+
+
+def test_contamination_excludes_eval_docs(spark, sf_dir):
+    out = corpus.text_contamination(spark, sf_dir)
+    assert out.where(F.col("doc_id") % corpus.EVAL_STRIDE == 0).count() == 0
+    assert out.where(
+        (F.col("contamination_e6") < 0) | (F.col("contamination_e6") > 1_000_000)
+    ).count() == 0
