@@ -98,13 +98,125 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANGID_EVAL_STRIDE = 100  # doc_id % 100 == 0 → labeled profile-training set
+
+
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language ID, profile-trained on labeled data.
+
+    The classic n-gram langid shape (Cavnar-Trenkle style) done
+    relationally: (1) build per-language bigram frequency profiles from
+    the labeled subset (doc_id % STRIDE == 0), weights as exact
+    ``count*1e6 // lang_total`` integers; (2) score every other document
+    against every profile via a broadcast join on the bigram and one
+    (doc_id, lang) partial-agg; (3) argmax with a deterministic
+    lang-ascending tie-break.
+
+    Scale: profiles are tiny (|langs| × |bigram vocab|) and broadcast —
+    the corpus side shuffles once on (doc_id, cand_lang). Accuracy on this
+    synthetic corpus is incidental (lang labels are independent of the
+    word-soup text); what the oracle pins is the exact relational
+    semantics of train→score→argmax.
+    """
+    d = load_table_spread(spark, sf_dir, "documents")
+    big = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "flatten(transform(split(text, ' '), "
+                "t -> transform(sequence(1, greatest(length(t) - 1, 1)), "
+                "i -> substring(t, i, 2))))"
+            )
+        ).alias("g"),
+    )
+    labeled = big.where(F.col("doc_id") % LANGID_EVAL_STRIDE == 0)
+    counts = labeled.groupBy(F.col("lang").alias("cand_lang"), "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("cand_lang").agg(F.sum("c").alias("tot"))
+    profile = counts.join(totals, "cand_lang").select(
+        "cand_lang", "g", F.expr("div(c * 1000000, tot)").alias("w_e6")
+    )
+    corpus = big.where(F.col("doc_id") % LANGID_EVAL_STRIDE != 0)
+    scored = (
+        corpus.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.sum("w_e6").alias("score_e6"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e6"), F.asc("cand_lang")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cand_lang").alias("lang_pred"), "score_e6")
+    )
+    # docs whose bigrams all miss the profiles keep a row with pred 'und'
+    return (
+        corpus.select("doc_id", "lang")
+        .distinct()
+        .join(best, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+            F.coalesce("score_e6", F.lit(0)).alias("score_e6"),
+        )
+    )
+
+
+def _langid_ngram_oracle_sql() -> str:
+    return f"""
+WITH big AS (
+    SELECT doc_id, lang, unnest(flatten(list_transform(
+        string_split(text, ' '),
+        t -> list_transform(range(1, greatest(strlen(t), 2)),
+                            i -> substr(t, i, 2))))) AS g
+    FROM documents
+),
+counts AS (
+    SELECT lang AS cand_lang, g, COUNT(*) AS c
+    FROM big WHERE doc_id % {LANGID_EVAL_STRIDE} = 0
+    GROUP BY lang, g
+),
+totals AS (SELECT cand_lang, SUM(c) AS tot FROM counts GROUP BY cand_lang),
+profile AS (
+    SELECT cand_lang, g, (c * 1000000) // tot AS w_e6
+    FROM counts JOIN totals USING (cand_lang)
+),
+corpus AS (SELECT * FROM big WHERE doc_id % {LANGID_EVAL_STRIDE} <> 0),
+scored AS (
+    SELECT doc_id, lang, cand_lang, CAST(SUM(w_e6) AS BIGINT) AS score_e6
+    FROM corpus JOIN profile USING (g)
+    GROUP BY doc_id, lang, cand_lang
+),
+best AS (
+    SELECT doc_id, lang, cand_lang AS lang_pred, score_e6 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score_e6 DESC, cand_lang ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT c.doc_id, c.lang,
+       COALESCE(b.lang_pred, 'und') AS lang_pred,
+       CAST(COALESCE(b.score_e6, 0) AS BIGINT) AS score_e6
+FROM (SELECT DISTINCT doc_id, lang FROM corpus) c
+LEFT JOIN best b ON b.doc_id = c.doc_id AND b.lang = c.lang
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_langid": text_langid,
+    "text_langid_ngram": text_langid_ngram,
     "text_quality": text_quality,
 }
 
 ORACLE_SQL = {
+    "text_langid_ngram": _langid_ngram_oracle_sql(),
     "text_tokens": f"""
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
