@@ -264,11 +264,39 @@ SELECT doc_id, CAST({bit_expr} AS BIGINT) AS simhash32 FROM sums
 
 
 # ---------------------------------------------------------- ngram jaccard
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+QUADRATIC_GUARD_MAX_ROWS = 100_000
+
+
+def _guard_quadratic(df: DataFrame, op: str, scale_path: str, allow: bool) -> None:
+    """Refuse to run a deliberately-quadratic baseline on a big input.
+
+    The baselines exist to oracle-check the scale paths; silently running
+    one on a 100 TB corpus would be a cluster-melting mistake, so beyond
+    QUADRATIC_GUARD_MAX_ROWS rows the caller must opt in explicitly. The
+    count is one cheap aggregate over the (already-needed) input."""
+    if allow:
+        return
+    n = df.count()
+    if n > QUADRATIC_GUARD_MAX_ROWS:
+        raise ValueError(
+            f"{op} is a quadratic correctness baseline and the input has "
+            f"{n} rows (> {QUADRATIC_GUARD_MAX_ROWS}); use {scale_path} at "
+            "scale, or pass allow_quadratic=True to force"
+        )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
+) -> DataFrame:
     """Exact pairwise Jaccard over 3-token shingles for pairs sharing ≥1
     shingle. This is the *verify* path — candidate generation by shared
     shingle is quadratic in the worst case; at scale use dedup_minhash_lsh
-    for candidates first."""
+    for candidates first (guarded: refuses > QUADRATIC_GUARD_MAX_ROWS docs
+    unless ``allow_quadratic``)."""
+    _guard_quadratic(
+        _docs(spark, sf_dir), "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", allow_quadratic,
+    )
     sh = _shingle_hashes(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
@@ -414,13 +442,17 @@ SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM fps
 
 
 # ------------------------------------------------------ embedding pairs
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
+) -> DataFrame:
     """Near-duplicate pairs by quantized cosine ≥ threshold. Brute-force
     pair enumeration (oracle-checkable); the LSH-bucketed scale path is
-    ``operators.similarity.sim_lsh``."""
+    ``operators.similarity.sim_lsh`` (guarded: refuses >
+    QUADRATIC_GUARD_MAX_ROWS vectors unless ``allow_quadratic``)."""
     e = load_table_spread(spark, sf_dir, "embeddings").select(
         "vec_id", vectors.quantize(F.col("embedding")).alias("q")
     )
+    _guard_quadratic(e, "dedup_embedding", "sim_lsh", allow_quadratic)
     e = e.withColumn("n2", vectors.norm2(F.col("q")))
     pairs = e.alias("a").join(
         F.broadcast(e.alias("b")), F.col("a.vec_id") < F.col("b.vec_id")

@@ -75,3 +75,19 @@ def test_contamination_excludes_eval_docs(spark, sf_dir):
     assert out.where(
         (F.col("contamination_e6") < 0) | (F.col("contamination_e6") > 1_000_000)
     ).count() == 0
+
+
+def test_quadratic_baselines_guarded(spark, sf_dir, monkeypatch):
+    """The deliberately-quadratic baselines refuse oversized inputs unless
+    explicitly forced (they exist to oracle-check the scale paths)."""
+    import pytest as _pytest
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "QUADRATIC_GUARD_MAX_ROWS", 10)
+    with _pytest.raises(ValueError, match="dedup_minhash_lsh"):
+        dedup.dedup_ngram_jaccard(spark, sf_dir)
+    with _pytest.raises(ValueError, match="sim_lsh"):
+        dedup.dedup_embedding(spark, sf_dir)
+    # forcing still works
+    assert dedup.dedup_ngram_jaccard(spark, sf_dir, allow_quadratic=True).count() > 0

@@ -79,3 +79,55 @@ def test_read_evolved_surfaces_new_columns(spark, tmp_path):
     assert set(df.columns) == {"id", "v1", "v2"}
     assert df.count() == 8
     assert df.where(F.col("v2").isNull()).count() == 5
+
+
+def test_stream_foreachbatch_into_lake_then_compact(spark, sf_dir, tmp_path):
+    """The streaming->lake shape: micro-batches append day-partitioned
+    parquet (fragmenting partitions), compaction then rewrites touched
+    days to one file each — rows identical to the batch ground truth."""
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import TESTDATA_SCHEMAS
+
+    src_dir = str(tmp_path / "src")
+    base = _day_events(spark, sf_dir)
+    base.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src_dir, mode="overwrite"
+    )
+    base.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src_dir, mode="append"
+    )
+
+    lake = str(tmp_path / "lake")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn(
+            "day",
+            F.date_format(F.timestamp_micros(F.expr("div(ts, 1000)")), "yyyy-MM-dd"),
+        )
+    )
+
+    def sink(batch_df, _batch_id):
+        batch_df.write.partitionBy("day").mode("append").parquet(lake)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    counts = partition_file_counts(spark, lake)
+    frag_day = max(counts, key=counts.get)
+    assert counts[frag_day] >= 2, counts  # two micro-batches fragmented it
+
+    compact_partitions(spark, lake, ["day"], 1)
+    counts2 = partition_file_counts(spark, lake)
+    assert all(v == 1 for k, v in counts2.items()), counts2
+
+    got = spark.read.parquet(lake)
+    assert got.count() == base.count()
+    assert got.select(F.sum("event_id")).collect()[0][0] == \
+        base.select(F.sum("event_id")).collect()[0][0]
