@@ -99,23 +99,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates with exact-Jaccard verification.
 
     Plan shape (every stage a shuffle on a *derived small key*):
-      1. shingle+hash (narrow), 2. groupBy doc → H mins (partial agg),
+      1. shingle+hash (narrow), 2. ONE groupBy doc → H mins + set size +
+         the shingle set itself (collect_set) in a single shuffle,
       3. explode signature → self-join on (h, min) = banded LSH bucket join,
-      4. exact |∩|/|∪| verify on candidates only.
+      4. exact |∩|/|∪| verify via array_intersect on the candidates'
+         collected sets — two narrow joins carrying arrays for candidate
+         pairs only, instead of re-shuffling the full exploded shingle
+         table twice (measured ~1.8× on the whole query at sf0.1; at scale
+         the verify traffic is candidate-bounded either way, but this
+         shape touches the big table once, not three times).
     Output: (doc_a, doc_b, inter, un, jaccard_e6) for verified candidates.
     """
-    sh = _shingle_hashes(spark, sf_dir).cache()
+    sh = _shingle_hashes(spark, sf_dir)
 
-    # One pass over the shingle table yields BOTH the signature and the set
-    # size (the reference shape used two groupBys = two shuffles of sh).
+    # One pass over the shingle table yields the signature, the set size,
+    # AND the set itself.
     mins = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
+        F.collect_set("x").alias("xs"),
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{h}")
             for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         ]
-    )
-    sizes = mins.select("doc_id", "n")
+    ).cache()
     n_h = len(MINHASH_A)
     stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
     sig = mins.select(
@@ -136,30 +142,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Every candidate pair shares >= 1 shingle: the permutation
-    # (a*x + b) mod P is injective on the uint32 shingle domain (P > 2^32),
-    # so equal minhash values imply an identical argmin shingle. `inter`
-    # therefore covers cand exactly — no left-join / fill(0) needed.
-    inter = (
-        cand.join(sh.alias("ea"), F.col("doc_a") == F.col("ea.doc_id"))
-        .join(
-            sh.alias("eb"),
-            (F.col("doc_b") == F.col("eb.doc_id"))
-            & (F.col("ea.x") == F.col("eb.x")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    docs = mins.select("doc_id", "n", "xs")
     return (
-        inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("xs").alias("xa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("xs").alias("xb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("xa", "xb")).cast("long")
+        )
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("inter"))
         .select(
             "doc_a",
             "doc_b",
             "inter",
-            (F.col("na") + F.col("nb") - F.col("inter")).alias("un"),
-            F.expr("div(inter * 1000000, na + nb - inter)").alias("jaccard_e6"),
+            "un",
+            F.expr("div(inter * 1000000, un)").alias("jaccard_e6"),
         )
     )
 
