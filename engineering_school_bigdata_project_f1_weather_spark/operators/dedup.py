@@ -451,6 +451,87 @@ SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM fps
 """
 
 
+WINNOW_MATCH_MAX_DF = 50  # fps in more docs than this are stop-fps
+WINNOW_MATCH_MIN_E6 = 100_000  # report pairs with >=10% containment
+
+
+def winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document fingerprint matching — the MOSS-style consumer of
+    :func:`dedup_winnow`: pairs of documents ranked by shared winnowing
+    fingerprints, scored by containment (shared / min(|fps_a|, |fps_b|)).
+
+    Scale shape: fingerprints with document frequency > MAX_DF are dropped
+    before the self-join (boilerplate/stop-fps are exactly the hot keys
+    that would blow up a fp-keyed join at corpus scale — same move as
+    dropping stopwords before an inverted index); the remaining join is
+    bucketed by fp with per-fp fan-out ≤ MAX_DF², and the pair agg is one
+    partial+final shuffle.
+    """
+    fps = dedup_winnow(spark, sf_dir).cache()
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= WINNOW_MATCH_MAX_DF)
+        .select("fp")
+    )
+    rare = fps.join(df_ok, "fp")
+    shared = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "containment_e6",
+            F.expr("div(shared_fps * 1000000, least(na, nb))"),
+        )
+        .where(F.col("containment_e6") >= WINNOW_MATCH_MIN_E6)
+        .select("doc_a", "doc_b", "shared_fps", "na", "nb", "containment_e6")
+    )
+
+
+def _winnow_matches_oracle_sql() -> str:
+    return f"""
+WITH wfp AS (
+    SELECT * FROM ({_winnow_oracle_sql()})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nf FROM wfp GROUP BY doc_id),
+rare AS (
+    SELECT * FROM wfp
+    WHERE fp IN (
+        SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) <= {WINNOW_MATCH_MAX_DF}
+    )
+),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared_fps, sa.nf AS na, sb.nf AS nb,
+       (shared_fps * 1000000) // least(sa.nf, sb.nf) AS containment_e6
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (shared_fps * 1000000) // least(sa.nf, sb.nf) >= {WINNOW_MATCH_MIN_E6}
+"""
+
+
 # ------------------------------------------------------ embedding pairs
 def dedup_embedding(
     spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
@@ -646,6 +727,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_winnow": dedup_winnow,
+    "winnow_matches": winnow_matches,
     "dedup_embedding": dedup_embedding,
     "dedup_components": dedup_components,
 }
@@ -666,6 +748,7 @@ ORACLE_SQL = {
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_ngram_jaccard": _ngram_oracle_sql(),
     "dedup_winnow": _winnow_oracle_sql(),
+    "winnow_matches": _winnow_matches_oracle_sql(),
     "dedup_embedding": _embedding_oracle_sql(),
     "dedup_components": _components_oracle_sql(),
 }

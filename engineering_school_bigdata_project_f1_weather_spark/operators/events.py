@@ -116,10 +116,59 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_K2 = 9  # flag |z| > 3 (compared as z² > 9, exactly, in integers)
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly detection per event type — a 3σ z-test done
+    ENTIRELY in integer arithmetic so the oracle matches bit-for-bit:
+
+        z² > K²  ⇔  (m·c − S)² > K² · (m·S2 − S²)
+
+    with m = #hours for the type, S = Σ counts, S2 = Σ counts² (population
+    variance; both sides exact integers — no float mean/stddev anywhere).
+    The squared terms are computed in DECIMAL(38,0): at real scale
+    (m·c ~ 1e10) the square overflows BIGINT, and with ANSI off Spark
+    would wrap silently while DuckDB widens to HUGEINT — the one
+    cross-engine drift this operator family is designed to avoid.
+
+    Plan: the hourly rollup (one shuffle) → per-type stats via window
+    (second shuffle on event_type) → narrow flag projection.
+    """
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            (F.col("ts_us") - F.col("ts_us") % HOUR_US).alias("hour_us"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    by_type = Window.partitionBy("event_type")
+    stats = (
+        hourly.withColumn("m", F.count(F.lit(1)).over(by_type))
+        .withColumn("s", F.sum("n_events").over(by_type))
+        .withColumn("s2", F.sum(F.col("n_events") * F.col("n_events")).over(by_type))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # cast BEFORE multiplying — the whole point is that the products must
+    # not pass through BIGINT
+    lhs = dec("m") * dec("n_events") - dec("s")
+    rhs = dec("m") * dec("s2") - dec("s") * dec("s")
+    return stats.select(
+        "event_type",
+        "hour_us",
+        "n_events",
+        "m",
+        "s",
+        (lhs * lhs > F.lit(ANOMALY_K2) * rhs).alias("is_anomaly"),
+    )
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_json": events_json,
+    "events_anomaly": events_anomaly,
 }
 
 ORACLE_SQL = {
@@ -156,6 +205,30 @@ ORACLE_SQL = {
                CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
                    AS value_cents_sum
         FROM sess GROUP BY user_id, session_seq
+    """,
+    "events_anomaly": f"""
+        WITH hourly AS (
+            SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            -- CAST the windowed SUMs: DuckDB HUGEINT -> pandas float64
+            -- otherwise (the window_suite / sessionize trap)
+            SELECT *, COUNT(*) OVER w AS m,
+                   CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+                   CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS s2
+            FROM hourly WINDOW w AS (PARTITION BY event_type)
+        )
+        SELECT event_type, hour_us, n_events, m, s,
+               (CAST(m AS DECIMAL(38,0)) * CAST(n_events AS DECIMAL(38,0))
+                - CAST(s AS DECIMAL(38,0)))
+               * (CAST(m AS DECIMAL(38,0)) * CAST(n_events AS DECIMAL(38,0))
+                - CAST(s AS DECIMAL(38,0)))
+               > {ANOMALY_K2} * (CAST(m AS DECIMAL(38,0)) * CAST(s2 AS DECIMAL(38,0))
+                                 - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+                   AS is_anomaly
+        FROM stats
     """,
     "events_json": """
         SELECT event_type, COUNT(*) AS n_events,

@@ -105,3 +105,22 @@ def test_q9_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # a LIMIT 10 must never materialize a global Sort of the full input
     assert "Sort " not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast — a corpus-side shuffle for the
+    semi-join would be the 100 TB mistake."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.corpus import text_contamination
+
+    plan = _formatted(text_contamination(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+
+
+def test_chunking_adds_no_shuffle(spark, sf_dir):
+    """Chunking is a narrow 1:N explode: no Exchange beyond the input
+    spread repartition (RoundRobin), and in particular no hash shuffle."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.corpus import text_chunk
+
+    plan = _formatted(text_chunk(spark, sf_dir))
+    assert "hashpartitioning" not in plan
+    assert "explode(sequence" in plan
