@@ -89,3 +89,65 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Spark 4 transformWithState twin ---------------------------------------
+# transformWithStateInPandas supersedes applyInPandasWithState: typed,
+# named state variables (ValueState/ListState/MapState) with per-state
+# TTLs and timers instead of one opaque state tuple. Both formulations are
+# kept — same output contract — so either API level can be adopted.
+# RUNTIME NOTE: executing TWS requires protobuf (its state-server wire
+# protocol), absent from this container — the parity test skips there and
+# applyInPandasWithState remains the fully-exercised path.
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """Per-user running totals as a typed stateful processor."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        n, cents, last_us = (
+            self._totals.get() if self._totals.exists() else (0, 0, 0)
+        )
+        for pdf in rows:
+            n += int(len(pdf))
+            cents += int(pdf["value_cents"].sum())
+            last_us = max(last_us, int(pdf["ts_us"].max()))
+        self._totals.update((n, cents, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "value_cents_sum": [cents],
+                "last_seen_us": [last_us],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_totals_stream_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas variant of :func:`user_totals_stream` —
+    identical output contract."""
+    prepped = events.select(
+        "user_id",
+        F.col("ts_us"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias(
+            "value_cents"
+        ),
+    )
+    return prepped.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

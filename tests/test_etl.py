@@ -239,3 +239,34 @@ def test_p3_combine_drop_semantics(spark, raw_dir):
     assert len(rows) == f1_matched
     # weather columns present post-join
     assert rows[0].tavg == 21.5
+
+
+def test_ergast_python_datasource_connector(spark, raw_dir):  # noqa: F811
+    """S1 as a pluggable connector (Spark 4 Python Data Source API): one
+    partition per race, raw string-typed rows matching the fixture JSONs,
+    parallel across executors."""
+    from engineering_school_bigdata_project_f1_weather_spark.sources.ergast_datasource import (
+        ErgastDataSource,
+    )
+
+    spark.dataSource.register(ErgastDataSource)
+    df = spark.read.format("ergast").option("path", raw_dir).load()
+
+    # one partition per results_*.json file
+    assert df.rdd.getNumPartitions() == 6
+
+    rows = df.collect()
+    oracle = _python_oracle(raw_dir)
+    got = {(r.year, r.round, r.driverId) for r in rows}
+    exp = {(o["year"], int(o["round"]), o["driverId"]) for o in oracle}
+    assert got == exp
+
+    by_key = {(r.year, r.round, r.driverId): r for r in rows}
+    for o in oracle:
+        r = by_key[(o["year"], int(o["round"]), o["driverId"])]
+        assert r.position == o["position"]
+        assert r.pitStops == o["pitStops"]
+        assert r.city == o["city"]
+    # string-typed quirks preserved (normalization happens downstream)
+    assert dict(df.dtypes)["position"] == "string"
+    assert dict(df.dtypes)["points"] == "string"

@@ -282,3 +282,72 @@ def test_hourly_stream_drops_late_microbatch(spark, sf_dir, tmp_path):
 
     assert final == _hourly(ontime)
     assert final != _hourly(src), "late rows should be missing from the stream result"
+
+
+def test_transformwithstate_matches_applyinpandaswithstate(spark, sf_dir, tmp_path):
+    """The Spark 4 transformWithStateInPandas twin carries identical state
+    across micro-batches: final totals equal the applyInPandasWithState
+    path and the batch ground truth.
+
+    Requires protobuf (the TWS state-server wire protocol); skipped where
+    the runtime lacks it — the applyInPandasWithState path above is the
+    fully-exercised stateful surface there."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs protobuf (not in container)")
+    src = load_events(spark, sf_dir)
+    half_dir = str(tmp_path / "tws_halves")
+    base = src.drop("ts_us")
+    base.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        half_dir, mode="overwrite"
+    )
+    base.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        half_dir, mode="append"
+    )
+
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import TESTDATA_SCHEMAS
+
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+        .withColumn("ts_us", F.expr("div(ts, 1000)"))
+    )
+    q = (
+        stateful.user_totals_stream_tws(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals_tws_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+
+    out = spark.table("user_totals_tws_mem").collect()
+    final: dict[int, tuple[int, int, int]] = {}
+    for r in out:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.value_cents_sum, r.last_seen_us)
+
+    batch = (
+        src.withColumn(
+            "value_cents", F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents_sum"),
+            F.max("ts_us").alias("last_seen_us"),
+        )
+        .collect()
+    )
+    expected = {
+        r.user_id: (r.n_events, r.value_cents_sum, r.last_seen_us) for r in batch
+    }
+    assert final == expected and len(final) > 0
