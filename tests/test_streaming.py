@@ -351,3 +351,50 @@ def test_transformwithstate_matches_applyinpandaswithstate(spark, sf_dir, tmp_pa
         r.user_id: (r.n_events, r.value_cents_sum, r.last_seen_us) for r in batch
     }
     assert final == expected and len(final) > 0
+
+
+def test_replay_datasource_streams_documents_in_batches(spark, sf_dir, tmp_path):
+    """Python Data Source streaming connector: the documents parquet
+    replayed in bounded micro-batches equals the batch table, with a
+    streaming exact-dedup agg on top matching dedup_exact."""
+    from engineering_school_bigdata_project_f1_weather_spark.sources.replay_datasource import (
+        ReplayDataSource,
+    )
+
+    spark.dataSource.register(ReplayDataSource)
+    path = f"{sf_dir}/documents.parquet"
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", path)
+        .option("rowsPerBatch", "200")
+        .load()
+    )
+    counts = (
+        stream.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("replay_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "replay_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "expected multiple bounded micro-batches"
+
+    got = {
+        (r.content_hash, r.n_docs, r.keeper_id)
+        for r in spark.table("replay_mem").collect()
+    }
+    from engineering_school_bigdata_project_f1_weather_spark.operators.dedup import dedup_exact
+
+    exp = {
+        (r.content_hash, r.n_docs, r.keeper_id)
+        for r in dedup_exact(spark, sf_dir).collect()
+    }
+    assert got == exp and len(got) > 0
