@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof_purchase",
     "window_suite",
+    "tpch_shipping_priority",
     # The two most complex plans (iterative connected components; the
     # composed curation funnel) — benched so regressions like the r1
     # winnow blow-up can't hide (VERDICT r1 item 4).

@@ -73,6 +73,46 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHIPPING_SEGMENT = "BUILDING"
+SHIPPING_DATE = "1998-06-01"
+SHIPPING_TOP_K = 10
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue ranking — segment-filtered
+    customer ⨝ date-filtered orders ⨝ date-filtered lineitem, grouped per
+    order, global top-10.
+
+    Scale notes: both date filters reach the parquet scans (PushedFilters),
+    the filtered customer dim broadcasts, and LIMIT 10 plans as
+    TakeOrderedAndProject — per-partition top-10 then a 10-row merge, no
+    global sort of the aggregate."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == SHIPPING_SEGMENT)
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < SHIPPING_DATE
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > SHIPPING_DATE
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rev_cents", _revenue_cents())
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("rev_cents").alias("rev_cents"))
+        .orderBy(F.desc("rev_cents"), F.asc("l_orderkey"))
+        .limit(SHIPPING_TOP_K)
+    )
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (region → nation → total) — hierarchical subtotals in one
     pass (Spark expands grouping sets; no repeated scans)."""
@@ -324,6 +364,7 @@ def distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "tpch_pricing_summary": pricing_summary,
     "tpch_revenue_by_nation": revenue_by_nation,
+    "tpch_shipping_priority": shipping_priority,
     "tpch_revenue_rollup": revenue_rollup,
     "top_orders_per_customer": top_orders_per_customer,
     "join_anti_customers": customers_without_orders,
@@ -443,6 +484,21 @@ ORACLE_SQL = {
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    "tpch_shipping_priority": f"""
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_orderpriority,
+               CAST(SUM({_REV}) AS BIGINT) AS rev_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = '{SHIPPING_SEGMENT}'
+          AND o_orderdate < DATE '{SHIPPING_DATE}'
+          AND l_shipdate > DATE '{SHIPPING_DATE}'
+        GROUP BY 1, 2, 3
+        ORDER BY rev_cents DESC, l_orderkey ASC
+        LIMIT {SHIPPING_TOP_K}
     """,
     "tpch_cube": f"""
         SELECT l_returnflag, l_linestatus,
