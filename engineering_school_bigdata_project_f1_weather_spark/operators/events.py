@@ -164,11 +164,78 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user reaches
+    step k when their earliest step-k event is AFTER their earliest
+    step-(k-1) event. One conditional min-aggregation per user (single
+    shuffle), then a global roll-up — no per-step scans, no joins.
+
+    Output: one row per funnel step with how many users reached it in
+    order and the conversion ratio from step 1 (e6 integer)."""
+    e = load_events(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts_us"))).alias(f"t{i}")
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    reached = [F.col("t0").isNotNull()]
+    for i in range(1, len(FUNNEL_STEPS)):
+        reached.append(
+            reached[i - 1]
+            & F.col(f"t{i}").isNotNull()
+            & (F.col(f"t{i}") > F.col(f"t{i-1}"))
+        )
+    agg = firsts.agg(
+        *[F.sum(r.cast("long")).alias(f"n{i}") for i, r in enumerate(reached)]
+    )
+    rows = [
+        agg.select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col(f"n{i}").alias("n_users"),
+            F.expr(f"div(n{i} * 1000000, n0)").alias("conversion_e6"),
+        )
+        for i, s in enumerate(FUNNEL_STEPS)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; for each
+    (cohort_day, day_offset) the number of distinct users active that day.
+    Two shuffles: per-user first-day (groupBy user), then the cohort
+    matrix (distinct + groupBy) — the standard retention-table plan."""
+    e = load_events(spark, sf_dir).withColumn(
+        "day_us", F.col("ts_us") - F.col("ts_us") % (24 * HOUR_US)
+    )
+    first_day = e.groupBy("user_id").agg(F.min("day_us").alias("cohort_us"))
+    return (
+        e.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_us",
+            F.expr(f"div(day_us - cohort_us, {24 * HOUR_US})").alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_us", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_json": events_json,
     "events_anomaly": events_anomaly,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
 }
 
 ORACLE_SQL = {
@@ -229,6 +296,44 @@ ORACLE_SQL = {
                                  - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
                    AS is_anomaly
         FROM stats
+    """,
+    "events_funnel": f"""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN epoch_us(ts) END) AS t0,
+                   MIN(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' THEN epoch_us(ts) END) AS t1,
+                   MIN(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' THEN epoch_us(ts) END) AS t2
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT
+                CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                              AND t2 IS NOT NULL AND t2 > t1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n2
+            FROM firsts
+        )
+        SELECT CAST(1 AS INT) AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+               n0 AS n_users, (n0 * 1000000) // n0 AS conversion_e6 FROM agg
+        UNION ALL
+        SELECT CAST(2 AS INT), '{FUNNEL_STEPS[1]}', n1, (n1 * 1000000) // n0 FROM agg
+        UNION ALL
+        SELECT CAST(3 AS INT), '{FUNNEL_STEPS[2]}', n2, (n2 * 1000000) // n0 FROM agg
+    """,
+    "events_retention": f"""
+        WITH e AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(ts) % {24 * HOUR_US} AS day_us
+            FROM events
+        ),
+        fd AS (SELECT user_id, MIN(day_us) AS cohort_us FROM e GROUP BY user_id)
+        SELECT cohort_us, day_offset, COUNT(*) AS n_users FROM (
+            SELECT DISTINCT e.user_id, fd.cohort_us,
+                   (e.day_us - fd.cohort_us) // {24 * HOUR_US} AS day_offset
+            FROM e JOIN fd USING (user_id)
+        ) GROUP BY cohort_us, day_offset
     """,
     "events_json": """
         SELECT event_type, COUNT(*) AS n_events,
