@@ -609,20 +609,42 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).where(
         F.col("jaccard_e6") >= COMPONENT_MIN_JACCARD_E6
     )
-    half = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    labels = propagate_components(spark, pairs, "doc_a", "doc_b")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(labels, F.col("doc_id") == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+
+
+def propagate_components(
+    spark: SparkSession,
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iters: int = COMPONENT_MAX_ITERS,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (node,
+    component) for every node that appears in a pair (isolated nodes are
+    the caller's left-join). The iterative engine behind
+    :func:`dedup_components` and :func:`operators.similarity`'s semantic
+    clusters — see dedup_components' docstring for the measured design
+    rationale (edge-restricted frontier, one pointer jump per round,
+    loop-scoped conf, checkpoint cadence)."""
+    half = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
     edges = (
         half.union(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .localCheckpoint()
     )
-    # Iterate ONLY over docs that appear in the pair graph — isolated docs
-    # (the overwhelming majority of a deduped corpus) need no propagation
-    # and join back in at the end as their own component. Shrinks every
-    # per-round join/agg from |documents| to |edge endpoints|.
     labels = (
-        edges.select(F.col("s").alias("doc_id"))
+        edges.select(F.col("s").alias("node"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
+        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
     saved = {
@@ -640,14 +662,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        for _ in range(COMPONENT_MAX_ITERS):
+        for _ in range(max_iters):
             nbr_min = edges.join(
-                labels, edges.d == labels.doc_id
+                labels, edges.d == labels.node
             ).groupBy("s").agg(F.min("label").alias("nbr_label"))
             stepped = labels.join(
-                nbr_min, labels.doc_id == nbr_min.s, "left"
+                nbr_min, labels.node == nbr_min.s, "left"
             ).select(
-                labels.doc_id,
+                labels.node,
                 F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
@@ -655,12 +677,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # pointer jump: follow the label one level (label[label])
             jmp = stepped.select(
-                F.col("doc_id").alias("jd"), F.col("label").alias("jl")
+                F.col("node").alias("jd"), F.col("label").alias("jl")
             )
             new_labels = (
                 stepped.join(jmp, stepped.label == jmp.jd, "left")
                 .select(
-                    stepped.doc_id,
+                    stepped.node,
                     "old_label",
                     F.least(
                         F.col("label"), F.coalesce("jl", F.col("label"))
@@ -673,7 +695,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             changed = new_labels.where(
                 F.col("label") != F.col("old_label")
             ).count()
-            labels = new_labels.select("doc_id", "label")
+            labels = new_labels.select("node", "label")
             if changed == 0:
                 break
     finally:
@@ -685,19 +707,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (and mismatch the recursive-CTE oracle, which always reaches
         # fixpoint). Fail loudly instead.
         raise RuntimeError(
-            f"dedup_components did not converge in {COMPONENT_MAX_ITERS} "
+            f"propagate_components did not converge in {max_iters} "
             f"rounds ({changed} labels still changing); raise "
-            "COMPONENT_MAX_ITERS for graphs with larger diameter"
+            "max_iters for graphs with larger diameter"
         )
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("label", F.col("doc_id")).alias("component"),
-        )
-    )
+    return labels.select("node", F.col("label").alias("component"))
 
 
 def _components_oracle_sql() -> str:

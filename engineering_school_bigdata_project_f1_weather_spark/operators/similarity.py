@@ -349,14 +349,65 @@ SELECT query_id, neighbor_id, sim_e6, CAST(rank AS INT) AS rank FROM (
 """
 
 
+CLUSTER_MIN_SIM_E6 = 300_000  # cluster edge = cosine >= 0.3
+
+
+def sim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTER assignment: connected components over the
+    hyperplane-LSH pair graph (edges = bucket-verified cosine ≥ 0.3), so
+    every embedding gets one canonical cluster id — the embedding-side
+    twin of dedup_components (same iterative engine,
+    ``dedup.propagate_components``), completing pair-detection → cluster →
+    keeper for the semantic path.
+
+    Output: (vec_id, cluster) for every embedding; cluster = min vec_id
+    reachable; isolated vectors map to themselves."""
+    from .dedup import propagate_components
+
+    pairs = sim_lsh(spark, sf_dir).where(
+        F.col("sim_e6") >= CLUSTER_MIN_SIM_E6
+    )
+    labels = propagate_components(spark, pairs, "vec_a", "vec_b")
+    e = load_table_spread(spark, sf_dir, "embeddings").select("vec_id")
+    return e.join(labels, e.vec_id == labels.node, "left").select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id")).alias("cluster"),
+    )
+
+
+def _clusters_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE simpairs AS (
+    -- CTE names here must not collide with the embedded LSH oracle's own
+    -- CTEs (e/en/bk): DuckDB binds the inner references to the outermost
+    -- name on collision.
+    SELECT * FROM ({_lsh_oracle_sql()})
+    WHERE sim_e6 >= {CLUSTER_MIN_SIM_E6}
+),
+edg AS (
+    SELECT vec_a AS s, vec_b AS d FROM simpairs
+    UNION
+    SELECT vec_b, vec_a FROM simpairs
+),
+reach(vec_id, label) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT edg.s, r.label FROM reach r JOIN edg ON r.vec_id = edg.d
+)
+SELECT vec_id, MIN(label) AS cluster FROM reach GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_lsh": sim_lsh,
     "sim_ivf": sim_ivf,
+    "sim_clusters": sim_clusters,
 }
 
 ORACLE_SQL = {
     "sim_topk": _topk_oracle_sql(),
     "sim_lsh": _lsh_oracle_sql(),
     "sim_ivf": _ivf_oracle_sql(),
+    "sim_clusters": _clusters_oracle_sql(),
 }
