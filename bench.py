@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     # winnow blow-up can't hide (VERDICT r1 item 4).
     "dedup_components",
     "corpus_curate",
+    # round-2 composed plans over the pair graphs
+    "winnow_matches",
+    "sim_clusters",
 ]
 
 
