@@ -6,7 +6,12 @@ compares row count, column names, and an order-insensitive canonical value
 hash — a local replica of the driver's CORRECTNESS gate so mismatches are
 caught before a round ends.
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [--ansi] [sf_dir] [query ...]
+
+``--ansi`` runs on a VANILLA SparkSession (ANSI on, default confs) instead
+of the package factory — the driver builds its own session, so this mode
+is the faithful replica: it catches implicit-cast reliance and any result
+that depends on our session config.
 """
 
 from __future__ import annotations
@@ -53,14 +58,29 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    ansi = "--ansi" in args
+    if ansi:
+        args.remove("--ansi")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from engineering_school_bigdata_project_f1_weather_spark import get_spark
 
-    spark = get_spark("selfcheck")
+    if ansi:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("selfcheck-ansi")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
