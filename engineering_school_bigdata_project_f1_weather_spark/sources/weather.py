@@ -58,6 +58,30 @@ def read_weather(
     return out.select(*[f.name for f in WEATHER_DAILY.fields])
 
 
+def stream_weather(
+    spark: SparkSession, raw_dir: str, stations: DataFrame
+) -> DataFrame:
+    """S3 as continuous ingest: the same schema'd CSV scan + broadcast dim
+    join as :func:`read_weather`, but as a file-source STREAM — new
+    per-city drops land incrementally (one micro-batch per file with
+    maxFilesPerTrigger=1, mirroring the reference's per-city loop as
+    arrival order instead of driver iteration). Identical projection, so
+    batch/stream parity is testable row-for-row."""
+    df = (
+        spark.readStream.schema(WEATHER_CSV_SCHEMA)
+        .option("header", True)
+        .option("pathGlobFilter", "METEO2_data_*.csv")
+        .option("maxFilesPerTrigger", "1")
+        .csv(raw_dir)
+        .withColumn(
+            "city",
+            F.regexp_extract(F.input_file_name(), r"METEO2_data_(.+)\.csv", 1),
+        )
+    )
+    out = df.join(F.broadcast(stations), "city", "left")
+    return out.select(*[f.name for f in WEATHER_DAILY.fields])
+
+
 def union_cities(frames: list[DataFrame]) -> DataFrame:
     """U1 parity: fold per-city frames with unionByName (the reference used
     positional union — by-name is drift-proof; Catalyst flattens either)."""

@@ -14,6 +14,8 @@ from engineering_school_bigdata_project_f1_weather_spark.streaming import (
     stateful,
 )
 
+from tests.test_etl import raw_dir  # noqa: F401
+
 
 def test_hourly_stream_matches_batch(spark, sf_dir):
     stream = events_stream.stream_events(spark, sf_dir)
@@ -398,3 +400,32 @@ def test_replay_datasource_streams_documents_in_batches(spark, sf_dir, tmp_path)
         for r in dedup_exact(spark, sf_dir).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_weather_csv_stream_matches_batch(spark, raw_dir, tmp_path):  # noqa: F811
+    """S3 streaming twin: the per-city weather CSVs ingested as a file
+    stream (one micro-batch per file) equal the batch glob scan."""
+    from engineering_school_bigdata_project_f1_weather_spark.sources import weather as weather_src
+    from tests.test_etl import CITIES, WEATHER_ONLY_CITY
+
+    stations = spark.createDataFrame(
+        [(c, CITIES[c][0]) for c in CITIES if CITIES[c][1]] + [WEATHER_ONLY_CITY],
+        ["city", "country"],
+    )
+    q = (
+        weather_src.stream_weather(spark, raw_dir, stations)
+        .writeStream.format("memory")
+        .queryName("weather_stream_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+
+    streamed = {tuple(r) for r in spark.table("weather_stream_mem").collect()}
+    batch = {
+        tuple(r) for r in weather_src.read_weather(spark, raw_dir, stations).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
