@@ -91,3 +91,24 @@ def test_quadratic_baselines_guarded(spark, sf_dir, monkeypatch):
         dedup.dedup_embedding(spark, sf_dir)
     # forcing still works
     assert dedup.dedup_ngram_jaccard(spark, sf_dir, allow_quadratic=True).count() > 0
+
+
+def test_propagate_components_raises_on_nonconvergence(spark):
+    """A chain graph with diameter > max_iters must fail loudly, not
+    return partially propagated labels (ADVICE r1)."""
+    import pytest as _pytest
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators.dedup import (
+        propagate_components,
+    )
+
+    # path graph 0-1-2-...-30: diameter 30, far beyond max_iters=2
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["a", "b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        propagate_components(spark, pairs, "a", "b", max_iters=2)
+    # and with enough rounds it converges to one component
+    out = propagate_components(spark, pairs, "a", "b", max_iters=20)
+    comps = {r.component for r in out.collect()}
+    assert comps == {0}
