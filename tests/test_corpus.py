@@ -112,3 +112,41 @@ def test_propagate_components_raises_on_nonconvergence(spark):
     out = propagate_components(spark, pairs, "a", "b", max_iters=20)
     comps = {r.component for r in out.collect()}
     assert comps == {0}
+
+
+def test_curate_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """documents -> gated -> split -> chunked shards + manifest. Pins the
+    funnel's internal consistency and the (split, lang) lake layout."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark import curate_pipeline
+
+    out = str(tmp_path / "curated")
+    res = curate_pipeline.run(spark, sf_dir, out)
+
+    assert res.n_docs == corpus._docs_tokens(spark, sf_dir).count()
+    assert 0 < res.n_kept < res.n_docs
+    assert res.n_chunks >= res.n_kept  # every kept doc has >= 1 chunk
+
+    # manifest sums equal the written data
+    assert sum(m["n_chunks"] for m in res.manifest) == res.n_chunks
+    kept_docs_from_manifest = sum(m["n_docs"] for m in res.manifest)
+    assert kept_docs_from_manifest == res.n_kept
+    assert {m["split"] for m in res.manifest} <= {"train", "val", "test"}
+
+    # lake layout: split=... / lang=... partition dirs (pruning-friendly)
+    splits = [d for d in os.listdir(res.chunks_path) if d.startswith("split=")]
+    assert splits
+    langs = os.listdir(os.path.join(res.chunks_path, splits[0]))
+    assert any(d.startswith("lang=") for d in langs)
+
+    # chunked corpus matches the gate: chunk doc_ids == kept doc_ids
+    written = spark.read.parquet(res.chunks_path)
+    kept = curate_pipeline.kept_docs(spark, sf_dir).where("kept")
+    assert {r.doc_id for r in written.select("doc_id").distinct().collect()} == {
+        r.doc_id for r in kept.select("doc_id").collect()
+    }
+
+    # idempotent re-run (dynamic partition overwrite, not append)
+    res2 = curate_pipeline.run(spark, sf_dir, out)
+    assert res2.n_chunks == res.n_chunks
