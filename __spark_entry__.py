@@ -31,6 +31,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     events,
     marts,
     multimodal,
+    reshape,
     similarity,
     temporal,
     text,
@@ -38,7 +39,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 
 _MODULES = [
     marts, analytics, dedup, similarity, text, events, temporal, multimodal,
-    curate, corpus,
+    curate, corpus, reshape,
 ]
 
 
