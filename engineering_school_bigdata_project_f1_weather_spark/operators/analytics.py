@@ -113,6 +113,73 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIG_ORDER_MIN_QTY = 250
+
+
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — aggregate-then-filter (HAVING): orders whose
+    total line quantity exceeds a threshold. The filter applies AFTER the
+    grouped sum, so Catalyst plans it as partial+final agg → Filter (no
+    pre-agg pushdown possible, by construction)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > BIG_ORDER_MIN_QTY)
+        .orderBy("l_orderkey")
+    )
+
+
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated subquery surface (spark.sql text): orders
+    priced above BOTH the global average and their own customer's average
+    — the two subquery flavors Catalyst de-correlates into joins (the
+    correlated one becomes an aggregate + equi-join, not a per-row loop).
+    Quantized to cents for exact cross-engine comparison."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        FROM orders_v o
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
+          AND o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders_v i
+                              WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+ROLLING_DAYS = 7
+
+
+def orders_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval RANGE frame: each order's trailing-7-day spend for its
+    customer — ``rangeBetween`` over epoch-day ordering, so the frame is
+    VALUE-based (calendar days), not row-count-based: gaps and same-day
+    multiples are handled correctly, unlike rowsBetween."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("day").cast("long").alias("day"),
+        "price_cents",
+        F.sum("price_cents").over(w).alias("cents_7d"),
+    )
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (region → nation → total) — hierarchical subtotals in one
     pass (Spark expands grouping sets; no repeated scans)."""
@@ -365,6 +432,9 @@ QUERIES = {
     "tpch_pricing_summary": pricing_summary,
     "tpch_revenue_by_nation": revenue_by_nation,
     "tpch_shipping_priority": shipping_priority,
+    "tpch_big_orders": big_orders,
+    "orders_above_avg": orders_above_avg,
+    "orders_rolling_7d": orders_rolling_7d,
     "tpch_revenue_rollup": revenue_rollup,
     "top_orders_per_customer": top_orders_per_customer,
     "join_anti_customers": customers_without_orders,
@@ -484,6 +554,33 @@ ORACLE_SQL = {
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    "tpch_big_orders": f"""
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > {BIG_ORDER_MIN_QTY}
+        ORDER BY l_orderkey
+    """,
+    "orders_above_avg": """
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        FROM orders o
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+          AND o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i
+                              WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+    """,
+    "orders_rolling_7d": f"""
+        SELECT o_custkey, o_orderkey,
+               CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+                   RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cents_7d
+        FROM orders
     """,
     "tpch_shipping_priority": f"""
         SELECT l_orderkey,
