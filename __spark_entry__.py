@@ -31,6 +31,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     events,
     marts,
     multimodal,
+    quality,
     reshape,
     similarity,
     temporal,
@@ -39,7 +40,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 
 _MODULES = [
     marts, analytics, dedup, similarity, text, events, temporal, multimodal,
-    curate, corpus, reshape,
+    curate, corpus, reshape, quality,
 ]
 
 

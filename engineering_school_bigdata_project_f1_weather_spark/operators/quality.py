@@ -1,0 +1,177 @@
+"""Data-quality expectations over the lake — the dbt-test /
+great-expectations shape as ONE declarative plan: each check is a
+conditional aggregate over a single scan of the table (no per-check
+scans), emitting (check, n_rows, n_violations, passed).
+
+Checks on ``lineitem`` (the contract a downstream consumer relies on):
+- key columns non-null,
+- ``l_quantity`` within its domain [1, 50],
+- discount within [0, 0.1] (domain rule),
+- ship date within the lake's documented range,
+- uniqueness of the row key (the ONE check that needs its own aggregate —
+  a distinct-count can't ride along as a conditional sum).
+
+Also the VariantType twin of events_json: ``parse_json`` +
+``try_variant_get`` (Spark 4's semi-structured type) must agree with the
+string-path ``get_json_object`` extraction — pinned by a shared oracle.
+
+Scale: the expectations query is one partial+final aggregate over one
+scan; the uniqueness check is one groupBy on the key. ``observe_counts``
+attaches the same conditional counters to ANY DataFrame via
+``df.observe`` — zero extra scans, metrics ride the action that runs the
+plan anyway (the production data-quality monitor shape).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
+
+from ..sources.tables import load_table
+
+QTY_MIN, QTY_MAX = 1, 50
+DISC_MIN, DISC_MAX = 0.0, 0.10
+SHIP_MIN, SHIP_MAX = "1995-01-01", "2002-01-01"
+
+# (l_orderkey, l_linenumber) alone is NOT unique in this synthetic lake —
+# the documented row key (see plans/f1_model.py RK).
+ROW_KEY = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_linestatus"]
+
+
+def _violation_counters() -> dict[str, F.Column]:
+    v = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    return {
+        "orderkey_not_null": v(F.col("l_orderkey").isNull()),
+        "partkey_not_null": v(F.col("l_partkey").isNull()),
+        "qty_in_domain": v(
+            (F.col("l_quantity") < QTY_MIN) | (F.col("l_quantity") > QTY_MAX)
+        ),
+        "discount_in_domain": v(
+            (F.col("l_discount") < DISC_MIN) | (F.col("l_discount") > DISC_MAX)
+        ),
+        "shipdate_in_range": v(
+            (F.col("l_shipdate") < SHIP_MIN) | (F.col("l_shipdate") >= SHIP_MAX)
+        ),
+    }
+
+
+def dq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All expectations in one scan + the key-uniqueness aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    counters = _violation_counters()
+    agg = l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[c.alias(k) for k, c in counters.items()],
+    )
+    rows = [
+        agg.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_rows"),
+            F.col(name).alias("n_violations"),
+            (F.col(name) == 0).alias("passed"),
+        )
+        for name in counters
+    ]
+    dup_rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(*ROW_KEY)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.lit("row_key_unique").alias("check_name"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.unionByName(dup_rows).orderBy("check_name")
+
+
+def _dq_oracle_sql() -> str:
+    checks = {
+        "orderkey_not_null": "l_orderkey IS NULL",
+        "partkey_not_null": "l_partkey IS NULL",
+        "qty_in_domain": f"l_quantity < {QTY_MIN} OR l_quantity > {QTY_MAX}",
+        "discount_in_domain": f"l_discount < {DISC_MIN} OR l_discount > {DISC_MAX}",
+        "shipdate_in_range": (
+            f"l_shipdate < DATE '{SHIP_MIN}' OR l_shipdate >= DATE '{SHIP_MAX}'"
+        ),
+    }
+    arms = " UNION ALL ".join(
+        f"SELECT '{name}' AS check_name, COUNT(*) AS n_rows, "
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, "
+        f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) = 0 AS passed FROM lineitem"
+        for name, cond in checks.items()
+    )
+    key = ", ".join(ROW_KEY)
+    return f"""
+    SELECT * FROM (
+        {arms}
+        UNION ALL
+        SELECT 'row_key_unique', CAST(SUM(c) AS BIGINT),
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) = 0
+        FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY {key})
+    ) ORDER BY check_name
+    """
+
+
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_json's aggregation via Spark 4's VariantType path
+    (``parse_json`` → ``try_variant_get``) instead of string-path
+    ``get_json_object`` — same oracle, proving the two extraction APIs
+    agree. At scale variant wins: the JSON parses ONCE into a binary
+    columnar encoding instead of re-parsing per extracted path."""
+    from .events import load_events
+
+    e = load_events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+def observe_counts(df: DataFrame, name: str = "dq") -> tuple[DataFrame, Observation]:
+    """Attach violation counters to any lineitem-shaped frame via
+    ``df.observe`` — metrics materialize with whatever action runs the
+    plan (no extra scan). Returns (df, observation); read
+    ``observation.get`` after an action."""
+    obs = Observation(name)
+    counters = _violation_counters()
+    return (
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            *[c.alias(k) for k, c in counters.items()],
+        ),
+        obs,
+    )
+
+
+QUERIES = {
+    "dq_lineitem": dq_lineitem,
+    "events_json_variant": events_json_variant,
+}
+
+ORACLE_SQL = {
+    "dq_lineitem": _dq_oracle_sql(),
+    # identical oracle to events_json — the APIs must agree.
+    "events_json_variant": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        FROM events GROUP BY event_type
+    """,
+}

@@ -1,0 +1,42 @@
+"""Data-quality expectations + observe() metrics plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from engineering_school_bigdata_project_f1_weather_spark.operators import quality
+from engineering_school_bigdata_project_f1_weather_spark.sources.tables import load_table
+
+
+def test_dq_lineitem_all_checks_pass_on_clean_lake(spark, sf_dir):
+    out = {r.check_name: r for r in quality.dq_lineitem(spark, sf_dir).collect()}
+    assert set(out) == {
+        "orderkey_not_null", "partkey_not_null", "qty_in_domain",
+        "discount_in_domain", "shipdate_in_range", "row_key_unique",
+    }
+    assert all(r.passed for r in out.values()), {
+        k: v.n_violations for k, v in out.items() if not v.passed
+    }
+
+
+def test_dq_detects_injected_violations(spark, sf_dir):
+    """Corrupt a copy of lineitem; the same counters must light up."""
+    l = load_table(spark, sf_dir, "lineitem").limit(100)
+    bad = l.withColumn(
+        "l_quantity",
+        F.when(F.col("l_linenumber") == 1, F.lit(999.0)).otherwise(F.col("l_quantity")),
+    )
+    observed, obs = quality.observe_counts(bad)
+    n = observed.count()  # the action that materializes the metrics
+    m = obs.get
+    assert m["n_rows"] == n == 100
+    assert m["qty_in_domain"] > 0  # injected violations visible
+    assert m["orderkey_not_null"] == 0
+
+
+def test_observe_adds_no_extra_scan(spark, sf_dir):
+    """observe() must not change the plan's scan count."""
+    l = load_table(spark, sf_dir, "lineitem")
+    observed, _obs = quality.observe_counts(l)
+    plan = observed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
