@@ -49,6 +49,15 @@ BENCH_QUERIES = [
     # round-2 composed plans over the pair graphs
     "winnow_matches",
     "sim_clusters",
+    # one representative per remaining family
+    "text_chunk",
+    "text_contamination",
+    "text_langid_ngram",
+    "dq_lineitem",
+    "events_retention",
+    "orders_rolling_7d",
+    "events_pivot",
+    "multimodal_energy",
 ]
 
 
