@@ -189,15 +189,22 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col(f"t{i}").isNotNull()
             & (F.col(f"t{i}") > F.col(f"t{i-1}"))
         )
+    # coalesce: a global agg over zero users yields one NULL row — report
+    # zeros with a NULL (guarded) conversion instead.
     agg = firsts.agg(
-        *[F.sum(r.cast("long")).alias(f"n{i}") for i, r in enumerate(reached)]
+        *[
+            F.coalesce(F.sum(r.cast("long")), F.lit(0)).alias(f"n{i}")
+            for i, r in enumerate(reached)
+        ]
     )
     rows = [
         agg.select(
             F.lit(i + 1).cast("int").alias("step"),
             F.lit(s).alias("event_type"),
             F.col(f"n{i}").alias("n_users"),
-            F.expr(f"div(n{i} * 1000000, n0)").alias("conversion_e6"),
+            F.when(
+                F.col("n0") > 0, F.expr(f"div(n{i} * 1000000, n0)")
+            ).alias("conversion_e6"),
         )
         for i, s in enumerate(FUNNEL_STEPS)
     ]
@@ -307,20 +314,22 @@ ORACLE_SQL = {
         ),
         agg AS (
             SELECT
-                CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-                CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-                CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                CAST(COALESCE(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n0,
+                CAST(COALESCE(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+                CAST(COALESCE(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
                               AND t2 IS NOT NULL AND t2 > t1
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2
             FROM firsts
         )
-        SELECT CAST(1 AS INT) AS step, '{FUNNEL_STEPS[0]}' AS event_type,
-               n0 AS n_users, (n0 * 1000000) // n0 AS conversion_e6 FROM agg
+        SELECT CAST(1 AS INT) AS step, '{FUNNEL_STEPS[0]}' AS event_type, n0 AS n_users,
+               CASE WHEN n0 > 0 THEN (n0 * 1000000) // n0 END AS conversion_e6 FROM agg
         UNION ALL
-        SELECT CAST(2 AS INT), '{FUNNEL_STEPS[1]}', n1, (n1 * 1000000) // n0 FROM agg
+        SELECT CAST(2 AS INT), '{FUNNEL_STEPS[1]}', n1,
+               CASE WHEN n0 > 0 THEN (n1 * 1000000) // n0 END FROM agg
         UNION ALL
-        SELECT CAST(3 AS INT), '{FUNNEL_STEPS[2]}', n2, (n2 * 1000000) // n0 FROM agg
+        SELECT CAST(3 AS INT), '{FUNNEL_STEPS[2]}', n2,
+               CASE WHEN n0 > 0 THEN (n2 * 1000000) // n0 END FROM agg
     """,
     "events_retention": f"""
         WITH e AS (

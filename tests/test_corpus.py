@@ -150,3 +150,42 @@ def test_curate_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # idempotent re-run (dynamic partition overwrite, not append)
     res2 = curate_pipeline.run(spark, sf_dir, out)
     assert res2.n_chunks == res.n_chunks
+
+
+def test_operators_handle_empty_corpus(spark, tmp_path):
+    """An empty documents/embeddings/events lake yields empty results —
+    no crashes in shingling, LSH, CC, chunking, or windowed plans."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        dedup,
+        events,
+        similarity,
+        text,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import TESTDATA_SCHEMAS
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import load_table
+
+    sf = str(tmp_path / "empty_lake")
+    for t in ["documents", "embeddings", "events", "lineitem", "orders", "customer"]:
+        src = load_table(spark, "/root/testdata/sf0.001", t)
+        src.limit(0).write.parquet(f"{sf}/{t}.parquet")
+
+    checks = [
+        corpus.text_chunk, corpus.text_contamination, corpus.sample_split,
+        corpus.text_repetition, text.text_quality, text.text_langid_ngram,
+        dedup.dedup_exact, dedup.dedup_minhash_lsh, dedup.dedup_winnow,
+        dedup.winnow_matches, dedup.dedup_components,
+        similarity.sim_lsh, similarity.sim_clusters,
+        events.events_sessionize, events.events_anomaly,
+        events.events_retention,
+    ]
+    for fn in checks:
+        assert fn(spark, sf).count() == 0, fn.__name__
+
+    # the funnel report keeps its 3 step rows, zeroed, with NULL (guarded)
+    # conversion — a report shape, not a per-row projection
+    funnel = events.events_funnel(spark, sf).collect()
+    assert [(r.step, r.n_users, r.conversion_e6) for r in funnel] == [
+        (1, 0, None), (2, 0, None), (3, 0, None)
+    ]
