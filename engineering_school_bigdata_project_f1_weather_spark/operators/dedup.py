@@ -662,7 +662,7 @@ def propagate_components(
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        for _ in range(max_iters):
+        for it in range(max_iters):
             nbr_min = edges.join(
                 labels, edges.d == labels.node
             ).groupBy("s").agg(F.min("label").alias("nbr_label"))
@@ -691,10 +691,16 @@ def propagate_components(
                 .localCheckpoint()
             )
             # in-frame convergence check — no extra join against the old
-            # labels, one scan of the just-checkpointed frame
-            changed = new_labels.where(
-                F.col("label") != F.col("old_label")
-            ).count()
+            # labels, one scan of the just-checkpointed frame. Checked on
+            # every SECOND round (and the last): labels only decrease, so
+            # a fixpoint reached on an unchecked round is simply detected
+            # one (cheap) round later — half the check jobs.
+            if it % 2 == 1 or it == max_iters - 1:
+                changed = new_labels.where(
+                    F.col("label") != F.col("old_label")
+                ).count()
+            else:
+                changed = -1  # unknown this round
             labels = new_labels.select("node", "label")
             if changed == 0:
                 break
