@@ -429,3 +429,46 @@ def test_weather_csv_stream_matches_batch(spark, raw_dir, tmp_path):  # noqa: F8
         tuple(r) for r in weather_src.read_weather(spark, raw_dir, stations).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once across RESTARTS: drain half the source with a
+    checkpointed file sink, stop, add the second half, restart from the
+    same checkpoint — the sink must hold every event exactly once (no
+    reprocessing of batch 1, no gaps)."""
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import TESTDATA_SCHEMAS
+
+    src = load_events(spark, sf_dir).drop("ts_us")
+    src_dir = str(tmp_path / "src")
+    sink_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    src.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src_dir, mode="overwrite"
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+            .parquet(src_dir)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_half = spark.read.parquet(sink_dir).count()
+    assert n_half == src.where(F.col("event_id") % 2 == 0).count()
+
+    # second half arrives; restart from the same checkpoint
+    src.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src_dir, mode="append"
+    )
+    run_once()
+
+    out = spark.read.parquet(sink_dir)
+    assert out.count() == src.count()  # no duplicates from re-running batch 1
+    assert out.select("event_id").distinct().count() == src.count()
