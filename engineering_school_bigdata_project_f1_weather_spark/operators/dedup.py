@@ -532,6 +532,106 @@ WHERE (shared_fps * 1000000) // least(sa.nf, sb.nf) >= {WINNOW_MATCH_MIN_E6}
 """
 
 
+PAGERANK_ITERS = 5
+PAGERANK_SCALE = 1_000_000_000  # pr as e9-scaled BIGINT
+PAGERANK_D_NUM, PAGERANK_D_DEN = 85, 100  # damping 0.85 as a ratio
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup pair graph — centrality of each document
+    inside its duplicate neighborhood (the 'canonical-doc' signal a dedup
+    keeper policy can use instead of min-id).
+
+    Fixed PAGERANK_ITERS power iterations in EXACT integer arithmetic
+    (e9-scaled BIGINT, contributions ``(85 * pr) // (100 * deg)``): both
+    engines do the identical integer ops, so the oracle — the same five
+    iterations UNROLLED as generated CTEs (recursive CTEs cannot aggregate
+    in the recursive term) — matches bit-for-bit. Same scale shape as
+    :func:`propagate_components`: per-round one edges⋈ranks join + one
+    partial-agg sum, localCheckpoint cadence, driver only steers.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("jaccard_e6") >= COMPONENT_MIN_JACCARD_E6
+    )
+    half = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    edges = (
+        half.union(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("s").alias("node"), "deg").localCheckpoint()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            F.col("node").alias("doc_id"), F.lit(0).cast("long").alias("pr_e9")
+        )
+    base = (PAGERANK_SCALE * (PAGERANK_D_DEN - PAGERANK_D_NUM)) // (
+        PAGERANK_D_DEN * n_nodes
+    )
+    ranks = nodes.select("node", "deg", F.lit(PAGERANK_SCALE).cast("long").alias("pr"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.s == ranks.node)
+            .select(
+                F.col("d"),
+                F.expr(
+                    f"div({PAGERANK_D_NUM} * pr, {PAGERANK_D_DEN} * deg)"
+                ).alias("c"),
+            )
+            .groupBy("d")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.d, "left")
+            .select(
+                "node",
+                "deg",
+                (F.lit(base) + F.coalesce("incoming", F.lit(0))).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.col("pr").alias("pr_e9")
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    base_expr = (
+        f"(CAST({PAGERANK_SCALE} AS BIGINT) * {PAGERANK_D_DEN - PAGERANK_D_NUM})"
+        f" // ({PAGERANK_D_DEN} * (SELECT COUNT(*) FROM nodes))"
+    )
+    its = []
+    prev = "pr0"
+    for k in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""
+pr{k} AS (
+    SELECT n.node, n.deg,
+           CAST({base_expr} + COALESCE(SUM(({PAGERANK_D_NUM} * p.pr)
+                // ({PAGERANK_D_DEN} * p.deg)), 0) AS BIGINT) AS pr
+    FROM nodes n
+    LEFT JOIN edg e ON e.d = n.node
+    LEFT JOIN {prev} p ON p.node = e.s
+    GROUP BY n.node, n.deg
+)""")
+        prev = f"pr{k}"
+    return f"""
+WITH prpairs AS (
+    SELECT * FROM ({_minhash_oracle_sql()})
+    WHERE jaccard_e6 >= {COMPONENT_MIN_JACCARD_E6}
+),
+edg AS (
+    SELECT doc_a AS s, doc_b AS d FROM prpairs
+    UNION
+    SELECT doc_b, doc_a FROM prpairs
+),
+nodes AS (SELECT s AS node, COUNT(*) AS deg FROM edg GROUP BY s),
+pr0 AS (SELECT node, deg, CAST({PAGERANK_SCALE} AS BIGINT) AS pr FROM nodes),
+{",".join(its)}
+SELECT node AS doc_id, pr AS pr_e9 FROM pr{PAGERANK_ITERS}
+"""
+
+
 # ------------------------------------------------------ embedding pairs
 def dedup_embedding(
     spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
@@ -748,6 +848,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_winnow": dedup_winnow,
     "winnow_matches": winnow_matches,
+    "doc_pagerank": doc_pagerank,
     "dedup_embedding": dedup_embedding,
     "dedup_components": dedup_components,
 }
@@ -769,6 +870,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": _ngram_oracle_sql(),
     "dedup_winnow": _winnow_oracle_sql(),
     "winnow_matches": _winnow_matches_oracle_sql(),
+    "doc_pagerank": _pagerank_oracle_sql(),
     "dedup_embedding": _embedding_oracle_sql(),
     "dedup_components": _components_oracle_sql(),
 }
