@@ -175,7 +175,7 @@ def test_operators_handle_empty_corpus(spark, tmp_path):
         corpus.text_chunk, corpus.text_contamination, corpus.sample_split,
         corpus.text_repetition, text.text_quality, text.text_langid_ngram,
         dedup.dedup_exact, dedup.dedup_minhash_lsh, dedup.dedup_winnow,
-        dedup.winnow_matches, dedup.dedup_components,
+        dedup.winnow_matches, dedup.dedup_components, dedup.doc_pagerank,
         similarity.sim_lsh, similarity.sim_clusters,
         events.events_sessionize, events.events_anomaly,
         events.events_retention,
