@@ -532,6 +532,106 @@ WHERE (shared_fps * 1000000) // least(sa.nf, sb.nf) >= {WINNOW_MATCH_MIN_E6}
 """
 
 
+# --------------------------------------------- incremental minhash index
+def minhash_signatures(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, n, xs, mh0..mhH-1) signature rows for ``docs`` (doc_id,
+    text) — the persisted state of the incremental dedup index."""
+    sh = (
+        docs.select("doc_id", texts.tokens(F.col("text")).alias("_t"))
+        .select(
+            "doc_id",
+            F.explode(texts.shingles_of_tokens(F.col("_t"))).alias("g"),
+        )
+        .select("doc_id", texts.hash32(F.col("g")).alias("x"))
+    )
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("x").alias("xs"),
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"mh{h}"
+            )
+            for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ],
+    )
+
+
+def minhash_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None:
+    """Materialize the signature index for an initial corpus."""
+    minhash_signatures(spark, docs).write.mode("overwrite").parquet(index_path)
+
+
+def minhash_index_update(
+    spark: SparkSession, new_docs: DataFrame, index_path: str
+) -> DataFrame:
+    """Incremental dedup step: sign only NEW docs, find near-dup pairs
+    involving them (new×index ∪ new×new — never index×index, which was
+    already reported), append their signatures to the index.
+
+    THE scale property of continuous dedup: per-batch work is
+    O(|new| + candidate pairs), independent of corpus size — the corpus
+    is touched only through the banded signature join, never re-shingled.
+    Returns the same (doc_a, doc_b, inter, un, jaccard_e6) shape as
+    :func:`dedup_minhash_lsh`, restricted to pairs with a new member.
+    """
+    new_sig = minhash_signatures(spark, new_docs).localCheckpoint()
+    old_sig = spark.read.parquet(index_path)
+    n_h = len(MINHASH_A)
+    stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        return sig.select("doc_id", F.expr(f"stack({n_h}, {stack_args}) AS (h, v)"))
+
+    # candidates: (new × all) on any shared band, dedup'd by unordered pair
+    all_sig = old_sig.unionByName(new_sig)
+    cand = (
+        _bands(new_sig)
+        .alias("a")
+        .join(
+            _bands(all_sig).alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    docs_nx = all_sig.select("doc_id", "n", "xs")
+    pairs = (
+        cand.join(
+            docs_nx.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("xs").alias("xa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs_nx.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("xs").alias("xb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("xa", "xb")).cast("long"))
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "un",
+            F.expr("div(inter * 1000000, un)").alias("jaccard_e6"),
+        )
+    )
+    result = pairs.localCheckpoint()  # materialize BEFORE mutating the index
+    new_sig.write.mode("append").parquet(index_path)
+    return result
+
+
 PAGERANK_ITERS = 5
 PAGERANK_SCALE = 1_000_000_000  # pr as e9-scaled BIGINT
 PAGERANK_D_NUM, PAGERANK_D_DEN = 85, 100  # damping 0.85 as a ratio

@@ -189,3 +189,34 @@ def test_operators_handle_empty_corpus(spark, tmp_path):
     assert [(r.step, r.n_users, r.conversion_e6) for r in funnel] == [
         (1, 0, None), (2, 0, None), (3, 0, None)
     ]
+
+
+def test_incremental_minhash_index_matches_full_recompute(spark, sf_dir, tmp_path):
+    """Continuous-dedup shape: init the index on half the corpus, update
+    with the other half — the union of pairs reported by the two steps
+    must equal the batch dedup_minhash_lsh over the full corpus."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    docs = dedup._docs(spark, sf_dir).select("doc_id", "text")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh_index")
+
+    dedup.minhash_index_init(spark, first, idx)
+    inc_pairs = {
+        (r.doc_a, r.doc_b, r.inter, r.un, r.jaccard_e6)
+        for r in dedup.minhash_index_update(spark, second, idx).collect()
+    }
+    batch_all = {
+        (r.doc_a, r.doc_b, r.inter, r.un, r.jaccard_e6)
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    batch_first_only = {
+        p for p in batch_all if p[0] % 2 == 0 and p[1] % 2 == 0
+    }
+    # incremental step reports exactly the pairs with >= 1 new (odd) member
+    assert inc_pairs == batch_all - batch_first_only
+    assert inc_pairs, "expected cross-half near-dup pairs"
+    # the index now holds every signature once
+    n_idx = spark.read.parquet(idx).count()
+    assert n_idx == docs.count()
