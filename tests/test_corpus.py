@@ -220,3 +220,54 @@ def test_incremental_minhash_index_matches_full_recompute(spark, sf_dir, tmp_pat
     # the index now holds every signature once
     n_idx = spark.read.parquet(idx).count()
     assert n_idx == docs.count()
+
+
+def test_minhash_index_update_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """Orchestrator-retry safety (ADVICE r2): re-running a batch whose
+    signatures were already appended must not duplicate index rows — the
+    anti-join drops already-present doc_ids, so the retry is a no-op on
+    the index and reports no stale pairs."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    docs = dedup._docs(spark, sf_dir).select("doc_id", "text")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh_index_retry")
+
+    dedup.minhash_index_init(spark, first, idx)
+    assert dedup.minhash_index_update(spark, second, idx).count() > 0
+
+    n_docs = docs.count()
+    # retry the SAME batch: no new pairs, no duplicate signatures
+    assert dedup.minhash_index_update(spark, second, idx).count() == 0
+    idx_df = spark.read.parquet(idx)
+    assert idx_df.count() == n_docs
+    assert idx_df.select("doc_id").distinct().count() == n_docs
+
+    # mixed batch (some already indexed, none new): still a no-op
+    mixed = docs.where(F.col("doc_id") % 4 == 1)
+    assert dedup.minhash_index_update(spark, mixed, idx).count() == 0
+    assert spark.read.parquet(idx).count() == n_docs
+
+
+def test_quadratic_guard_refuses_large_inputs(spark, sf_dir, monkeypatch):
+    """_guard_quadratic (VERDICT r2 item 6): a > QUADRATIC_GUARD_MAX_ROWS
+    input raises unless allow_quadratic=True, both directly and through
+    the public quadratic-baseline entry points."""
+    import pytest
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    big = spark.range(dedup.QUADRATIC_GUARD_MAX_ROWS + 1)
+    with pytest.raises(ValueError, match="quadratic"):
+        dedup._guard_quadratic(big, "op_x", "scale_y", allow=False)
+    dedup._guard_quadratic(big, "op_x", "scale_y", allow=True)  # no raise
+
+    # through the public ops, with the threshold lowered below the test
+    # corpus size so the real input trips the guard
+    monkeypatch.setattr(dedup, "QUADRATIC_GUARD_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="dedup_ngram_jaccard"):
+        dedup.dedup_ngram_jaccard(spark, sf_dir)
+    with pytest.raises(ValueError, match="dedup_embedding"):
+        dedup.dedup_embedding(spark, sf_dir)
+    assert dedup.dedup_ngram_jaccard(spark, sf_dir, allow_quadratic=True).count() >= 0
