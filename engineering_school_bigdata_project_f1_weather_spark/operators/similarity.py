@@ -150,6 +150,122 @@ WHERE {sim} >= {LSH_VERIFY_MIN_E6}
 """
 
 
+N_BANDS = 4  # banded LSH: 4 tables × 8 bits
+BAND_BITS = 8
+BAND_PLANE_OFFSET = 100  # plane ids 100..131, disjoint from sim_lsh's 0..15
+
+
+def sim_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (multi-table) hyperplane LSH: 4 tables × 8 sign bits each;
+    a pair is a candidate if it collides in ANY band.
+
+    Why banded (VERDICT r2): a single 16-bit signature has 65,536 buckets,
+    so at 10⁹+ vectors the in-bucket population — and the quadratic verify
+    work inside it — grows linearly with corpus size. Banding keeps the
+    per-table bucket count small (2⁸) but drives candidate quality with
+    the OR-of-ANDs collision curve: P[candidate] = 1-(1-p⁸)⁴ for bit-match
+    probability p, which is far steeper than p¹⁶ at high similarity
+    (recall strictly above the single-table variant — pinned vs sim_topk
+    ground truth in tests/test_similarity.py) while still suppressing
+    random pairs. Same move as minhash's 8-band signature
+    (dedup.py dedup_minhash_lsh).
+
+    Plan shape at 100 TB: one narrow map computes all 32 sign bits, one
+    posexplode to (band, bucket) rows (4× fan-out, still narrow), one
+    shuffle on the (band, bucket) composite key, candidate pairs
+    deduplicated by groupBy (n_bands = collision count, map-side
+    combinable), then exact verify joins only on the candidate set.
+    """
+    base = _quantized(spark, sf_dir)
+    band_cols = []
+    for band in range(N_BANDS):
+        bucket = None
+        for i in range(BAND_BITS):
+            j = BAND_PLANE_OFFSET + band * BAND_BITS + i
+            plane = F.array(*[F.lit(w) for w in _hyperplane(j)])
+            d = vectors.dot(F.col("q"), plane)
+            bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        band_cols.append(bucket.cast("long").alias(f"band{band}"))
+    sig = base.select("vec_id", "q", "n2", *band_cols).cache()
+
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bands"))
+    )
+    av = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    bv = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    sim = vectors.sim_e6(
+        vectors.dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+    )
+    return (
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
+        .select("vec_a", "vec_b", "n_bands", sim.alias("sim_e6"))
+        .where(F.col("sim_e6") >= LSH_VERIFY_MIN_E6)
+    )
+
+
+def _lsh_banded_oracle_sql() -> str:
+    q = vectors.quantize_sql("embedding")
+
+    def band_bits(band: int) -> str:
+        return " + ".join(
+            f"CASE WHEN {vectors.dot_sql('q', str(_hyperplane(BAND_PLANE_OFFSET + band * BAND_BITS + i)))} >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i in range(BAND_BITS)
+        )
+
+    band_defs = ", ".join(
+        f"CAST({band_bits(b)} AS BIGINT) AS band{b}" for b in range(N_BANDS)
+    )
+    band_union = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, band{b} AS bucket FROM sg"
+        for b in range(N_BANDS)
+    )
+    sim = vectors.sim_e6_sql(vectors.dot_sql("va.q", "vb.q"), "va.n2", "vb.n2")
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
+sg AS (SELECT vec_id, q, n2, {band_defs} FROM en),
+bandrows AS (
+    {band_union}
+),
+cand AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(COUNT(*) AS INT) AS n_bands
+    FROM bandrows a
+    JOIN bandrows b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)
+SELECT c.vec_a, c.vec_b, c.n_bands, {sim} AS sim_e6
+FROM cand c
+JOIN sg va ON va.vec_id = c.vec_a
+JOIN sg vb ON vb.vec_id = c.vec_b
+WHERE {sim} >= {LSH_VERIFY_MIN_E6}
+"""
+
+
 K_CENTROIDS = 16  # coarse-quantizer size; centroid seeds are vec_id 1..16
 NPROBE = 4
 
@@ -413,6 +529,7 @@ SELECT vec_id, MIN(label) AS cluster FROM reach GROUP BY vec_id
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_lsh": sim_lsh,
+    "sim_lsh_banded": sim_lsh_banded,
     "sim_ivf": sim_ivf,
     "sim_clusters": sim_clusters,
 }
@@ -420,6 +537,7 @@ QUERIES = {
 ORACLE_SQL = {
     "sim_topk": _topk_oracle_sql(),
     "sim_lsh": _lsh_oracle_sql(),
+    "sim_lsh_banded": _lsh_banded_oracle_sql(),
     "sim_ivf": _ivf_oracle_sql(),
     "sim_clusters": _clusters_oracle_sql(),
 }
