@@ -58,7 +58,137 @@ BENCH_QUERIES = [
     "orders_rolling_7d",
     "events_pivot",
     "multimodal_energy",
+    # round-3 additions (VERDICT r2 item 4): previously-untimed families
+    "doc_pagerank",
+    "sim_lsh_banded",
 ]
+
+
+def _bench_sim_ivf_trained(spark, sf_dir: str) -> None:
+    """Trained-quantizer IVF: k-means training + serving in one timing."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import similarity
+
+    similarity.sim_ivf_trained(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def _bench_minhash_index_update(spark, sf_dir: str) -> float:
+    """Incremental-dedup batch cost: the index is pre-built on half the
+    corpus OUTSIDE the measured span (returns its own timing); what's
+    timed is one update batch — the steady-state cost of continuous
+    ingest."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    tmp = tempfile.mkdtemp(prefix="bench_mh_index_")
+    try:
+        docs = dedup._docs(spark, sf_dir).select("doc_id", "text")
+        dedup.minhash_index_init(
+            spark, docs.where(F.col("doc_id") % 2 == 0), tmp
+        )
+        t0 = time.perf_counter()
+        dedup.minhash_index_update(
+            spark, docs.where(F.col("doc_id") % 2 == 1), tmp
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_stream_hourly_drain(spark, sf_dir: str) -> None:
+    """Structured-streaming drain: watermarked tumbling hourly agg over the
+    events file source, availableNow trigger to completion."""
+    import uuid
+
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import events_stream
+
+    name = "bench_hourly_" + uuid.uuid4().hex[:8]
+    df = events_stream.hourly_counts_stream(
+        events_stream.stream_events(spark, sf_dir)
+    )
+    events_stream.run_available_now(df, name, spark).count()
+    spark.catalog.dropTempView(name)
+
+
+def _bench_stream_stateful_drain(spark, sf_dir: str) -> None:
+    """applyInPandasWithState drain: per-user running totals to completion."""
+    import uuid
+
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+        events_stream,
+        stateful,
+    )
+
+    import pyspark.sql.functions as F
+
+    name = "bench_stateful_" + uuid.uuid4().hex[:8]
+    df = stateful.user_totals_stream(
+        events_stream.stream_events(spark, sf_dir).withColumn(
+            "ts_us", F.expr("div(ts, 1000)")
+        )
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.table(name).count()
+    spark.catalog.dropTempView(name)
+
+
+# Operators whose public surface is not a plain (spark, sf_dir) -> DataFrame
+# queries() entry: incremental index maintenance, trained-quantizer IVF,
+# and the streaming drains. Timed the same way, listed in the same output.
+EXTRA_BENCH = {
+    "sim_ivf_trained": _bench_sim_ivf_trained,
+    "minhash_index_update": _bench_minhash_index_update,
+    "stream_hourly_drain": _bench_stream_hourly_drain,
+    "stream_stateful_drain": _bench_stream_stateful_drain,
+}
+
+# Scale-slope probe set (VERDICT r2 item 5): candidate-bounded plans whose
+# wall-time should grow far slower than data size. `--scale-slope` times
+# them at sf0.01 and sf0.1 (x10 rows) and reports the ratio; a
+# super-linear jump is a regression alarm. Results recorded in SCALE.md.
+SLOPE_QUERIES = ["dedup_minhash_lsh", "dedup_components"]
+
+
+def scale_slope() -> None:
+    sf_dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench-slope", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    out: dict[str, dict[str, float]] = {}
+    for name in SLOPE_QUERIES:
+        per_sf: dict[str, float] = {}
+        for sf_dir in sf_dirs:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm the IO caches / plans; second run is timed
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            per_sf[sf_dir.rsplit("sf", 1)[-1]] = round(
+                time.perf_counter() - t0, 3
+            )
+            print(f"# {name} @ {sf_dir}: {per_sf[sf_dir.rsplit('sf', 1)[-1]]}s",
+                  file=sys.stderr, flush=True)
+        ratio = round(per_sf["0.1"] / per_sf["0.01"], 2)
+        out[name] = {**per_sf, "ratio_10x_data": ratio}
+    print(json.dumps({"metric": "scale_slope", "unit": "sec", "queries": out}))
+    spark.stop()
 
 
 def main() -> None:
@@ -80,6 +210,13 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    for name, fn in EXTRA_BENCH.items():
+        t0 = time.perf_counter()
+        measured = fn(spark, sf_dir)  # may return its own span (setup excluded)
+        timings[name] = round(
+            measured if measured is not None else time.perf_counter() - t0, 3
+        )
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -97,4 +234,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scale-slope" in sys.argv[1:]:
+        scale_slope()
+    else:
+        main()

@@ -176,6 +176,60 @@ def visualization_saved_object(
     }
 
 
+def dashboard_saved_object(
+    title: str,
+    panel_ids: list[str],
+    version: str = "7.3.0",
+) -> dict[str, Any]:
+    """Kibana dashboard saved-object body (the panelsJSON container) —
+    the `Martin files/create_dashboard.py:14-97` shape. The reference
+    creates an empty dashboard then PUTs a single hand-written panel;
+    here the container is derived in one step from the visualization
+    saved-object ids, laid out on Kibana's 48-unit grid two panels per
+    row (each panel the reference's 24x15 size).
+
+    The returned body is what the serving layer POSTs to
+    ``/api/saved_objects/dashboard`` — the HTTP call itself stays
+    serving-infra, exactly as for the index-pattern/visualization bodies
+    above."""
+    import json as _json
+
+    panels = []
+    for i, viz_id in enumerate(panel_ids):
+        panels.append({
+            "embeddableConfig": {},
+            "gridData": {
+                "h": 15,
+                "i": str(i + 1),
+                "w": 24,
+                "x": 24 * (i % 2),
+                "y": 15 * (i // 2),
+            },
+            "id": viz_id,
+            "panelIndex": str(i + 1),
+            "type": "visualization",
+            "version": version,
+        })
+    return {
+        "attributes": {
+            "title": title,
+            "hits": 0,
+            "description": "",
+            "panelsJSON": _json.dumps(panels),
+            "optionsJSON": _json.dumps(
+                {"useMargins": True, "hidePanelTitles": False}
+            ),
+            "version": 1,
+            "timeRestore": False,
+            "kibanaSavedObjectMeta": {
+                "searchSourceJSON": _json.dumps(
+                    {"filter": [], "query": {"language": "kuery", "query": ""}}
+                )
+            },
+        }
+    }
+
+
 def foreach_partition_sink(
     df: DataFrame, send: Callable[[Iterator[dict[str, Any]]], None]
 ) -> None:

@@ -196,3 +196,41 @@ def test_s10_serving_manifest_and_saved_objects(spark, sf_dir):
     assert meta["index"] == "f1_wins"
     with pytest.raises(KeyError):
         visualization_saved_object(e, "nope")
+
+
+def test_s10_dashboard_saved_object():
+    """S10 completion (VERDICT r2 item 7): the dashboard container body
+    (`create_dashboard.py:14-97`) — panelsJSON referencing every mart
+    panel, reference-shaped attributes, non-overlapping 48-unit grid."""
+    from engineering_school_bigdata_project_f1_weather_spark.sources.sinks import (
+        dashboard_saved_object,
+    )
+
+    viz_ids = [f"viz-{name}" for name in
+               ["wins", "fastestlap", "filter", "weather2324",
+                "evopoints", "constructor", "pitstop"]]
+    body = dashboard_saved_object("F1 Weather Dashboard", viz_ids)
+
+    attrs = body["attributes"]
+    # reference-shaped container attributes (create_dashboard.py:55-88)
+    assert attrs["title"] == "F1 Weather Dashboard"
+    assert attrs["hits"] == 0 and attrs["timeRestore"] is False
+    assert json.loads(attrs["optionsJSON"]) == {
+        "useMargins": True, "hidePanelTitles": False,
+    }
+    meta = json.loads(attrs["kibanaSavedObjectMeta"]["searchSourceJSON"])
+    assert meta == {"filter": [], "query": {"language": "kuery", "query": ""}}
+
+    panels = json.loads(attrs["panelsJSON"])
+    assert [p["id"] for p in panels] == viz_ids  # all 7 marts referenced
+    assert all(p["type"] == "visualization" for p in panels)
+    # each panel is the reference's 24x15 size, and no two overlap on the
+    # 48-unit-wide grid (two per row)
+    cells = set()
+    for p in panels:
+        g = p["gridData"]
+        assert (g["w"], g["h"]) == (24, 15)
+        assert g["x"] in (0, 24) and g["x"] + g["w"] <= 48
+        assert (g["x"], g["y"]) not in cells
+        cells.add((g["x"], g["y"]))
+    assert [p["panelIndex"] for p in panels] == [str(i + 1) for i in range(7)]
