@@ -261,11 +261,241 @@ FROM agg
 """
 
 
+# --- round-3 additions: PII scrub, sequence packing, corpus shuffle -------
+
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE = "\\+1-[0-9]{3}-[0-9]{4}"
+PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def _pii_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no PII, so the oracle-checked fixture
+    deterministically plants some (same expression in both engines): every
+    7th doc an email, every 11th a phone, every 13th an IP. In production
+    the detect/redact map below runs on the raw text directly — this
+    decoration exists only so the correctness gate exercises non-zero
+    matches."""
+    d = load_table_spread(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" today"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 13) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+
+
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub step a training-data pipeline
+    runs before anything else ships: count and mask emails, NANP phone
+    numbers and IPv4 addresses with anchor tokens.
+
+    All JVM regex (``regexp_count`` / ``regexp_replace``) in one narrow
+    map — no shuffle, no UDF; at 100 TB this is scan-bound and
+    embarrassingly parallel, the cheapest possible shape. Redaction order
+    (email → phone → IP) is fixed so both engines transform identically.
+    Patterns are deliberately Java-regex ∩ RE2 so the DuckDB oracle is
+    bit-identical."""
+    d = _pii_decorated(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    n_email = F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("long")
+    n_phone = F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("long")
+    n_ip = F.regexp_count(F.col("text"), F.lit(PII_IP)).cast("long")
+    return d.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ip.alias("n_ips"),
+        (n_email + n_phone + n_ip).alias("n_pii"),
+        redacted.alias("redacted"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    decorated = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {decorated} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+            + len(regexp_extract_all(text, '{PII_PHONE}'))
+            + len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_pii,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_IP}', '<IP>', 'g') AS redacted
+FROM d
+"""
+
+
+PACK_BUDGET = 256  # tokens per training sequence
+
+
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    sequences (concat-and-chunk packing) — deterministic greedy fill in
+    doc_id order within each language.
+
+    ``seq_id = floor(tokens_before / BUDGET)`` where ``tokens_before`` is
+    the running token total of all earlier docs in the same (lang)
+    partition — a document whose tokens straddle a boundary belongs to the
+    sequence its first token lands in, matching how a packer that splits
+    documents across sequence boundaries indexes them.
+
+    Scale shape: ONE window shuffle keyed on lang; languages pack in
+    parallel. A single giant partition would serialize its prefix sum —
+    the 100 TB move is the classic two-pass distributed prefix sum
+    (per-file-split subtotals → broadcast cumulative offsets → local
+    cumsum), same arithmetic, same output; the window form is the
+    oracle-checkable single-shuffle version and the arithmetic is shared.
+    """
+    from pyspark.sql import Window
+
+    d = _docs_tokens(spark, sf_dir).select(
+        "doc_id", "lang", F.size("toks").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(before / PACK_BUDGET).cast("long").alias("seq_id"),
+        (before % PACK_BUDGET).cast("long").alias("seq_offset"),
+    )
+
+
+def _pack_oracle_sql() -> str:
+    # CAST the windowed SUM: DuckDB promotes to HUGEINT, which pandas
+    # reads as float64 and the value-hash then diverges.
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS before_toks
+    FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       before_toks // {PACK_BUDGET} AS seq_id,
+       before_toks % {PACK_BUDGET} AS seq_offset
+FROM c
+"""
+
+
+N_SHARDS = 16
+SHUFFLE_SEED = "42"
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-shard output: every doc
+    gets a hash-derived shard and a within-shard pseudo-random position.
+
+    Hash-derived, never ``rand()``: task retry, re-partitioning, or a
+    different engine always lands each doc in the same place — the same
+    retry-safety argument as :func:`sample_split`, applied to the final
+    "shuffle the corpus before the trainer reads it" step. Changing
+    SHUFFLE_SEED gives an independent permutation per epoch.
+
+    Plan: pure map (two md5 hashes) + one shuffle keyed on shard + a
+    per-shard window for the position. At 100 TB the materialized form is
+    ``.write.partitionBy(shard)`` with ``sortWithinPartitions(sort_key)``
+    — the window here exists so position is part of the checkable output.
+    """
+    from pyspark.sql import Window
+
+    d = load_table_spread(spark, sf_dir, "documents")
+    shard = (
+        texts.hash32(
+            F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))
+        )
+        % N_SHARDS
+    )
+    sort_key = texts.hash32(
+        F.concat(F.lit("o:" + SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))
+    )
+    keyed = d.select(
+        "doc_id", shard.alias("shard"), sort_key.alias("sort_key")
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return keyed.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def _shuffle_oracle_sql() -> str:
+    shard = texts.hash32_sql(f"'{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")
+    key = texts.hash32_sql(f"'o:{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH k AS (
+    SELECT doc_id, {shard} % {N_SHARDS} AS shard, {key} AS sort_key
+    FROM documents
+)
+SELECT doc_id, shard, sort_key,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY shard ORDER BY sort_key, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM k
+"""
+
+
 QUERIES = {
     "text_chunk": text_chunk,
     "text_contamination": text_contamination,
     "sample_split": sample_split,
     "text_repetition": text_repetition,
+    "text_pii": text_pii,
+    "corpus_pack": corpus_pack,
+    "corpus_shuffle": corpus_shuffle,
 }
 
 ORACLE_SQL = {
@@ -273,4 +503,7 @@ ORACLE_SQL = {
     "text_contamination": _contamination_oracle_sql(),
     "sample_split": _sample_split_oracle_sql(),
     "text_repetition": _repetition_oracle_sql(),
+    "text_pii": _pii_oracle_sql(),
+    "corpus_pack": _pack_oracle_sql(),
+    "corpus_shuffle": _shuffle_oracle_sql(),
 }

@@ -271,3 +271,96 @@ def test_quadratic_guard_refuses_large_inputs(spark, sf_dir, monkeypatch):
     with pytest.raises(ValueError, match="dedup_embedding"):
         dedup.dedup_embedding(spark, sf_dir)
     assert dedup.dedup_ngram_jaccard(spark, sf_dir, allow_quadratic=True).count() >= 0
+
+
+def test_pii_redaction_is_complete_and_counted(spark, sf_dir):
+    """After redaction no pattern matches remain; counts equal the
+    deterministic decoration cardinality (every 7th/11th/13th doc)."""
+    out = corpus.text_pii(spark, sf_dir).cache()
+    residue = out.where(
+        (F.regexp_count("redacted", F.lit(corpus.PII_EMAIL)) > 0)
+        | (F.regexp_count("redacted", F.lit(corpus.PII_PHONE)) > 0)
+        | (F.regexp_count("redacted", F.lit(corpus.PII_IP)) > 0)
+    )
+    assert residue.count() == 0, residue.limit(5).collect()
+    # every planted item is found: doc_id % 7 == 0 -> exactly one email, etc.
+    wrong = out.where(
+        (F.col("n_emails") != F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0))
+        | (F.col("n_phones") != F.when(F.col("doc_id") % 11 == 0, 1).otherwise(0))
+        | (F.col("n_ips") != F.when(F.col("doc_id") % 13 == 0, 1).otherwise(0))
+    )
+    assert wrong.count() == 0, wrong.limit(5).collect()
+    # anchors present where something was redacted
+    anchored = out.where(
+        (F.col("n_pii") > 0)
+        & ~(
+            F.col("redacted").contains("<EMAIL>")
+            | F.col("redacted").contains("<PHONE>")
+            | F.col("redacted").contains("<IP>")
+        )
+    )
+    assert anchored.count() == 0
+
+
+def test_pack_sequences_respect_budget_arithmetic(spark, sf_dir):
+    """seq_offset < BUDGET always; within a language, seq_id is
+    non-decreasing in doc_id and reconstructs the running token total
+    (seq_id * BUDGET + seq_offset == sum of earlier docs' tokens)."""
+    from pyspark.sql import Window
+
+    out = corpus.corpus_pack(spark, sf_dir).cache()
+    assert out.where(F.col("seq_offset") >= corpus.PACK_BUDGET).count() == 0
+    assert out.where(F.col("seq_offset") < 0).count() == 0
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    recon = out.withColumn(
+        "before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).where(
+        F.col("seq_id") * corpus.PACK_BUDGET + F.col("seq_offset")
+        != F.col("before")
+    )
+    assert recon.count() == 0, recon.limit(5).collect()
+    # first doc of every language starts sequence 0 at offset 0
+    first = out.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("lang").orderBy("doc_id")),
+    ).where((F.col("rn") == 1) & ((F.col("seq_id") != 0) | (F.col("seq_offset") != 0)))
+    assert first.count() == 0
+
+
+def test_shuffle_is_deterministic_permutation(spark, sf_dir):
+    """Each shard's pos column is a dense permutation 0..n_shard-1; the
+    whole assignment is identical across independent runs (retry safety)
+    and every doc appears exactly once."""
+    a = corpus.corpus_shuffle(spark, sf_dir).cache()
+    n_docs = a.count()
+    assert a.select("doc_id").distinct().count() == n_docs
+    per_shard = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("npos"),
+    )
+    bad = per_shard.where(
+        (F.col("lo") != 0)
+        | (F.col("hi") != F.col("n") - 1)
+        | (F.col("npos") != F.col("n"))
+    )
+    assert bad.count() == 0, bad.collect()
+    assert per_shard.count() == corpus.N_SHARDS  # no empty shard at this SF
+
+    b = corpus.corpus_shuffle(spark, sf_dir)
+    assert (
+        a.join(b, "doc_id")
+        .where(
+            (a["shard"] != b["shard"])
+            | (a["sort_key"] != b["sort_key"])
+            | (a["pos"] != b["pos"])
+        )
+        .count()
+        == 0
+    )
