@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     # round-3 additions (VERDICT r2 item 4): previously-untimed families
     "doc_pagerank",
     "sim_lsh_banded",
+    # round-3 new operators
+    "text_pii",
+    "corpus_pack",
+    "corpus_shuffle",
 ]
 
 
