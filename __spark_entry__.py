@@ -34,6 +34,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     quality,
     reshape,
     similarity,
+    streamq,
     temporal,
     text,
 )
@@ -48,7 +49,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 # tools/selfcheck.py + tests/test_oracles.py.
 _MODULES = [
     events, temporal, multimodal, curate, corpus, reshape, quality,
-    similarity, marts, analytics, dedup, text,
+    streamq, similarity, marts, analytics, dedup, text,
 ]
 
 

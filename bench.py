@@ -65,16 +65,12 @@ BENCH_QUERIES = [
     "text_pii",
     "corpus_pack",
     "corpus_shuffle",
+    # registry entries since round 3: trained-quantizer IVF (training +
+    # serving in one plan) and the oracle-checked streaming drains
+    "sim_ivf_trained",
+    "stream_hourly",
+    "stream_sessions",
 ]
-
-
-def _bench_sim_ivf_trained(spark, sf_dir: str) -> None:
-    """Trained-quantizer IVF: k-means training + serving in one timing."""
-    from engineering_school_bigdata_project_f1_weather_spark.operators import similarity
-
-    similarity.sim_ivf_trained(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
 
 
 def _bench_minhash_index_update(spark, sf_dir: str) -> float:
@@ -102,21 +98,6 @@ def _bench_minhash_index_update(spark, sf_dir: str) -> float:
         return time.perf_counter() - t0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-
-
-def _bench_stream_hourly_drain(spark, sf_dir: str) -> None:
-    """Structured-streaming drain: watermarked tumbling hourly agg over the
-    events file source, availableNow trigger to completion."""
-    import uuid
-
-    from engineering_school_bigdata_project_f1_weather_spark.streaming import events_stream
-
-    name = "bench_hourly_" + uuid.uuid4().hex[:8]
-    df = events_stream.hourly_counts_stream(
-        events_stream.stream_events(spark, sf_dir)
-    )
-    events_stream.run_available_now(df, name, spark).count()
-    spark.catalog.dropTempView(name)
 
 
 def _bench_stream_stateful_drain(spark, sf_dir: str) -> None:
@@ -149,12 +130,12 @@ def _bench_stream_stateful_drain(spark, sf_dir: str) -> None:
 
 
 # Operators whose public surface is not a plain (spark, sf_dir) -> DataFrame
-# queries() entry: incremental index maintenance, trained-quantizer IVF,
-# and the streaming drains. Timed the same way, listed in the same output.
+# queries() entry: incremental index maintenance and the
+# applyInPandasWithState drain. Timed the same way, listed in the same
+# output. (sim_ivf_trained and the windowed streaming drains became
+# queries() entries in round 3 and are benched above.)
 EXTRA_BENCH = {
-    "sim_ivf_trained": _bench_sim_ivf_trained,
     "minhash_index_update": _bench_minhash_index_update,
-    "stream_hourly_drain": _bench_stream_hourly_drain,
     "stream_stateful_drain": _bench_stream_stateful_drain,
 }
 

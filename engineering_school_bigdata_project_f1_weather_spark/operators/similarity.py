@@ -432,17 +432,24 @@ def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ivf(spark, sf_dir, centroids=kmeans_centroids(spark, sf_dir))
 
 
-def _ivf_oracle_sql() -> str:
+def _ivf_oracle_sql(pre_cents: str = "", cents_select: str | None = None) -> str:
+    """IVF serving-path oracle; ``pre_cents`` injects extra CTEs (the
+    trained-quantizer chain) and ``cents_select`` overrides the centroid
+    source (default: the deterministic vec_id 1..K seeds)."""
     q = vectors.quantize_sql("embedding")
     csim = vectors.sim_e6_sql(vectors.dot_sql("v.q", "c.q"), "v.n2", "c.n2")
     qsim = vectors.sim_e6_sql(vectors.dot_sql("qs.q", "c.q"), "qs.n2", "c.n2")
     sim = vectors.sim_e6_sql(vectors.dot_sql("p.qq", "m.q"), "p.qn2", "m.n2")
+    if cents_select is None:
+        cents_select = (
+            f"SELECT vec_id AS centroid_id, q, n2 FROM en "
+            f"WHERE vec_id BETWEEN 1 AND {K_CENTROIDS}"
+        )
     return f"""
 WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
 en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
-cents AS (
-    SELECT vec_id AS centroid_id, q, n2 FROM en
-    WHERE vec_id BETWEEN 1 AND {K_CENTROIDS}
+{pre_cents}cents AS (
+    {cents_select}
 ),
 assign AS (
     SELECT v.vec_id,
@@ -475,6 +482,69 @@ SELECT query_id, neighbor_id, sim_e6, CAST(rank AS INT) AS rank FROM (
     FROM cand
 ) WHERE rank <= {TOPK}
 """
+
+
+def _kmeans_cents_ctes(iters: int = 3, k: int = K_CENTROIDS) -> str:
+    """The distributed Lloyd's loop of :func:`kmeans_centroids`, UNROLLED
+    as generated DuckDB CTEs (one assign/mean/reassemble block per
+    iteration — recursive CTEs cannot aggregate in the recursive term,
+    same move as dedup's pagerank oracle). Every step is the identical
+    exact-integer arithmetic the Spark loop runs: cosine-argmax assignment
+    with the injective ``sim*128 - centroid_id`` ordering key, per-(cluster,
+    pos) integer sums, the ``floor(s/c + 1/2) = (2s+c - pmod(2s+c,2c))//(2c)``
+    rounded mean, and empty clusters keeping their previous centroid — so
+    the trained centroids, and therefore the served top-k, match
+    bit-for-bit."""
+    sim = vectors.sim_e6_sql(vectors.dot_sql("v.q", "c.cq"), "v.n2", "c.cn2")
+    parts = [
+        f"""kc0 AS (
+    SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2 FROM en
+    WHERE vec_id BETWEEN 1 AND {k}
+),
+"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""asg{i} AS (
+    SELECT v.vec_id,
+           arg_max(c.centroid_id, {sim} * 128 - c.centroid_id) AS cluster
+    FROM en v CROSS JOIN kc{i - 1} c
+    GROUP BY v.vec_id
+),
+ex{i} AS (
+    SELECT a.cluster,
+           CAST(generate_subscripts(v.q, 1) AS BIGINT) AS pos,
+           CAST(unnest(v.q) AS BIGINT) AS val
+    FROM asg{i} a JOIN en v USING (vec_id)
+),
+mm{i} AS (
+    SELECT cluster, pos,
+           CAST((2 * s + c - (((2 * s + c) % (2 * c)) + 2 * c) % (2 * c))
+                // (2 * c) AS BIGINT) AS m
+    FROM (
+        SELECT cluster, pos, CAST(SUM(val) AS BIGINT) AS s, COUNT(*) AS c
+        FROM ex{i} GROUP BY cluster, pos
+    )
+),
+agg{i} AS (
+    SELECT cluster AS centroid_id,
+           list(CAST(m AS DOUBLE) ORDER BY pos) AS cq
+    FROM mm{i} GROUP BY cluster
+),
+kc{i} AS (
+    SELECT o.centroid_id,
+           COALESCE(n.cq, o.cq) AS cq,
+           {vectors.dot_sql('COALESCE(n.cq, o.cq)', 'COALESCE(n.cq, o.cq)')} AS cn2
+    FROM kc{i - 1} o LEFT JOIN agg{i} n ON n.centroid_id = o.centroid_id
+),
+""")
+    return "".join(parts)
+
+
+def _ivf_trained_oracle_sql() -> str:
+    return _ivf_oracle_sql(
+        pre_cents=_kmeans_cents_ctes(),
+        cents_select="SELECT centroid_id, cq AS q, cn2 AS n2 FROM kc3",
+    )
 
 
 CLUSTER_MIN_SIM_E6 = 300_000  # cluster edge = cosine >= 0.3
@@ -531,6 +601,7 @@ QUERIES = {
     "sim_lsh": sim_lsh,
     "sim_lsh_banded": sim_lsh_banded,
     "sim_ivf": sim_ivf,
+    "sim_ivf_trained": sim_ivf_trained,
     "sim_clusters": sim_clusters,
 }
 
@@ -539,5 +610,6 @@ ORACLE_SQL = {
     "sim_lsh": _lsh_oracle_sql(),
     "sim_lsh_banded": _lsh_banded_oracle_sql(),
     "sim_ivf": _ivf_oracle_sql(),
+    "sim_ivf_trained": _ivf_trained_oracle_sql(),
     "sim_clusters": _clusters_oracle_sql(),
 }

@@ -1,0 +1,126 @@
+"""Structured-Streaming queries exposed as oracle-checked registry entries.
+
+The streaming surfaces (watermarked tumbling windows, session windows —
+``streaming/events_stream.py``) were previously witnessed only by pytest
+batch-parity tests; these entries drain them with the ``availableNow``
+trigger and return the materialized result, so the external driver
+hash-compares STREAMING output against a plain batch SQL oracle. The
+equivalence is exact: an availableNow drain of an immutable file source
+replays every row before the final watermark close, so the drained
+aggregate equals the batch aggregate bit-for-bit.
+
+Scale notes live with the stream builders: watermark-bounded state,
+complete-mode windowed aggs, file-source micro-batching. The memory sink
+here is the drain harness, not the production sink (that's a parquet/
+Kafka ``writeStream`` with the same plan).
+
+Boundary caveat (documented, not hit by the fixture): Spark's
+``session_window`` closes a session when the next event is >= gap away
+(half-open window), while the batch sessionize keeps events at exactly
+the gap (``delta > gap`` starts a new session). The two differ only when
+a consecutive per-user delta equals the gap to the microsecond — the
+fixture has none at any SF (checked 0.001/0.01/0.1).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import events_stream
+
+HOUR_US = 3_600_000_000
+GAP_US = 1_800_000_000  # streaming/events_stream.py SESSION_GAP
+
+
+def _drain(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
+    """availableNow drain into a uniquely-named memory sink (the driver may
+    call an entry repeatedly in one session; names must not collide)."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    return events_stream.run_available_now(df, name, spark)
+
+
+def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-hour windowed counts, drained to completion.
+    Same cents arithmetic as the batch ``events_hourly``; the window start
+    is reported as epoch micros so the schema is engine-neutral."""
+    out = _drain(
+        events_stream.hourly_counts_stream(
+            events_stream.stream_events(spark, sf_dir)
+        ),
+        "stream_hourly",
+        spark,
+    )
+    return out.select(
+        F.unix_micros(F.col("hour")).alias("hour_us"),
+        "event_type",
+        "n_events",
+        "value_cents_sum",
+    )
+
+
+_HOURLY_ORACLE = f"""
+SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window (30-min gap) aggregation per user, drained to
+    completion. ``session_window.end`` is last-event + gap, so the batch
+    session end is recovered by subtracting the gap — making the output
+    directly comparable to the batch sessionize shape."""
+    out = _drain(
+        events_stream.sessions_stream(
+            events_stream.stream_events(spark, sf_dir)
+        ),
+        "stream_sessions",
+        spark,
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        (F.unix_micros(F.col("session_end")) - F.lit(GAP_US)).alias(
+            "session_end_us"
+        ),
+        "n_events",
+    )
+
+
+_SESSIONS_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP_US}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+    SELECT *, CAST(SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts_us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "stream_hourly": stream_hourly,
+    "stream_sessions": stream_sessions,
+}
+
+ORACLE_SQL = {
+    "stream_hourly": _HOURLY_ORACLE,
+    "stream_sessions": _SESSIONS_ORACLE,
+}

@@ -24,6 +24,9 @@ REPRESENTATIVES = [
     "weather_melt",       # reshape
     "dq_lineitem",        # data quality
     "multimodal_energy",  # numpy decode path
+    "stream_hourly",      # drained streaming vs batch SQL (round 3)
+    "sim_ivf_trained",    # unrolled-Lloyd's oracle (round 3)
+    "text_pii",           # regex scrub (round 3)
 ]
 
 
