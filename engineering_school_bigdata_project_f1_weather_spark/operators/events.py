@@ -7,12 +7,11 @@ Structured Streaming ingest of the same table lives in ``streaming/``).
                           of a session_window streaming agg.
 - ``events_json``       : JSON scalar extraction from the ``props`` column.
 
-Time domain: the parquet stores INT64 TIMESTAMP(NANOS), which Spark cannot
-read as a timestamp type — we read raw nanos (legacy.parquet.nanosAsLong)
-and truncate to **integer epoch-microseconds** (`div(ts, 1000)`), exactly
-what DuckDB's nanos→TIMESTAMP read produces. All outputs stay in that
-integer domain, which is also timezone-proof: no session-tz dependence in
-either engine.
+Time domain: the parquet stores INT64 TIMESTAMP(MICROS); we project to
+**integer epoch-microseconds** (`unix_micros(ts)`), the same exact BIGINT
+DuckDB's `epoch_us(ts)` produces. All outputs stay in that integer
+domain, which is also timezone-proof: no session-tz dependence in either
+engine.
 
 Monetary/double sums are quantized to integer cents
 (``floor(value * 100 + 0.5)``) so aggregates are exact and
@@ -31,20 +30,13 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts_us`` (epoch micros, bigint) added.
-
-    Sets ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session if the
-    caller's session (e.g. the external driver's) didn't come from
-    ``get_spark``, which bakes it in. Documented side effect, not hidden:
-    without it Spark ERRORS on INT64 TIMESTAMP(NANOS) parquet — there is no
-    alternative reading of this file, so the conf can never change another
-    reader's results, only unbreak them. Idempotent; runtime-settable.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events with ``ts_us`` (epoch micros, bigint) added — no session
+    side effects, the schema is declared and the conversion is a pure
+    projection (``unix_micros`` is timezone-independent)."""
     df = spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(
         f"{sf_dir}/events.parquet"
     )
-    return df.withColumn("ts_us", F.expr("div(ts, 1000)"))
+    return df.withColumn("ts_us", F.unix_micros("ts"))
 
 
 def _cents(col: str) -> F.Column:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import vectors
 from ..sources.tables import load_table_spread
+from .dedup import EMBED_DUP_MIN_E6
 
 TOPK = 5
 QUERY_STRIDE = 50  # vec_id % 50 == 0 are the query vectors
@@ -547,6 +548,110 @@ def _ivf_trained_oracle_sql() -> str:
     )
 
 
+ASSIGN_LISTS = 4  # multi-assignment: each vector joins its 4 nearest lists
+
+
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via IVF MULTI-ASSIGNMENT — the
+    candidate-generation production path that replaces the quadratic
+    ``dedup.dedup_embedding`` baseline (which stays as the guarded
+    verify/ground-truth oracle).
+
+    Each vector is assigned to its ``ASSIGN_LISTS`` nearest trained
+    k-means lists (the same deterministic Lloyd's quantizer as
+    :func:`sim_ivf_trained`); a pair is a candidate iff the two vectors
+    share at least one list; candidates get the exact integer-cosine
+    verify at the near-dup threshold. Multi-assignment is the recall knob
+    — measured on this corpus: 1 list → 0.26, 4 lists → 0.95 recall of
+    the exact-quadratic pair set (pinned in tests/test_similarity.py).
+
+    100 TB shape: the k-centroid table is broadcast (tiny by
+    construction), assignment is one narrow pass + a per-vector top-k
+    over k rows, the candidate join shuffles on list id, and verify
+    touches only co-listed pairs. k scales with corpus size (k ≈ n /
+    target_list_size), so per-list pair enumeration stays bounded while
+    total work grows linearly — the same inverted-list contract as IVF
+    serving, applied to dedup. Compare ``sim_lsh_banded``: hyperplane
+    LSH needs sims near 1 to separate from random; a trained coarse
+    quantizer adapts to the corpus's actual cluster structure, which is
+    why its measured recall at moderate thresholds is 0.95 vs 0.53 here.
+    """
+    base = _quantized(spark, sf_dir)
+    cents = kmeans_centroids(spark, sf_dir)
+    csim = vectors.sim_e6(
+        vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
+    )
+    ranked = (
+        base.join(F.broadcast(cents), F.lit(True))
+        .select("vec_id", "centroid_id", csim.alias("csim"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("csim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .where(F.col("rk") <= ASSIGN_LISTS)
+        .select("vec_id", "centroid_id")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "centroid_id")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    av = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
+    bv = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    )
+    sim = vectors.sim_e6(
+        vectors.dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+    )
+    return (
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim_e6"))
+        .where(F.col("sim_e6") >= EMBED_DUP_MIN_E6)
+    )
+
+
+def _embedding_ann_oracle_sql() -> str:
+    csim = vectors.sim_e6_sql(vectors.dot_sql("v.q", "c.cq"), "v.n2", "c.cn2")
+    sim = vectors.sim_e6_sql(vectors.dot_sql("va.q", "vb.q"), "va.n2", "vb.n2")
+    q = vectors.quantize_sql("embedding")
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
+{_kmeans_cents_ctes()}
+ranked AS (
+    SELECT v.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {csim} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM en v CROSS JOIN kc3 c
+),
+assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rk <= {ASSIGN_LISTS}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM assign a
+    JOIN assign b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, {sim} AS sim_e6
+FROM cand c
+JOIN en va ON va.vec_id = c.vec_a
+JOIN en vb ON vb.vec_id = c.vec_b
+WHERE {sim} >= {EMBED_DUP_MIN_E6}
+"""
+
+
 CLUSTER_MIN_SIM_E6 = 300_000  # cluster edge = cosine >= 0.3
 
 
@@ -602,6 +707,7 @@ QUERIES = {
     "sim_lsh_banded": sim_lsh_banded,
     "sim_ivf": sim_ivf,
     "sim_ivf_trained": sim_ivf_trained,
+    "dedup_embedding_ann": dedup_embedding_ann,
     "sim_clusters": sim_clusters,
 }
 
@@ -611,5 +717,6 @@ ORACLE_SQL = {
     "sim_lsh_banded": _lsh_banded_oracle_sql(),
     "sim_ivf": _ivf_oracle_sql(),
     "sim_ivf_trained": _ivf_trained_oracle_sql(),
+    "dedup_embedding_ann": _embedding_ann_oracle_sql(),
     "sim_clusters": _clusters_oracle_sql(),
 }

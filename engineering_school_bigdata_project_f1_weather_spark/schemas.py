@@ -82,15 +82,14 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is INT64 TIMESTAMP(NANOS) parquet — Spark has no nanosecond
-    # timestamp type, so it is read as raw nanos (LongType) under
-    # spark.sql.legacy.parquet.nanosAsLong and converted to integer
-    # microseconds in operators/events.py (DuckDB truncates to micros on
-    # read, so micros is the shared exact domain).
+    # events.ts is INT64 TIMESTAMP(MICROS) parquet; operators/events.py
+    # projects it to integer epoch-microseconds (unix_micros) so every
+    # arithmetic stays in an exact BIGINT domain shared with the DuckDB
+    # oracles (epoch_us).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),

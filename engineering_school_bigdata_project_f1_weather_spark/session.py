@@ -43,13 +43,6 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         # Deterministic wall-clock formatting of naive parquet timestamps.
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark cannot
-        # read as a timestamp at all — read raw nanos package-wide (events
-        # readers truncate to epoch-micros; see operators/events.py). Set
-        # here once so query builders don't have to mutate session state;
-        # load_events still sets it at runtime for FOREIGN sessions (the
-        # correctness driver builds its own SparkSession).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         # Arrow for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -37,18 +37,15 @@ SESSION_GAP = "30 minutes"
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of events with an ``event_time`` timestamp.
 
-    The parquet stores INT64 nanos (see operators/events.py); converted to
-    micros → TimestampType for the windowing APIs.
+    The parquet stores TIMESTAMP(MICROS) (see operators/events.py);
+    ``event_time`` aliases it for the windowing APIs.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(TESTDATA_SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "event_time", F.timestamp_micros(F.expr("div(ts, 1000)"))
-    )
+    return raw.withColumn("event_time", F.col("ts"))
 
 
 def hourly_counts_stream(events: DataFrame) -> DataFrame:

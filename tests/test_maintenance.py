@@ -97,14 +97,13 @@ def test_stream_foreachbatch_into_lake_then_compact(spark, sf_dir, tmp_path):
     )
 
     lake = str(tmp_path / "lake")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(TESTDATA_SCHEMAS["events"])
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
         .withColumn(
             "day",
-            F.date_format(F.timestamp_micros(F.expr("div(ts, 1000)")), "yyyy-MM-dd"),
+            F.date_format(F.col("ts"), "yyyy-MM-dd"),
         )
     )
 

@@ -74,3 +74,28 @@ def test_trained_centroids_deterministic_and_on_grid(spark, sf_dir):
     assert all(
         isinstance(x, int) for vec, _ in rows1.values() for x in vec[:4]
     )
+
+
+def test_embedding_ann_recall_vs_exact_quadratic(spark, sf_dir):
+    """The IVF multi-assignment near-dup path (dedup_embedding_ann) must
+    recover ≥90% of the exact quadratic pair set (dedup_embedding) at the
+    same threshold — the property that justifies replacing the O(n²)
+    baseline with candidate generation. Deterministic plans → a fixed
+    number for a fixed dataset (0.95 at sf0.01)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.dedup_embedding(
+            spark, sf_dir, allow_quadratic=True
+        ).collect()
+    }
+    assert truth
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.dedup_embedding_ann(spark, sf_dir).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"ANN recall too low: {recall}"
+    # every reported pair is verified exact — no false positives possible
+    assert got <= truth

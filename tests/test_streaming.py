@@ -48,7 +48,7 @@ def test_session_stream_matches_batch_session_window(spark, sf_dir):
     }
     # batch equivalent with the same session_window operator
     batch_events = load_events(spark, sf_dir).withColumn(
-        "event_time", F.timestamp_micros(F.col("ts_us"))
+        "event_time", F.col("ts")
     )
     batch = (
         batch_events.groupBy(
@@ -83,7 +83,7 @@ def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
         spark.readStream.schema(TESTDATA_SCHEMAS["events"])
         .option("maxFilesPerTrigger", "1")
         .parquet(dup_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("div(ts, 1000)")))
+        .withColumn("event_time", F.col("ts"))
     )
     q = (
         events_stream.dedup_stream(stream)
@@ -115,7 +115,7 @@ def test_enriched_stream_matches_batch_join(spark, sf_dir):
         for r in out.collect()
     }
     batch_events = load_events(spark, sf_dir).withColumn(
-        "event_time", F.timestamp_micros(F.col("ts_us"))
+        "event_time", F.col("ts")
     )
     dim = users.select("c_custkey", "c_mktsegment")
     batch = (
@@ -139,7 +139,7 @@ def test_stateful_user_totals_carry_across_microbatches(spark, sf_dir, tmp_path)
     parquet halves, maxFilesPerTrigger=1) — the final per-user totals must
     equal one batch groupBy over the whole table, which requires GroupState
     to survive between micro-batches."""
-    src = load_events(spark, sf_dir)  # ts is raw nanos (long) + ts_us
+    src = load_events(spark, sf_dir)  # ts timestamp + ts_us bigint micros
     half_dir = str(tmp_path / "halves")
     base = src.drop("ts_us")
     base.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
@@ -155,7 +155,7 @@ def test_stateful_user_totals_carry_across_microbatches(spark, sf_dir, tmp_path)
         spark.readStream.schema(TESTDATA_SCHEMAS["events"])
         .option("maxFilesPerTrigger", "1")
         .parquet(half_dir)
-        .withColumn("ts_us", F.expr("div(ts, 1000)"))
+        .withColumn("ts_us", F.unix_micros("ts"))
     )
     q = (
         stateful.user_totals_stream(stream)
@@ -238,7 +238,7 @@ def test_hourly_stream_drops_late_microbatch(spark, sf_dir, tmp_path):
         spark.readStream.schema(TESTDATA_SCHEMAS["events"])
         .option("maxFilesPerTrigger", "1")
         .parquet(split_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("div(ts, 1000)")))
+        .withColumn("event_time", F.col("ts"))
     )
     q = (
         events_stream.hourly_counts_stream(stream)
@@ -316,7 +316,7 @@ def test_transformwithstate_matches_applyinpandaswithstate(spark, sf_dir, tmp_pa
         spark.readStream.schema(TESTDATA_SCHEMAS["events"])
         .option("maxFilesPerTrigger", "1")
         .parquet(half_dir)
-        .withColumn("ts_us", F.expr("div(ts, 1000)"))
+        .withColumn("ts_us", F.unix_micros("ts"))
     )
     q = (
         stateful.user_totals_stream_tws(stream)
