@@ -70,6 +70,15 @@ BENCH_QUERIES = [
     "sim_ivf_trained",
     "stream_hourly",
     "stream_sessions",
+    # round-3 corpus-assembly additions: IVF multi-assign near-dup (the
+    # production path replacing the quadratic embedding baseline), the
+    # stratified sampler / source mixer / forget-list resolver, and the
+    # model-based quality scorer
+    "dedup_embedding_ann",
+    "sample_stratified",
+    "corpus_mix",
+    "corpus_forget",
+    "quality_score",
 ]
 
 

@@ -488,6 +488,193 @@ FROM k
 """
 
 
+# --- round-3 additions: stratified sampling, source mixing, forget-list ---
+
+# Per-language keep rates (permille): downsample the dominant language,
+# keep more of the tail — the "rebalance the language mix" step of a
+# multilingual training pipeline. Unlisted languages get the default.
+STRATUM_RATE_PERMILLE = {"en": 300, "de": 700, "es": 700, "fr": 700, "zh": 700}
+STRATUM_DEFAULT_PERMILLE = 500
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (language) downsampling: keep a document
+    iff its md5 bucket falls under its language's keep-rate.
+
+    Same retry-safety argument as :func:`sample_split` — the keep
+    decision is a pure function of (doc_id, lang), never ``rand()``, so
+    task retry / repartitioning / engine change never flips a document,
+    and raising a rate later only ADDS documents (nested samples: the
+    kept set at 30% is a subset of the kept set at 70%, which lets a
+    pipeline dial mixes without resampling history).
+
+    Plan: a rate CASE + one hash per row, filter — pure narrow map, no
+    shuffle, no rate-table join needed (the rate map is a literal
+    expression; at thousands of strata it would become a broadcast
+    join instead)."""
+    d = _docs_tokens(spark, sf_dir)
+    bucket = (
+        texts.hash32(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    rate = F.lit(STRATUM_DEFAULT_PERMILLE)
+    for lang, r in STRATUM_RATE_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            bucket.alias("bucket"),
+            F.size("toks").cast("long").alias("n_tokens"),
+        )
+        .where(F.col("bucket") < rate)
+    )
+
+
+def _stratified_oracle_sql() -> str:
+    b = texts.hash32_sql("'strat:' || CAST(doc_id AS VARCHAR)")
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}"
+        for lang, r in STRATUM_RATE_PERMILLE.items()
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang, {b} % {SPLIT_BUCKETS} AS bucket,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang, bucket, n_tokens
+FROM t
+WHERE bucket < (CASE {arms} ELSE {STRATUM_DEFAULT_PERMILLE} END)
+"""
+
+
+MIX_TOKENS_PER_WEIGHT = 600  # token budget bought by one unit of weight
+
+
+def _source_weight(col: F.Column) -> F.Column:
+    """Deterministic per-source mixing weight 1..3 (derived from the
+    source id; a production pipeline would read these from a config —
+    the shape is what matters: weights drive token budgets)."""
+    return 1 + F.substring(col, 4, 10).cast("int") % 3
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing under a token budget: each source ``s`` may
+    contribute at most ``weight(s) × MIX_TOKENS_PER_WEIGHT`` tokens;
+    documents are admitted in a deterministic hash order until the
+    budget is spent (the doc whose first token lands inside the budget
+    is admitted whole, matching :func:`corpus_pack`'s boundary rule).
+
+    This is the "data mixing weights" step of training-corpus assembly —
+    upweight rare/high-quality sources, cap dominant ones — done as ONE
+    window over (source): cumulative token sum in hash order, filter.
+    Sources mix in parallel; budgets are absolute, so re-running on a
+    grown corpus keeps the same head (hash order is stable) and the mix
+    is reproducible across engines and retries."""
+    d = _docs_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang"),
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+    src = load_table_spread(spark, sf_dir, "documents").select("doc_id", "source")
+    d = d.join(src, "doc_id")
+    from pyspark.sql import Window
+
+    order_key = texts.hash32(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("order_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = (_source_weight(F.col("source")) * MIX_TOKENS_PER_WEIGHT).cast(
+        "long"
+    )
+    return (
+        d.withColumn("order_key", order_key)
+        .withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .where(F.col("tokens_before") < budget)
+        .select(
+            "doc_id",
+            "source",
+            budget.alias("budget_tokens"),
+            "n_tokens",
+            "tokens_before",
+        )
+    )
+
+
+def _mix_oracle_sql() -> str:
+    k = texts.hash32_sql("'mix:' || CAST(doc_id AS VARCHAR)")
+    budget = f"CAST((1 + CAST(substr(source, 4) AS INT) % 3) * {MIX_TOKENS_PER_WEIGHT} AS BIGINT)"
+    return f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           {k} AS order_key
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY order_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS tokens_before
+    FROM t
+)
+SELECT doc_id, source, {budget} AS budget_tokens, n_tokens, tokens_before
+FROM c
+WHERE tokens_before < {budget}
+"""
+
+
+FORGET_STRIDE = 97  # doc_id % 97 == 0 → simulated erasure request
+
+
+def corpus_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forget-list (right-to-erasure / takedown) resolution: given a set
+    of requested doc_ids, return every document that must be removed —
+    the requested docs AND every byte-identical copy of them anywhere in
+    the corpus (erasure that doesn't propagate to duplicates isn't
+    erasure). Output: (doc_id, digest, requested).
+
+    Plan: the request set's content digests are tiny → broadcast
+    semi-join against the corpus digest column; the corpus is scanned
+    once and never shuffled. The actual shard rewrite is
+    ``sources.maintenance.backfill_partitions`` over the partitions that
+    lost rows — this query is the planning step that finds them."""
+    d = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("digest")
+    )
+    req = (
+        d.where(F.col("doc_id") % FORGET_STRIDE == 0)
+        .select("digest")
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(req), "digest", "left_semi")
+        .select(
+            "doc_id",
+            "digest",
+            (F.col("doc_id") % FORGET_STRIDE == 0).alias("requested"),
+        )
+    )
+
+
+def _forget_oracle_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+req AS (SELECT DISTINCT digest FROM d WHERE doc_id % {FORGET_STRIDE} = 0)
+SELECT doc_id, digest, doc_id % {FORGET_STRIDE} = 0 AS requested
+FROM d
+WHERE digest IN (SELECT digest FROM req)
+"""
+
+
 QUERIES = {
     "text_chunk": text_chunk,
     "text_contamination": text_contamination,
@@ -496,6 +683,9 @@ QUERIES = {
     "text_pii": text_pii,
     "corpus_pack": corpus_pack,
     "corpus_shuffle": corpus_shuffle,
+    "sample_stratified": sample_stratified,
+    "corpus_mix": corpus_mix,
+    "corpus_forget": corpus_forget,
 }
 
 ORACLE_SQL = {
@@ -506,4 +696,7 @@ ORACLE_SQL = {
     "text_pii": _pii_oracle_sql(),
     "corpus_pack": _pack_oracle_sql(),
     "corpus_shuffle": _shuffle_oracle_sql(),
+    "sample_stratified": _stratified_oracle_sql(),
+    "corpus_mix": _mix_oracle_sql(),
+    "corpus_forget": _forget_oracle_sql(),
 }

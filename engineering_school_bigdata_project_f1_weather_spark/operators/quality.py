@@ -159,9 +159,113 @@ def observe_counts(df: DataFrame, name: str = "dq") -> tuple[DataFrame, Observat
     )
 
 
+# --- model-based quality scoring over documents ---------------------------
+
+# Fixed-point linear model: a fasttext-style quality classifier's serving
+# path. The weights/thresholds here stand in for offline-trained ones (the
+# synthetic corpus has no labels to train on); what the operator pins is
+# the SERVING shape — engineered features + integer dot product + banding
+# in one narrow scan, exact across engines.
+QS_HIGH = 55_000
+QS_LOW = 25_000
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality score + band (high/mid/low).
+
+    Features (all exact integers, per row): token count, stopword ratio
+    (e6), digit-character ratio (e6). Score = integer-weighted sum;
+    bands by fixed thresholds; ``keep`` = not low. Everything is
+    built-in JVM expressions over ONE scan — no shuffle, no UDF: at
+    100 TB a quality classifier runs as a scan-bound map exactly like
+    this, with the learned weights broadcast as literals."""
+    from ..functions import texts
+    from ..sources.tables import load_table_spread
+
+    d = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", "lang", texts.tokens(F.col("text")).alias("toks"), "text"
+    )
+    n_toks = F.size("toks").cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = F.size(
+        F.filter(
+            F.col("toks"), lambda t: F.lower(t).isin(*texts.STOPWORDS)
+        )
+    ).cast("long")
+    n_digit = F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("long")
+    stop_e6 = F.expr("div(n_stop * 1000000, n_toks)")
+    digit_e6 = F.expr("div(n_digit * 1000000, n_chars)")
+    score = (
+        F.least(F.col("n_toks"), F.lit(64)) * 1000
+        + F.expr("div(stop_e6, 50)")
+        - F.expr("div(digit_e6, 50)")
+    ).cast("long")
+    band = (
+        F.when(F.col("score") >= QS_HIGH, F.lit("high"))
+        .when(F.col("score") >= QS_LOW, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_toks.alias("n_toks"),
+            n_stop.alias("n_stop"),
+            n_digit.alias("n_digit"),
+            n_chars.alias("n_chars"),
+        )
+        .withColumn("stop_e6", stop_e6)
+        .withColumn("digit_e6", digit_e6)
+        .withColumn("score", score)
+        .withColumn("band", band)
+        .withColumn("keep", F.col("band") != "low")
+        .select(
+            "doc_id", "lang", "n_toks", "stop_e6", "digit_e6",
+            "score", "band", "keep",
+        )
+    )
+
+
+def _quality_score_oracle_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in [
+        "the", "a", "of", "is", "and", "to", "in", "it",
+    ])
+    return f"""
+WITH f AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> lower(t) IN ({stop_list}))) AS BIGINT)
+               AS n_stop,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang, n_toks,
+           (n_stop * 1000000) // n_toks AS stop_e6,
+           (n_digit * 1000000) // n_chars AS digit_e6
+    FROM f
+),
+s AS (
+    SELECT doc_id, lang, n_toks, stop_e6, digit_e6,
+           CAST(least(n_toks, 64) * 1000
+                + stop_e6 // 50 - digit_e6 // 50 AS BIGINT) AS score
+    FROM r
+)
+SELECT doc_id, lang, n_toks, stop_e6, digit_e6, score,
+       CASE WHEN score >= {QS_HIGH} THEN 'high'
+            WHEN score >= {QS_LOW} THEN 'mid'
+            ELSE 'low' END AS band,
+       score >= {QS_LOW} AS keep
+FROM s
+"""
+
+
 QUERIES = {
     "dq_lineitem": dq_lineitem,
     "events_json_variant": events_json_variant,
+    "quality_score": quality_score,
 }
 
 ORACLE_SQL = {
@@ -174,4 +278,5 @@ ORACLE_SQL = {
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         FROM events GROUP BY event_type
     """,
+    "quality_score": _quality_score_oracle_sql(),
 }

@@ -87,7 +87,7 @@ def test_quadratic_baselines_guarded(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dedup, "QUADRATIC_GUARD_MAX_ROWS", 10)
     with _pytest.raises(ValueError, match="dedup_minhash_lsh"):
         dedup.dedup_ngram_jaccard(spark, sf_dir)
-    with _pytest.raises(ValueError, match="sim_lsh"):
+    with _pytest.raises(ValueError, match="dedup_embedding_ann"):
         dedup.dedup_embedding(spark, sf_dir)
     # forcing still works
     assert dedup.dedup_ngram_jaccard(spark, sf_dir, allow_quadratic=True).count() > 0
@@ -364,3 +364,95 @@ def test_shuffle_is_deterministic_permutation(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_sample_stratified_rates_and_determinism(spark, sf_dir):
+    """Per-language keep fraction must track the configured permille rate
+    (hash buckets are uniform), and the sample must be bit-stable across
+    runs (no rand() anywhere)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.corpus import (
+        STRATUM_DEFAULT_PERMILLE,
+        STRATUM_RATE_PERMILLE,
+        sample_stratified,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import load_table
+
+    kept = sample_stratified(spark, sf_dir)
+    rows1 = {(r.doc_id, r.lang) for r in kept.collect()}
+    rows2 = {(r.doc_id, r.lang) for r in sample_stratified(spark, sf_dir).collect()}
+    assert rows1 == rows2  # deterministic
+
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept_by_lang = {}
+    for _, lang in rows1:
+        kept_by_lang[lang] = kept_by_lang.get(lang, 0) + 1
+    for lang, total in totals.items():
+        rate = STRATUM_RATE_PERMILLE.get(lang, STRATUM_DEFAULT_PERMILLE) / 1000
+        frac = kept_by_lang.get(lang, 0) / total
+        assert abs(frac - rate) < 0.25, (lang, frac, rate)
+
+
+def test_corpus_mix_budgets_respected(spark, sf_dir):
+    """No source may exceed its token budget by more than one document
+    (the straddling doc is admitted whole), and every non-empty source
+    contributes at least one document (tokens_before of the hash-first
+    doc is 0 < budget)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.corpus import corpus_mix
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import load_table
+
+    rows = corpus_mix(spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(by_src) == n_sources
+    for src, rs in by_src.items():
+        budget = rs[0].budget_tokens
+        total = sum(r.n_tokens for r in rs)
+        max_doc = max(r.n_tokens for r in rs)
+        assert total < budget + max_doc, (src, total, budget)
+        assert all(r.tokens_before < budget for r in rs)
+
+
+def test_corpus_forget_propagates_to_all_copies(spark, sf_dir):
+    """Erasure completeness: every digest in the removal set must bring
+    ALL corpus documents carrying that digest (no partial erasure), and
+    every requested doc_id is present."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.corpus import (
+        FORGET_STRIDE,
+        corpus_forget,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import load_table
+
+    removed = corpus_forget(spark, sf_dir).collect()
+    assert removed
+    removed_ids = {r.doc_id for r in removed}
+    removed_digests = {r.digest for r in removed}
+
+    full = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5("text").alias("digest"))
+        .collect()
+    )
+    for r in full:
+        if r.doc_id % FORGET_STRIDE == 0:
+            assert r.doc_id in removed_ids  # every request honored
+        if r.digest in removed_digests:
+            assert r.doc_id in removed_ids  # propagation complete
+
+
+def test_quality_score_bands_partition(spark, sf_dir):
+    from engineering_school_bigdata_project_f1_weather_spark.operators.quality import quality_score
+
+    rows = quality_score(spark, sf_dir).collect()
+    assert rows
+    assert {r.band for r in rows} <= {"high", "mid", "low"}
+    for r in rows:
+        assert r.keep == (r.band != "low")
