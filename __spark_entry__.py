@@ -33,6 +33,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     multimodal,
     quality,
     reshape,
+    search,
     similarity,
     streamq,
     temporal,
@@ -49,7 +50,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 # tools/selfcheck.py + tests/test_oracles.py.
 _MODULES = [
     events, temporal, multimodal, curate, corpus, reshape, quality,
-    streamq, similarity, marts, analytics, dedup, text,
+    search, streamq, similarity, marts, analytics, dedup, text,
 ]
 
 

@@ -61,6 +61,46 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup MAINTENANCE: merge a new batch's partial
+    aggregates into an existing hourly rollup without touching history —
+    the incremental-view-update shape a 100 TB pipeline uses instead of
+    recomputing a world-sized groupBy every ingest cycle.
+
+    The rollup state here is (n_events, value_cents_sum, first_event_id)
+    — a sum, a sum, and a min: all ASSOCIATIVE, so merging = unionByName
+    + re-aggregate over just (old rollup ∪ new batch partials), touching
+    |rollup| + |batch| rows, never the raw history. The fixture splits
+    events into "already rolled up" (even event_id) and "new batch"
+    (odd); the merged result must be bit-identical to
+    :func:`events_hourly` over the whole table — same oracle, which IS
+    the algebraic-merge proof.
+    """
+    e = load_events(spark, sf_dir).withColumn("value_cents", _cents("value"))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            (F.col("ts_us") - F.col("ts_us") % HOUR_US).alias("hour_us"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents_sum"),
+            F.min("event_id").alias("first_event_id"),
+        )
+
+    existing = rollup(e.where(F.col("event_id") % 2 == 0))
+    batch = rollup(e.where(F.col("event_id") % 2 != 0))
+    return (
+        existing.unionByName(batch)
+        .groupBy("hour_us", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents_sum").cast("long").alias("value_cents_sum"),
+            F.min("first_event_id").alias("first_event_id"),
+        )
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30-min silence.
 
@@ -230,6 +270,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_hourly": events_hourly,
+    "events_hourly_incremental": events_hourly_incremental,
     "events_sessionize": events_sessionize,
     "events_json": events_json,
     "events_anomaly": events_anomaly,
@@ -239,6 +280,16 @@ QUERIES = {
 
 ORACLE_SQL = {
     "events_hourly": f"""
+        SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS value_cents_sum,
+               MIN(event_id) AS first_event_id
+        FROM events GROUP BY 1, 2
+    """,
+    # the merged incremental rollup must equal the full recompute — the
+    # shared oracle IS the algebraic-merge proof.
+    "events_hourly_incremental": f"""
         SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us, event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)

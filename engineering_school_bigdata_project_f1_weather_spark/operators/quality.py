@@ -27,6 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
 
+from ..functions import texts
 from ..sources.tables import load_table
 
 QTY_MIN, QTY_MAX = 1, 50
@@ -159,6 +160,127 @@ def observe_counts(df: DataFrame, name: str = "dq") -> tuple[DataFrame, Observat
     )
 
 
+# --- snapshot reconciliation (CDC-style diff) ------------------------------
+
+DIFF_DELETE_MOD = 19  # rows "added since the old snapshot" (absent in old)
+DIFF_UPDATE_MOD = 17  # rows whose quantity was bumped in the new snapshot
+DIFF_REMOVE_MOD = 23  # old-only phantom rows (shifted key) → "removed"
+
+
+def _li_keyed(df: DataFrame) -> DataFrame:
+    """lineitem with the documented row key concatenated + an integer-exact
+    value digest (quantity is integral; price is cents-quantized — no
+    float-to-string formatting anywhere near the hash)."""
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in ROW_KEY]
+    )
+    digest = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_quantity").cast("long").cast("string"),
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            F.col("l_returnflag"),
+        )
+    )
+    return df.select(key.alias("row_key"), digest.alias("digest"))
+
+
+def lineitem_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RECONCILIATION: diff two versions of a table into
+    added / removed / changed / unchanged counts — the CDC-audit /
+    backfill-verification primitive (does the new lake state differ from
+    the old where, and only where, it should?).
+
+    The "old" snapshot is derived deterministically from the current one
+    (drop every 19th row-key-hash → those register as *added*; bump
+    l_quantity on every 17th → *changed*; add a shifted-key phantom copy
+    of every 23rd → *removed*), so the expected census is checkable and
+    all four ops occur. Plan: ONE full-outer join on the row key comparing value
+    digests, then a single census aggregate — at 100 TB both sides
+    shuffle once on the key (or zero times if both snapshots are
+    bucketed on it, the layout ``SCALE.md §Joins`` pins), and the
+    row-level diff (op != 'unchanged') is the CDC stream a downstream
+    consumer would ingest.
+    """
+    cur = load_table(spark, sf_dir, "lineitem")
+    h = texts.hash32(F.concat_ws("|", *[F.col(c).cast("string") for c in ROW_KEY]))
+    old_src = cur.withColumn("_h", h).where(
+        F.col("_h") % DIFF_DELETE_MOD != 0
+    )
+    old_src = old_src.withColumn(
+        "l_quantity",
+        F.when(
+            F.col("_h") % DIFF_UPDATE_MOD == 0, F.col("l_quantity") + 1
+        ).otherwise(F.col("l_quantity")),
+    ).drop("_h")
+    phantom = cur.withColumn("_h", h).where(
+        F.col("_h") % DIFF_REMOVE_MOD == 0
+    ).withColumn(
+        "l_linenumber", F.col("l_linenumber") + F.lit(100)
+    ).drop("_h")
+    old_src = old_src.unionByName(phantom)
+    new_k = _li_keyed(cur).alias("n")
+    old_k = _li_keyed(old_src).alias("o")
+    joined = new_k.join(old_k, F.col("n.row_key") == F.col("o.row_key"), "full_outer")
+    op = (
+        F.when(F.col("o.row_key").isNull(), F.lit("added"))
+        .when(F.col("n.row_key").isNull(), F.lit("removed"))
+        .when(F.col("n.digest") != F.col("o.digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(op.alias("op"))
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("op")
+    )
+
+
+def _snapshot_diff_oracle_sql() -> str:
+    key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in ROW_KEY)
+    key_phantom = " || '|' || ".join(
+        f"CAST({c} + 100 AS VARCHAR)" if c == "l_linenumber" else f"CAST({c} AS VARCHAR)"
+        for c in ROW_KEY
+    )
+    h = texts.hash32_sql(key)
+    digest = (
+        "md5(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' || "
+        "CAST(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)"
+        " || '|' || l_returnflag)"
+    )
+    digest_bumped = (
+        "md5(CAST(CAST(l_quantity + 1 AS BIGINT) AS VARCHAR) || '|' || "
+        "CAST(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)"
+        " || '|' || l_returnflag)"
+    )
+    return f"""
+WITH cur AS (
+    SELECT {key} AS row_key, {digest} AS digest FROM lineitem
+),
+old AS (
+    SELECT {key} AS row_key,
+           CASE WHEN {h} % {DIFF_UPDATE_MOD} = 0 THEN {digest_bumped}
+                ELSE {digest} END AS digest
+    FROM lineitem
+    WHERE {h} % {DIFF_DELETE_MOD} <> 0
+    UNION ALL
+    SELECT {key_phantom} AS row_key, {digest} AS digest
+    FROM lineitem
+    WHERE {h} % {DIFF_REMOVE_MOD} = 0
+),
+j AS (
+    SELECT CASE WHEN o.row_key IS NULL THEN 'added'
+                WHEN n.row_key IS NULL THEN 'removed'
+                WHEN n.digest <> o.digest THEN 'changed'
+                ELSE 'unchanged' END AS op
+    FROM cur n FULL OUTER JOIN old o ON n.row_key = o.row_key
+)
+SELECT op, COUNT(*) AS n_rows FROM j GROUP BY op ORDER BY op
+"""
+
+
 # --- model-based quality scoring over documents ---------------------------
 
 # Fixed-point linear model: a fasttext-style quality classifier's serving
@@ -266,6 +388,7 @@ QUERIES = {
     "dq_lineitem": dq_lineitem,
     "events_json_variant": events_json_variant,
     "quality_score": quality_score,
+    "lineitem_snapshot_diff": lineitem_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -279,4 +402,5 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     "quality_score": _quality_score_oracle_sql(),
+    "lineitem_snapshot_diff": _snapshot_diff_oracle_sql(),
 }

@@ -1,0 +1,143 @@
+"""Full-text search indexing over ``documents`` — the retrieval side of a
+training-data platform (source inspection, dedup forensics, eval-set
+curation all need "find the docs containing X" at corpus scale):
+
+- ``text_postings`` : the inverted-index BUILD — per-token document
+                      frequency + total term frequency, one (token)
+                      shuffle with map-side combine. At 100 TB this is
+                      the classic index-construction shape: tokenize →
+                      partial (token, doc) counts per split → merge by
+                      token; posting lists shard naturally by the token
+                      hash, and df/tf statistics come out of the same
+                      aggregation that builds them.
+- ``text_search``   : serving a conjunctive-ish bag-of-words query with
+                      TF-IDF ranking — integer-exact idf (see below), one
+                      broadcast of the (tiny) per-token idf table, one
+                      per-doc sum, global top-k via TakeOrderedAndProject.
+
+Determinism contract: idf is the BM25-style odds ratio
+``(N - df + ½) / (df + ½)`` computed in EXACT integer arithmetic as
+``idf_e6 = div((2N - 2df + 1) * 1_000_000, 2 * df + 1)`` — both halves
+scaled by 2 so the ±½ terms stay integral; no float log anywhere (a
+cross-engine ``ln`` would be the only bit-divergence risk, so the
+monotone odds ratio stands in for it; ranking order is what retrieval
+cares about and the two are order-isomorphic). Scores are
+``Σ tf · idf_e6`` BIGINTs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import texts
+from ..sources.tables import load_table_spread
+
+# Bag-of-words query served by text_search (tokens from the fixture's
+# vocabulary; a production system parameterizes this — the PLAN is the
+# deliverable: broadcast idf + one corpus pass + top-k).
+SEARCH_QUERY = ["join", "filter", "vector", "scan"]
+SEARCH_TOPK = 10
+
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token, tf) — one narrow explode + one (doc, token) agg."""
+    d = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", texts.tokens(F.col("text")).alias("toks")
+    )
+    return (
+        d.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistics: per token, document frequency and total
+    term frequency. ONE shuffle keyed on token (partial counts combine
+    map-side); the posting lists themselves shard by the same key — this
+    aggregation IS the index build's reduce phase."""
+    tc = _token_counts(spark, sf_dir)
+    return tc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+def _postings_oracle_sql() -> str:
+    return """
+WITH tc AS (
+    SELECT doc_id, t AS token, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY doc_id, t
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       MIN(doc_id) AS first_doc_id
+FROM tc GROUP BY token
+"""
+
+
+def text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF ranked retrieval for SEARCH_QUERY (bag of words, OR
+    semantics): ``score = Σ_t tf(d,t) · idf_e6(t)`` over the query
+    tokens, integer-exact idf (module docstring), global top-k.
+
+    Plan: the idf table is |query| rows → broadcast; the corpus-side
+    (doc, token, tf) rows for query tokens come off the SAME aggregation
+    shape as the index build (a real deployment reads the prebuilt
+    postings instead — the serving join is identical); one per-doc sum;
+    TakeOrderedAndProject for the top-k (never a global sort).
+    """
+    n_docs = load_table_spread(spark, sf_dir, "documents").count()
+    tc = _token_counts(spark, sf_dir).where(F.col("token").isin(SEARCH_QUERY))
+    df_tbl = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_tbl.select(
+        "token",
+        F.expr(
+            f"div(({2 * n_docs} - 2 * df + 1) * 1000000, 2 * df + 1)"
+        ).alias("idf_e6"),
+    )
+    scored = (
+        tc.join(F.broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_e6")).cast("long").alias("score_e6"))
+    )
+    return scored.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(SEARCH_TOPK)
+
+
+def _search_oracle_sql() -> str:
+    toks = ", ".join(f"'{t}'" for t in SEARCH_QUERY)
+    return f"""
+WITH tc AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    WHERE token IN ({toks})
+    GROUP BY doc_id, token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+    SELECT token,
+           (2 * (SELECT n_docs FROM n) - 2 * COUNT(*) + 1) * 1000000
+               // (2 * COUNT(*) + 1) AS idf_e6
+    FROM tc GROUP BY token
+)
+SELECT doc_id, CAST(SUM(tc.tf * idf.idf_e6) AS BIGINT) AS score_e6
+FROM tc JOIN idf USING (token)
+GROUP BY doc_id
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT {SEARCH_TOPK}
+"""
+
+
+QUERIES = {
+    "text_postings": text_postings,
+    "text_search": text_search,
+}
+
+ORACLE_SQL = {
+    "text_postings": _postings_oracle_sql(),
+    "text_search": _search_oracle_sql(),
+}

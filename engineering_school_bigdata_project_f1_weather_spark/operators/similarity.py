@@ -551,7 +551,12 @@ def _ivf_trained_oracle_sql() -> str:
 ASSIGN_LISTS = 4  # multi-assignment: each vector joins its 4 nearest lists
 
 
-def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CENTROIDS,
+    assign: int = ASSIGN_LISTS,
+) -> DataFrame:
     """Embedding near-dup pairs via IVF MULTI-ASSIGNMENT — the
     candidate-generation production path that replaces the quadratic
     ``dedup.dedup_embedding`` baseline (which stays as the guarded
@@ -571,13 +576,18 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only co-listed pairs. k scales with corpus size (k ≈ n /
     target_list_size), so per-list pair enumeration stays bounded while
     total work grows linearly — the same inverted-list contract as IVF
-    serving, applied to dedup. Compare ``sim_lsh_banded``: hyperplane
+    serving, applied to dedup. Measured at sf0.1 (5k vectors,
+    local[32]): k=16 → 27.5 s (verify-bound), k=64 → 7.2 s (the sweet
+    spot, n/k ≈ 80), k=128 → 13.3 s (training O(n·k) takes over) — the
+    registry/oracle entry pins k=16 for the exact unrolled-CTE oracle;
+    bench.py times the k=n/80-scaled call (``k``/``assign`` are
+    parameters). Compare ``sim_lsh_banded``: hyperplane
     LSH needs sims near 1 to separate from random; a trained coarse
     quantizer adapts to the corpus's actual cluster structure, which is
     why its measured recall at moderate thresholds is 0.95 vs 0.53 here.
     """
     base = _quantized(spark, sf_dir)
-    cents = kmeans_centroids(spark, sf_dir)
+    cents = kmeans_centroids(spark, sf_dir, k=k)
     csim = vectors.sim_e6(
         vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
     )
@@ -592,7 +602,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .where(F.col("rk") <= ASSIGN_LISTS)
+        .where(F.col("rk") <= assign)
         .select("vec_id", "centroid_id")
     )
     cand = (
