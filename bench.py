@@ -77,11 +77,14 @@ BENCH_QUERIES = [
     "corpus_mix",
     "corpus_forget",
     "quality_score",
-    # incremental rollup merge, CDC snapshot diff, search index + serving
+    # incremental rollup merge, CDC snapshot diff, search index + serving,
+    # calendar resample, salted hot-key join
     "events_hourly_incremental",
     "lineitem_snapshot_diff",
     "text_postings",
     "text_search",
+    "events_resample",
+    "events_user_spend_salted",
 ]
 
 

@@ -268,6 +268,79 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLING with gap fill: the hourly count series per
+    event type, with every hour of the observed range present — silent
+    hours filled as 0 and flagged. Downstream consumers (anomaly
+    detectors, forecasting featurizers) need a dense calendar; a naive
+    groupBy emits only hours that happened.
+
+    Plan: the calendar spine is ``sequence(min_hour, max_hour)`` exploded
+    from the ONE-ROW bounds aggregate — pure plan, no driver collect —
+    cross-joined with the distinct type table (|hours| × |types| is
+    metadata-sized next to the fact scan, and both sides of that grid
+    are broadcast); the heavy side stays one partial+final hash agg,
+    then a broadcast left join fills the gaps. At 100 TB nothing here
+    changes: the spine is still tiny, the fact agg still combines
+    map-side."""
+    e = load_events(spark, sf_dir)
+    hour = (F.col("ts_us") - F.col("ts_us") % HOUR_US).alias("hour_us")
+    counts = e.select(hour, "event_type").groupBy("hour_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = e.select(hour).agg(
+        F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_US))
+        ).alias("hour_us")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(F.broadcast(counts), ["hour_us", "event_type"], "left")
+        .select(
+            "hour_us",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n").isNull().alias("filled"),
+        )
+    )
+
+
+def events_user_spend_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment event spend via the SALTED fact-dim join
+    (operators/skew.py): the fact side scatters each user_id across 16
+    deterministic xxhash64 sub-keys, the dim side replicates 16-fold, so
+    a structurally hot user (one key = 30% of a 100 TB fact table —
+    tests/test_skew.py pins the scatter) never lands on one reducer.
+
+    Salting is TRANSPARENT to semantics — the oracle is the plain join —
+    which is exactly the property that makes it safe to deploy: this
+    registry entry makes that transparency a hash-checked contract, not
+    a code comment."""
+    from ..sources.tables import load_table
+    from .skew import salted_join
+
+    e = load_events(spark, sf_dir).withColumn("value_cents", _cents("value"))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(
+        e, dim, on=["user_id"], salt_from=["event_id"], n_salt=16
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents_sum"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_hourly_incremental": events_hourly_incremental,
@@ -276,6 +349,8 @@ QUERIES = {
     "events_anomaly": events_anomaly,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "events_resample": events_resample,
+    "events_user_spend_salted": events_user_spend_salted,
 }
 
 ORACLE_SQL = {
@@ -393,5 +468,34 @@ ORACLE_SQL = {
                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         FROM events GROUP BY event_type
+    """,
+    "events_resample": f"""
+        WITH c AS (
+            SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                   event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT MIN(hour_us) AS lo, MAX(hour_us) AS hi FROM c),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, {HOUR_US})) AS hour_us
+            FROM b
+        ),
+        grid AS (
+            SELECT s.hour_us, t.event_type
+            FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        )
+        SELECT g.hour_us, g.event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+               c.n IS NULL AS filled
+        FROM grid g LEFT JOIN c USING (hour_us, event_type)
+    """,
+    # the oracle is the PLAIN join — salting must be invisible to results.
+    "events_user_spend_salted": """
+        SELECT c_mktsegment, COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS value_cents_sum,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 }
