@@ -171,6 +171,8 @@ def test_operators_handle_empty_corpus(spark, tmp_path):
         src = load_table(spark, "/root/testdata/sf0.001", t)
         src.limit(0).write.parquet(f"{sf}/{t}.parquet")
 
+    from engineering_school_bigdata_project_f1_weather_spark.operators import quality, search
+
     checks = [
         corpus.text_chunk, corpus.text_contamination, corpus.sample_split,
         corpus.text_repetition, text.text_quality, text.text_langid_ngram,
@@ -179,6 +181,14 @@ def test_operators_handle_empty_corpus(spark, tmp_path):
         similarity.sim_lsh, similarity.sim_clusters,
         events.events_sessionize, events.events_anomaly,
         events.events_retention,
+        # round-3 additions: sampling/mix/forget, scoring, search,
+        # resample, salted join, snapshot diff — all empty-in/empty-out
+        corpus.sample_stratified, corpus.corpus_mix, corpus.corpus_forget,
+        quality.quality_score, quality.lineitem_snapshot_diff,
+        search.text_postings, search.text_search,
+        events.events_resample, events.events_user_spend_salted,
+        events.events_hourly_incremental,
+        similarity.dedup_embedding_ann,
     ]
     for fn in checks:
         assert fn(spark, sf).count() == 0, fn.__name__
