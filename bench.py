@@ -176,7 +176,7 @@ EXTRA_BENCH = {
 # wall-time should grow far slower than data size. `--scale-slope` times
 # them at sf0.01 and sf0.1 (x10 rows) and reports the ratio; a
 # super-linear jump is a regression alarm. Results recorded in SCALE.md.
-SLOPE_QUERIES = ["dedup_minhash_lsh", "dedup_components"]
+SLOPE_QUERIES = ["dedup_minhash_lsh", "dedup_components", "sim_lsh_banded", "corpus_curate"]
 
 
 def scale_slope() -> None:

@@ -124,3 +124,38 @@ def test_chunking_adds_no_shuffle(spark, sf_dir):
     plan = _formatted(text_chunk(spark, sf_dir))
     assert "hashpartitioning" not in plan
     assert "explode(sequence" in plan
+
+
+def test_text_search_is_take_ordered_with_broadcast_idf(spark, sf_dir):
+    """Retrieval serving: top-k must compile to TakeOrderedAndProject
+    (never a global sort of all scored docs) and the idf table must be
+    broadcast (it is |query| rows — shuffling the corpus against it
+    would be the scale mistake)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.search import text_search
+
+    plan = _formatted(text_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_events_resample_broadcasts_spine(spark, sf_dir):
+    """The calendar-grid joins must broadcast (spine × types is metadata
+    next to the fact scan) — a SortMergeJoin here would shuffle the
+    whole counts table against a few thousand grid rows."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import events_resample
+
+    plan = _formatted(events_resample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_key_includes_salt(spark, sf_dir):
+    """The salted join's physical join key must include the salt column —
+    that is the property that scatters a hot user_id across reducers."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        events_user_spend_salted,
+    )
+
+    plan = _formatted(events_user_spend_salted(spark, sf_dir))
+    assert "_salt" in plan
