@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "text_search",
     "events_resample",
     "events_user_spend_salted",
+    "events_concurrency",
 ]
 
 

@@ -642,9 +642,11 @@ def corpus_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (erasure that doesn't propagate to duplicates isn't
     erasure). Output: (doc_id, digest, requested).
 
-    Plan: the request set's content digests are tiny → broadcast
-    semi-join against the corpus digest column; the corpus is scanned
-    once and never shuffled. The actual shard rewrite is
+    Plan: a real forget list is request-sized (thousands of rows) → its
+    digests broadcast and the corpus is scanned once, never shuffled.
+    The explicit ``broadcast()`` hint encodes that assumption; for a
+    BULK erasure (a whole source at once) drop the hint and let AQE
+    pick a shuffle join. The actual shard rewrite is
     ``sources.maintenance.backfill_partitions`` over the partitions that
     lost rows — this query is the planning step that finds them."""
     d = load_table_spread(spark, sf_dir, "documents").select(

@@ -341,6 +341,72 @@ def events_user_spend_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAY_US = 24 * HOUR_US
+
+
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap analytics: PEAK CONCURRENT SESSIONS per day — the
+    classic +1/-1 boundary sweep, made scale-exact by day partitioning
+    with carry-in.
+
+    A naive sweep needs one GLOBAL ordering (one reducer owns the whole
+    timeline). Instead: boundaries partition by day, each day's running
+    sum starts from ``carry_in`` = sessions already active at the day
+    boundary (a tiny days×sessions range join), and
+    ``peak = carry_in + max(0, running)`` — bit-identical to the global
+    sweep, but every window shuffle is keyed on day and the timeline
+    parallelizes. Closed-interval ties: at equal ts the +1 sorts before
+    the -1 (order by ts, delta DESC), so a session starting the instant
+    another ends counts both. Days with no session boundary are omitted
+    (their concurrency is the constant carry-in; union the calendar
+    spine of :func:`events_resample` if a dense series is needed)."""
+    sess = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_start_us", "session_end_us"
+    )
+    starts = sess.select(
+        F.col("session_start_us").alias("ts"), F.lit(1).alias("delta")
+    )
+    ends = sess.select(
+        F.col("session_end_us").alias("ts"), F.lit(-1).alias("delta")
+    )
+    b = starts.unionByName(ends).withColumn(
+        "day_us", F.col("ts") - F.col("ts") % DAY_US
+    )
+    days = b.select("day_us").distinct()
+    carry = (
+        days.join(
+            sess,
+            (F.col("session_start_us") < F.col("day_us"))
+            & (F.col("session_end_us") >= F.col("day_us")),
+        )
+        .groupBy("day_us")
+        .agg(F.count(F.lit(1)).alias("carry_in"))
+    )
+    w = (
+        Window.partitionBy("day_us")
+        .orderBy(F.asc("ts"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = (
+        b.withColumn("running", F.sum("delta").over(w))
+        .groupBy("day_us")
+        .agg(F.max("running").alias("peak_delta"))
+    )
+    return (
+        peak.join(carry, "day_us", "left")
+        .select(
+            "day_us",
+            (
+                F.coalesce("carry_in", F.lit(0))
+                + F.greatest(F.lit(0), F.col("peak_delta"))
+            )
+            .cast("long")
+            .alias("peak_concurrent"),
+        )
+        .orderBy("day_us")
+    )
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_hourly_incremental": events_hourly_incremental,
@@ -351,6 +417,7 @@ QUERIES = {
     "events_retention": events_retention,
     "events_resample": events_resample,
     "events_user_spend_salted": events_user_spend_salted,
+    "events_concurrency": events_concurrency,
 }
 
 ORACLE_SQL = {
@@ -488,6 +555,57 @@ ORACLE_SQL = {
                CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
                c.n IS NULL AS filled
         FROM grid g LEFT JOIN c USING (hour_us, event_type)
+    """,
+    "events_concurrency": f"""
+        WITH flagged AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        sq AS (
+            SELECT *, CAST(SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_seq
+            FROM flagged
+        ),
+        sess AS (
+            SELECT user_id, session_seq,
+                   MIN(ts_us) AS session_start_us,
+                   MAX(ts_us) AS session_end_us
+            FROM sq GROUP BY user_id, session_seq
+        ),
+        b AS (
+            SELECT session_start_us AS ts, 1 AS delta FROM sess
+            UNION ALL
+            SELECT session_end_us AS ts, -1 AS delta FROM sess
+        ),
+        bd AS (SELECT ts, delta, ts - ts % {DAY_US} AS day_us FROM b),
+        days AS (SELECT DISTINCT day_us FROM bd),
+        carry AS (
+            SELECT d.day_us, COUNT(*) AS carry_in
+            FROM days d JOIN sess s
+              ON s.session_start_us < d.day_us AND s.session_end_us >= d.day_us
+            GROUP BY d.day_us
+        ),
+        run AS (
+            SELECT day_us, CAST(SUM(delta) OVER (
+                PARTITION BY day_us ORDER BY ts ASC, delta DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS running
+            FROM bd
+        ),
+        peak AS (
+            SELECT day_us, MAX(running) AS peak_delta FROM run GROUP BY day_us
+        )
+        SELECT p.day_us,
+               CAST(COALESCE(c.carry_in, 0)
+                    + GREATEST(0, p.peak_delta) AS BIGINT) AS peak_concurrent
+        FROM peak p LEFT JOIN carry c USING (day_us)
+        ORDER BY p.day_us
     """,
     # the oracle is the PLAIN join — salting must be invisible to results.
     "events_user_spend_salted": """

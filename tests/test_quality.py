@@ -40,3 +40,34 @@ def test_observe_adds_no_extra_scan(spark, sf_dir):
     observed, _obs = quality.observe_counts(l)
     plan = observed._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_events_concurrency_matches_bruteforce(spark, sf_dir):
+    """The day-partitioned +1/-1 sweep with carry-in must equal the
+    brute-force definition: for each day, the max over {day-start} ∪
+    {boundary instants in the day} of the number of sessions whose
+    closed interval covers the instant."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        DAY_US,
+        events_concurrency,
+        events_sessionize,
+    )
+
+    sess = [
+        (r.session_start_us, r.session_end_us)
+        for r in events_sessionize(spark, sf_dir).collect()
+    ]
+    got = {r.day_us: r.peak_concurrent for r in events_concurrency(spark, sf_dir).collect()}
+    assert got
+
+    def active(t):
+        return sum(1 for s, e in sess if s <= t <= e)
+
+    for day, peak in got.items():
+        instants = {day}
+        for s, e in sess:
+            for t in (s, e):
+                if day <= t < day + DAY_US:
+                    instants.add(t)
+        expect = max(active(t) for t in instants)
+        assert peak == expect, (day, peak, expect)
