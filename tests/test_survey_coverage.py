@@ -234,3 +234,51 @@ def test_s10_dashboard_saved_object():
         assert (g["x"], g["y"]) not in cells
         cells.add((g["x"], g["y"]))
     assert [p["panelIndex"] for p in panels] == [str(i + 1) for i in range(7)]
+
+
+def test_s8_esbulk_writer_datasource(spark, sf_dir, tmp_path):
+    """S8/S9 as a pluggable WRITER connector: partition-parallel bulk-body
+    staging, all-or-nothing publish on commit, NDJSON action/doc pairs."""
+    import json
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators.marts import q1_wins
+    from engineering_school_bigdata_project_f1_weather_spark.sources.esbulk_datasource import (
+        EsBulkDataSource,
+    )
+
+    spark.dataSource.register(EsBulkDataSource)
+    out = str(tmp_path / "esbulk")
+    df = q1_wins(spark, sf_dir)
+    n = df.count()
+    df.write.format("esbulk").option("path", out).option(
+        "index", "f1_wins"
+    ).mode("append").save()
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".ndjson"))
+    assert files
+    docs = 0
+    for fn in files:
+        lines = open(os.path.join(out, fn)).read().splitlines()
+        assert len(lines) % 2 == 0
+        for i in range(0, len(lines), 2):
+            action = json.loads(lines[i])
+            assert action == {"index": {"_index": "f1_wins"}}
+            json.loads(lines[i + 1])  # source doc parses
+        docs += len(lines) // 2
+    assert docs == n
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_docs"] == n
+    assert sum(e["n_docs"] for e in manifest["files"]) == n
+    # no staged leftovers after a clean commit
+    assert not os.path.exists(os.path.join(out, "_staging")) or not os.listdir(
+        os.path.join(out, "_staging")
+    )
+
+    # overwrite republish: same doc count, no duplicated bulk bodies
+    df.write.format("esbulk").option("path", out).option(
+        "index", "f1_wins"
+    ).mode("overwrite").save()
+    manifest2 = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest2["n_docs"] == n
