@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "events_resample",
     "events_user_spend_salted",
     "events_concurrency",
+    "text_hash_embed",
 ]
 
 

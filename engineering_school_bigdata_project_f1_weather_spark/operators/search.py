@@ -132,12 +132,66 @@ LIMIT {SEARCH_TOPK}
 """
 
 
+EMBED_DIM = 64  # matches the embeddings fixture dimension
+
+
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings — the in-engine text→vector
+    bridge (no external model): every token hashes to a dimension
+    ``md5_32(token) % DIM`` with a sign bit from the hash's next bit,
+    and the document vector is the signed token-count sum per dimension
+    (the classic hashing trick; collisions are the accepted noise).
+
+    Output is LONG FORM (doc_id, pos, val) with zero dimensions omitted
+    — the exact-integer, engine-neutral representation; reassembling
+    ``array_sort(collect_list(struct(pos,val)))`` per doc (as
+    ``kmeans_centroids`` does) yields the dense column the similarity
+    stack consumes, so documents can enter ``sim_*`` /
+    ``dedup_embedding_ann`` without a model server. Plan: explode →
+    ONE (doc, pos) partial-agg shuffle, map-side combinable —
+    featurization at 100 TB is the same linear shape as token counting.
+    """
+    tc = _token_counts(spark, sf_dir)
+    h = texts.hash32(F.col("token"))
+    pos = (h % EMBED_DIM).alias("pos")
+    sign = F.when((F.floor(h / EMBED_DIM) % 2) == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        tc.select("doc_id", pos, (sign * F.col("tf")).alias("sv"))
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("sv").cast("long").alias("val"))
+    )
+
+
+def _hash_embed_oracle_sql() -> str:
+    h = texts.hash32_sql("token")
+    return f"""
+WITH tc AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id, token
+),
+sv AS (
+    SELECT doc_id, {h} % {EMBED_DIM} AS pos,
+           (CASE WHEN ({h} // {EMBED_DIM}) % 2 = 0 THEN 1 ELSE -1 END) * tf
+               AS sv
+    FROM tc
+)
+SELECT doc_id, pos, CAST(SUM(sv) AS BIGINT) AS val
+FROM sv GROUP BY doc_id, pos
+"""
+
+
 QUERIES = {
     "text_postings": text_postings,
     "text_search": text_search,
+    "text_hash_embed": text_hash_embed,
 }
 
 ORACLE_SQL = {
     "text_postings": _postings_oracle_sql(),
     "text_search": _search_oracle_sql(),
+    "text_hash_embed": _hash_embed_oracle_sql(),
 }

@@ -99,3 +99,33 @@ def test_embedding_ann_recall_vs_exact_quadratic(spark, sf_dir):
     assert recall >= 0.9, f"ANN recall too low: {recall}"
     # every reported pair is verified exact — no false positives possible
     assert got <= truth
+
+
+def test_hash_embed_feeds_similarity_stack(spark, sf_dir):
+    """The featurization bridge: long-form hashed embeddings reassemble
+    into dense integer vectors the cosine machinery accepts — every doc
+    gets a vector with positive norm and at most EMBED_DIM dimensions."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import vectors
+    from engineering_school_bigdata_project_f1_weather_spark.operators.search import (
+        EMBED_DIM,
+        text_hash_embed,
+    )
+
+    long_form = text_hash_embed(spark, sf_dir)
+    assert long_form.groupBy("doc_id").count().where(
+        F.col("count") > EMBED_DIM
+    ).count() == 0
+
+    dense = (
+        long_form.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv")
+        )
+        .select(
+            "doc_id", F.transform("pv", lambda s: s["val"]).alias("sparse_q")
+        )
+        .withColumn("n2", vectors.norm2(F.col("sparse_q")))
+    )
+    assert dense.where(F.col("n2") <= 0).count() == 0
