@@ -42,12 +42,15 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 
 # Order matters: the driver's correctness gate checks the first 50 registry
 # entries in module order.  Round 2 witnessed marts/analytics/dedup/
-# similarity/text; round 3 fronts the previously-unwitnessed modules
-# (events tail, temporal, multimodal, curate, corpus, reshape, quality) plus
-# similarity (new sim_lsh_banded) so every query has a driver-green row in
-# r2 ∪ r3.  The entries that fall past 50 here (analytics tail, dedup, text)
-# all have driver-green rows from CORRECTNESS_r02.json and stay covered by
-# tools/selfcheck.py + tests/test_oracles.py.
+# similarity-head/text; round 3 fronts every previously-unwitnessed or
+# new module (events incl. the round-3 incremental/resample/salted/
+# concurrency entries, temporal, multimodal, curate, corpus incl.
+# stratified/mix/forget, reshape, quality incl. score/diff, search,
+# streamq, all of similarity incl. banded LSH + ANN dedup) so the union
+# r2 ∪ r3 gives every one of the 91 entries a driver-green row.  The
+# entries past 50 here (marts tail, analytics, dedup, text) were all
+# green in CORRECTNESS_r02.json and stay covered by tools/selfcheck.py +
+# tests/test_oracles.py.
 _MODULES = [
     events, temporal, multimodal, curate, corpus, reshape, quality,
     search, streamq, similarity, marts, analytics, dedup, text,
