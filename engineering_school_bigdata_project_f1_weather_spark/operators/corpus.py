@@ -555,8 +555,10 @@ MIX_TOKENS_PER_WEIGHT = 600  # token budget bought by one unit of weight
 def _source_weight(col: F.Column) -> F.Column:
     """Deterministic per-source mixing weight 1..3 (derived from the
     source id; a production pipeline would read these from a config —
-    the shape is what matters: weights drive token budgets)."""
-    return 1 + F.substring(col, 4, 10).cast("int") % 3
+    the shape is what matters: weights drive token budgets). Unbounded
+    substr + BIGINT cast so Spark and the oracle agree for ANY suffix
+    length, not just the fixture's."""
+    return 1 + F.substring(col, 4, 1_000_000).cast("long") % 3
 
 
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,7 +612,7 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mix_oracle_sql() -> str:
     k = texts.hash32_sql("'mix:' || CAST(doc_id AS VARCHAR)")
-    budget = f"CAST((1 + CAST(substr(source, 4) AS INT) % 3) * {MIX_TOKENS_PER_WEIGHT} AS BIGINT)"
+    budget = f"CAST((1 + CAST(substr(source, 4) AS BIGINT) % 3) * {MIX_TOKENS_PER_WEIGHT} AS BIGINT)"
     return f"""
 WITH t AS (
     SELECT doc_id, source,

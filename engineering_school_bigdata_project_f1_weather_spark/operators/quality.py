@@ -349,9 +349,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_score_oracle_sql() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in [
-        "the", "a", "of", "is", "and", "to", "in", "it",
-    ])
+    stop_list = ", ".join(f"'{w}'" for w in texts.STOPWORDS)
     return f"""
 WITH f AS (
     SELECT doc_id, lang,

@@ -84,19 +84,23 @@ def text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics): ``score = Σ_t tf(d,t) · idf_e6(t)`` over the query
     tokens, integer-exact idf (module docstring), global top-k.
 
-    Plan: the idf table is |query| rows → broadcast; the corpus-side
-    (doc, token, tf) rows for query tokens come off the SAME aggregation
+    Plan: the idf table is |query| rows → broadcast; n_docs is a one-row
+    aggregate cross-joined in-plan (no driver-side count scan — same
+    move as events_resample's bounds spine); the corpus-side (doc,
+    token, tf) rows for query tokens come off the SAME aggregation
     shape as the index build (a real deployment reads the prebuilt
     postings instead — the serving join is identical); one per-doc sum;
     TakeOrderedAndProject for the top-k (never a global sort).
     """
-    n_docs = load_table_spread(spark, sf_dir, "documents").count()
+    n_docs_df = load_table_spread(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     tc = _token_counts(spark, sf_dir).where(F.col("token").isin(SEARCH_QUERY))
     df_tbl = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_tbl.select(
+    idf = df_tbl.crossJoin(F.broadcast(n_docs_df)).select(
         "token",
         F.expr(
-            f"div(({2 * n_docs} - 2 * df + 1) * 1000000, 2 * df + 1)"
+            "div((2 * n_docs - 2 * df + 1) * 1000000, 2 * df + 1)"
         ).alias("idf_e6"),
     )
     scored = (

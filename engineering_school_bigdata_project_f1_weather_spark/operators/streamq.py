@@ -37,9 +37,17 @@ GAP_US = 1_800_000_000  # streaming/events_stream.py SESSION_GAP
 
 def _drain(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
     """availableNow drain into a uniquely-named memory sink (the driver may
-    call an entry repeatedly in one session; names must not collide)."""
+    call an entry repeatedly in one session; names must not collide).
+
+    The sink table is COPIED into a local DataFrame and dropped before
+    returning — a memory sink holds the full materialized result in the
+    driver for the session lifetime, so leaving one registered per call
+    would accumulate a result-set per invocation."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    return events_stream.run_available_now(df, name, spark)
+    out = events_stream.run_available_now(df, name, spark)
+    copied = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    return copied
 
 
 def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

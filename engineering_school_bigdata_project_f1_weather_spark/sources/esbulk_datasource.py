@@ -45,12 +45,16 @@ class EsBulkCommit(WriterCommitMessage):
 
 
 class EsBulkWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool):
         if "path" not in options:
             raise ValueError("esbulk writer requires .option('path', ...)")
         self.path = options["path"]
         self.index = options.get("index", "mart")
         self.staging = os.path.join(self.path, "_staging")
+        self.overwrite = overwrite
+        # per-JOB id: published file names must be unique across jobs so
+        # an append never clobbers an earlier job's committed parts.
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator: Iterator) -> EsBulkCommit:
         os.makedirs(self.staging, exist_ok=True)
@@ -64,12 +68,30 @@ class EsBulkWriter(DataSourceWriter):
         return EsBulkCommit(staged, n)
 
     def commit(self, messages) -> None:
-        manifest = []
+        """Driver-side, runs only after every partition succeeded. ALL
+        destructive steps live here: an overwrite clears the previous
+        publish only once the replacement is fully staged, so a failed
+        job always leaves the prior committed state intact."""
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        if self.overwrite:
+            for fn in os.listdir(self.path):
+                if fn.endswith(".ndjson"):
+                    os.remove(os.path.join(self.path, fn))
+            prior: list = []
+        else:
+            prior = (
+                json.load(open(manifest_path))["files"]
+                if os.path.exists(manifest_path)
+                else []
+            )
+        manifest = list(prior)
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.ndjson")
+            final = os.path.join(
+                self.path, f"part-{self.job_id}-{i:05d}.ndjson"
+            )
             os.replace(m.staged_path, final)
             manifest.append({"file": os.path.basename(final), "n_docs": m.n_docs})
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        with open(manifest_path, "w") as f:
             json.dump(
                 {"index": self.index, "files": manifest,
                  "n_docs": sum(e["n_docs"] for e in manifest)},
@@ -92,11 +114,4 @@ class EsBulkDataSource(DataSource):
         return "esbulk"
 
     def writer(self, schema, overwrite: bool) -> EsBulkWriter:
-        if overwrite:
-            # publish-over: clear previously committed bulk bodies
-            path = self.options["path"]
-            if os.path.isdir(path):
-                for fn in os.listdir(path):
-                    if fn.endswith(".ndjson") or fn == "_MANIFEST.json":
-                        os.remove(os.path.join(path, fn))
-        return EsBulkWriter(dict(self.options))
+        return EsBulkWriter(dict(self.options), overwrite)

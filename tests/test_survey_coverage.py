@@ -276,9 +276,23 @@ def test_s8_esbulk_writer_datasource(spark, sf_dir, tmp_path):
         os.path.join(out, "_staging")
     )
 
-    # overwrite republish: same doc count, no duplicated bulk bodies
+    # append again: a second job must ADD its docs, never clobber the
+    # first job's committed parts (per-job-unique published names)
+    df.write.format("esbulk").option("path", out).option(
+        "index", "f1_wins"
+    ).mode("append").save()
+    manifest2 = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest2["n_docs"] == 2 * n
+    assert len({e["file"] for e in manifest2["files"]}) == len(manifest2["files"])
+
+    # overwrite republish: prior bodies replaced only on successful commit
     df.write.format("esbulk").option("path", out).option(
         "index", "f1_wins"
     ).mode("overwrite").save()
-    manifest2 = json.load(open(os.path.join(out, "_MANIFEST.json")))
-    assert manifest2["n_docs"] == n
+    manifest3 = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest3["n_docs"] == n
+    ndjson_docs = 0
+    for fn in os.listdir(out):
+        if fn.endswith(".ndjson"):
+            ndjson_docs += len(open(os.path.join(out, fn)).read().splitlines()) // 2
+    assert ndjson_docs == n
