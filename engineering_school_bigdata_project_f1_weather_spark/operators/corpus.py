@@ -556,9 +556,12 @@ def _source_weight(col: F.Column) -> F.Column:
     """Deterministic per-source mixing weight 1..3 (derived from the
     source id; a production pipeline would read these from a config —
     the shape is what matters: weights drive token budgets). Unbounded
-    substr + BIGINT cast so Spark and the oracle agree for ANY suffix
-    length, not just the fixture's."""
-    return 1 + F.substring(col, 4, 1_000_000).cast("long") % 3
+    substr + try_cast with an explicit default (ADVICE r3): a non-numeric
+    or short suffix yields weight 1 in BOTH engines instead of a NULL
+    budget that silently drops the source in Spark while the oracle's
+    plain cast errors loudly."""
+    num = F.substring(col, 4, 1_000_000).try_cast("long")
+    return 1 + F.coalesce(num % 3, F.lit(0))
 
 
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,7 +615,10 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mix_oracle_sql() -> str:
     k = texts.hash32_sql("'mix:' || CAST(doc_id AS VARCHAR)")
-    budget = f"CAST((1 + CAST(substr(source, 4) AS BIGINT) % 3) * {MIX_TOKENS_PER_WEIGHT} AS BIGINT)"
+    budget = (
+        f"CAST((1 + COALESCE(TRY_CAST(substr(source, 4) AS BIGINT) % 3, 0))"
+        f" * {MIX_TOKENS_PER_WEIGHT} AS BIGINT)"
+    )
     return f"""
 WITH t AS (
     SELECT doc_id, source,

@@ -315,8 +315,12 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("long")
     n_digit = F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("long")
-    stop_e6 = F.expr("div(n_stop * 1000000, n_toks)")
-    digit_e6 = F.expr("div(n_digit * 1000000, n_chars)")
+    # Zero-denominator guard (ADVICE r3): an empty text has n_chars = 0
+    # (and a defensive n_toks = 0 guard to match) — the ratio is defined
+    # as 0 in BOTH engines, so score/band/keep are never NULL and the
+    # ANSI-mode driver session can't hit a divide-by-zero error.
+    stop_e6 = F.expr("if(n_toks = 0, 0L, div(n_stop * 1000000, n_toks))")
+    digit_e6 = F.expr("if(n_chars = 0, 0L, div(n_digit * 1000000, n_chars))")
     score = (
         F.least(F.col("n_toks"), F.lit(64)) * 1000
         + F.expr("div(stop_e6, 50)")
@@ -340,7 +344,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("digit_e6", digit_e6)
         .withColumn("score", score)
         .withColumn("band", band)
-        .withColumn("keep", F.col("band") != "low")
+        # keep is defined as score >= QS_LOW in BOTH engines (ADVICE r3:
+        # `band != 'low'` diverged from the oracle for NULL scores; with
+        # the guards above score is never NULL, and this form is textually
+        # identical to the oracle's predicate).
+        .withColumn("keep", F.col("score") >= QS_LOW)
         .select(
             "doc_id", "lang", "n_toks", "stop_e6", "digit_e6",
             "score", "band", "keep",
@@ -363,8 +371,10 @@ WITH f AS (
 ),
 r AS (
     SELECT doc_id, lang, n_toks,
-           (n_stop * 1000000) // n_toks AS stop_e6,
-           (n_digit * 1000000) // n_chars AS digit_e6
+           CASE WHEN n_toks = 0 THEN 0
+                ELSE (n_stop * 1000000) // n_toks END AS stop_e6,
+           CASE WHEN n_chars = 0 THEN 0
+                ELSE (n_digit * 1000000) // n_chars END AS digit_e6
     FROM f
 ),
 s AS (

@@ -147,7 +147,10 @@ def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the classic hashing trick; collisions are the accepted noise).
 
     Output is LONG FORM (doc_id, pos, val) with zero dimensions omitted
-    — the exact-integer, engine-neutral representation; reassembling
+    — including dimensions whose signed counts cancel to exactly 0
+    (filtered in BOTH engines, ADVICE r3), so the sparse form is truly
+    nonzero-only — the exact-integer, engine-neutral representation;
+    reassembling
     ``array_sort(collect_list(struct(pos,val)))`` per doc (as
     ``kmeans_centroids`` does) yields the dense column the similarity
     stack consumes, so documents can enter ``sim_*`` /
@@ -165,6 +168,7 @@ def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tc.select("doc_id", pos, (sign * F.col("tf")).alias("sv"))
         .groupBy("doc_id", "pos")
         .agg(F.sum("sv").cast("long").alias("val"))
+        .where(F.col("val") != 0)
     )
 
 
@@ -185,6 +189,7 @@ sv AS (
 )
 SELECT doc_id, pos, CAST(SUM(sv) AS BIGINT) AS val
 FROM sv GROUP BY doc_id, pos
+HAVING CAST(SUM(sv) AS BIGINT) != 0
 """
 
 

@@ -549,6 +549,18 @@ def _ivf_trained_oracle_sql() -> str:
 
 
 ASSIGN_LISTS = 4  # multi-assignment: each vector joins its 4 nearest lists
+TARGET_LIST_SIZE = 80  # deployment sizing: k ≈ n / TARGET_LIST_SIZE
+
+
+def scaled_ann_params(n: int) -> tuple[int, int]:
+    """(k, assign) a deployment would use for :func:`dedup_embedding_ann`
+    on an ``n``-vector corpus: k ≈ n/TARGET_LIST_SIZE bounds the per-list
+    verify term (expected pairs/list ~ (n·assign/k)²·k), while ``assign``
+    stays at the recall-pinned ASSIGN_LISTS — raising it quadruples verify
+    work per doubling for marginal recall (measured sweep in the
+    :func:`dedup_embedding_ann` docstring; recall at this configuration is
+    pinned in tests/test_similarity.py)."""
+    return max(K_CENTROIDS, n // TARGET_LIST_SIZE), ASSIGN_LISTS
 
 
 def dedup_embedding_ann(

@@ -10,9 +10,10 @@ replays every row before the final watermark close, so the drained
 aggregate equals the batch aggregate bit-for-bit.
 
 Scale notes live with the stream builders: watermark-bounded state,
-complete-mode windowed aggs, file-source micro-batching. The memory sink
-here is the drain harness, not the production sink (that's a parquet/
-Kafka ``writeStream`` with the same plan).
+complete-mode windowed aggs, file-source micro-batching. The drain here
+goes through a FILE sink (foreachBatch parquet overwrite) so the result
+is executor-written and read back lazily — no driver-resident copy at
+any scale.
 
 Boundary caveat (documented, not hit by the fixture): Spark's
 ``session_window`` closes a session when the next event is >= gap away
@@ -24,6 +25,8 @@ fixture has none at any SF (checked 0.001/0.01/0.1).
 
 from __future__ import annotations
 
+import os
+import tempfile
 import uuid
 
 import pyspark.sql.functions as F
@@ -36,18 +39,18 @@ GAP_US = 1_800_000_000  # streaming/events_stream.py SESSION_GAP
 
 
 def _drain(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
-    """availableNow drain into a uniquely-named memory sink (the driver may
-    call an entry repeatedly in one session; names must not collide).
+    """availableNow drain through a FILE sink into a uniquely-named temp
+    parquet directory (the driver may call an entry repeatedly in one
+    session; names must not collide).
 
-    The sink table is COPIED into a local DataFrame and dropped before
-    returning — a memory sink holds the full materialized result in the
-    driver for the session lifetime, so leaving one registered per call
-    would accumulate a result-set per invocation."""
-    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    out = events_stream.run_available_now(df, name, spark)
-    copied = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.dropTempView(name)
-    return copied
+    The drained result is written by the executors and read back lazily —
+    no result row is ever driver-resident, so the drain harness itself is
+    scale-safe (the previous memory-sink drain copied the full result to
+    the driver, which for per-user-session output grows with the data)."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_drain_{prefix}_{uuid.uuid4().hex[:8]}"
+    )
+    return events_stream.run_available_now_to_parquet(df, path, spark)
 
 
 def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

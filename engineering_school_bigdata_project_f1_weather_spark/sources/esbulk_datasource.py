@@ -68,23 +68,33 @@ class EsBulkWriter(DataSourceWriter):
         return EsBulkCommit(staged, n)
 
     def commit(self, messages) -> None:
-        """Driver-side, runs only after every partition succeeded. ALL
-        destructive steps live here: an overwrite clears the previous
-        publish only once the replacement is fully staged, so a failed
-        job always leaves the prior committed state intact."""
+        """Driver-side, runs only after every partition succeeded.
+
+        Publish order (ADVICE r3 — crash-safe at every step): (1) rename
+        the staged replacements into the target directory — their
+        job-unique names cannot collide with prior files; (2) rewrite the
+        manifest to the new state; (3) only then delete the files the
+        manifest no longer references (overwrite's garbage collection).
+        A crash before (2) leaves the prior manifest pointing at prior
+        files that all still exist; a crash during (3) leaves stray
+        unreferenced .ndjson files but never a manifest entry for a
+        deleted file — readers follow the manifest, so the committed
+        state is always consistent."""
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        prior = (
+            json.load(open(manifest_path))["files"]
+            if os.path.exists(manifest_path)
+            else []
+        )
         if self.overwrite:
-            for fn in os.listdir(self.path):
-                if fn.endswith(".ndjson"):
-                    os.remove(os.path.join(self.path, fn))
-            prior: list = []
+            os.makedirs(self.path, exist_ok=True)
+            to_remove = [
+                fn for fn in os.listdir(self.path) if fn.endswith(".ndjson")
+            ]
+            manifest: list = []
         else:
-            prior = (
-                json.load(open(manifest_path))["files"]
-                if os.path.exists(manifest_path)
-                else []
-            )
-        manifest = list(prior)
+            to_remove = []
+            manifest = list(prior)
         for i, m in enumerate(messages):
             final = os.path.join(
                 self.path, f"part-{self.job_id}-{i:05d}.ndjson"
@@ -97,6 +107,11 @@ class EsBulkWriter(DataSourceWriter):
                  "n_docs": sum(e["n_docs"] for e in manifest)},
                 f,
             )
+        for fn in to_remove:
+            try:
+                os.remove(os.path.join(self.path, fn))
+            except FileNotFoundError:
+                pass
         try:
             os.rmdir(self.staging)
         except OSError:

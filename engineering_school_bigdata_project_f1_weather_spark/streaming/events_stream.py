@@ -120,7 +120,9 @@ def enriched_counts_stream(events: DataFrame, users: DataFrame) -> DataFrame:
 
 def run_available_now(df: DataFrame, table_name: str, spark: SparkSession) -> DataFrame:
     """Drain the stream with the availableNow trigger into a memory sink and
-    return the materialized result (test/dev helper)."""
+    return the materialized result (test/dev helper; the memory sink holds
+    the full result on the driver — use ``run_available_now_to_parquet``
+    for anything whose result scales with the data)."""
     q = (
         df.writeStream.format("memory")
         .queryName(table_name)
@@ -130,3 +132,35 @@ def run_available_now(df: DataFrame, table_name: str, spark: SparkSession) -> Da
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def run_available_now_to_parquet(
+    df: DataFrame, path: str, spark: SparkSession
+) -> DataFrame:
+    """Drain the stream with the availableNow trigger through a file sink
+    and return a lazy reader over the drained directory.
+
+    ``foreachBatch`` runs in complete mode (the native parquet sink is
+    append-only, which with availableNow can leave the final watermark
+    window unemitted); each micro-batch overwrites the directory with the
+    full current result, so after the final batch the directory holds the
+    completed aggregate. The write is a normal distributed parquet write —
+    executors write their own partitions and no result row ever lands on
+    the driver, at any scale. The returned DataFrame is a plain
+    ``spark.read.parquet`` over the drained files."""
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    q = (
+        df.writeStream.foreachBatch(_write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    if not os.path.isdir(path):  # empty source: no batch ever fired
+        return spark.createDataFrame([], df.schema)
+    return spark.read.parquet(path)
