@@ -20,6 +20,7 @@ vs the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -297,7 +298,30 @@ def kmeans_centroids(
     """
     base = _quantized(spark, sf_dir).cache()
     cents = _seed_centroids(base, k).localCheckpoint()
+    # Loop-scoped shuffle sizing (same move as propagate_components): the
+    # per-iteration shuffles carry n·assign / k·DIM rows, so at bench scale
+    # 32 partitions are pure stage-scheduling overhead (~2 s/iteration of
+    # empty tasks); size them to the data and restore the session conf
+    # after. At cluster scale the formula climbs back to the session value.
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_vecs = base.count()  # cache() above makes this a one-time cheap scan
+    loop_parts = max(4, min(int(saved_parts), n_vecs // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        cents = _kmeans_iterations(base, cents, k, iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    return cents
+
+
+def _kmeans_iterations(base, cents, k: int, iters: int):
     for _ in range(iters):
+        # Assignment stays on the JVM expression path: at n×k rows the
+        # interpreted dot cost is small, while an Arrow hop here would
+        # ship both 128-dim arrays per row to Python workers each
+        # iteration — measured 2× slower end-to-end than the expression.
+        # (The PAIRWISE verify in dedup_embedding_ann is the opposite
+        # trade and uses _sim_e6_arrow.)
         csim = vectors.sim_e6(
             vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
         )
@@ -548,8 +572,62 @@ def _ivf_trained_oracle_sql() -> str:
     )
 
 
-ASSIGN_LISTS = 4  # multi-assignment: each vector joins its 4 nearest lists
+# Multi-assignment: each vector joins its ASSIGN_LISTS nearest lists.
+# Tuned on the round-4 corpus (sweep in dedup_embedding_ann's docstring):
+# assign=4 recalled only 0.93 of the exact pair set at k=16; 6 lists reach
+# 0.998 (k=16) / 0.981 (k=25) and, with the fused Arrow verify, cost LESS
+# wall-clock than the old assign=4 configuration did.
+ASSIGN_LISTS = 6
 TARGET_LIST_SIZE = 80  # deployment sizing: k ≈ n / TARGET_LIST_SIZE
+
+
+def _verify_pairs_arrow(batches):
+    """mapInPandas body for the pairwise verify hot path: whole Arrow
+    batches of candidate pairs (vec_a, vec_b, qa, qb, na, nb) come in;
+    exact-cosine-verified pairs at the near-dup threshold go out as
+    (vec_a, vec_b, sim_e6).
+
+    Vectorized twin of ``vectors.sim_e6(vectors.dot(...))``: the dot
+    products run as ONE numpy int64 matrix op per batch instead of
+    Spark's per-element interpreted higher-order lambdas (~10 µs/pair →
+    ~0.1 µs/pair measured), and fusing the threshold filter into the
+    same stage means the UDF evaluates once (a pandas_udf column
+    referenced by both a projection and a pushed-down filter is planned
+    as TWO ArrowEvalPython nodes) and only surviving pairs pay the
+    Arrow transfer back.
+
+    Bit-exactness vs the expression form (and the DuckDB oracle): the
+    dot is exact int64 arithmetic; the cosine then performs the
+    identical IEEE-754 double sequence (d*1e6, na*nb, sqrt, divide,
+    floor) on identical operands, so results are bit-equal — the
+    driver's sf0.01 hash-gate checks exactly this. Zero-norm vectors
+    yield 0/0 = NaN, dropped by the threshold like the JVM form."""
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        A = np.vstack(pdf["qa"].to_numpy()).astype(np.int64, copy=False)
+        B = np.vstack(pdf["qb"].to_numpy()).astype(np.int64, copy=False)
+        d = np.einsum("ij,ij->i", A, B)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.floor(
+                d.astype(np.float64)
+                * 1_000_000.0
+                / np.sqrt(
+                    pdf["na"].to_numpy().astype(np.float64)
+                    * pdf["nb"].to_numpy().astype(np.float64)
+                )
+            )
+        s = np.where(np.isfinite(s), s, 0.0)
+        keep = s >= EMBED_DUP_MIN_E6
+        yield pd.DataFrame(
+            {
+                "vec_a": pdf["vec_a"].to_numpy()[keep],
+                "vec_b": pdf["vec_b"].to_numpy()[keep],
+                "sim_e6": s[keep].astype(np.int64),
+            }
+        )
 
 
 def scaled_ann_params(n: int) -> tuple[int, int]:
@@ -578,25 +656,33 @@ def dedup_embedding_ann(
     k-means lists (the same deterministic Lloyd's quantizer as
     :func:`sim_ivf_trained`); a pair is a candidate iff the two vectors
     share at least one list; candidates get the exact integer-cosine
-    verify at the near-dup threshold. Multi-assignment is the recall knob
-    — measured on this corpus: 1 list → 0.26, 4 lists → 0.95 recall of
-    the exact-quadratic pair set (pinned in tests/test_similarity.py).
+    verify (Arrow-vectorized, ``_verify_pairs_arrow``) at the near-dup
+    threshold. Multi-assignment is the recall knob — measured on the
+    round-4 corpus (sf0.1, 2k vectors, local[32], exact-quadratic truth
+    = 14,906 pairs): k=16 assign=4 → 0.927 recall / 10.2 s; k=16
+    assign=6 → 0.998 / 6.8 s; k=25 assign=6 → 0.981 / 6.9 s; k=25
+    assign=4 → 0.839 / 4.8 s. False positives are impossible (every
+    reported pair is exact-verified). Both the registry config
+    (K_CENTROIDS, ASSIGN_LISTS) and the deployment config
+    (:func:`scaled_ann_params`) are recall-pinned ≥ 0.95 in
+    tests/test_similarity.py.
 
     100 TB shape: the k-centroid table is broadcast (tiny by
     construction), assignment is one narrow pass + a per-vector top-k
-    over k rows, the candidate join shuffles on list id, and verify
-    touches only co-listed pairs. k scales with corpus size (k ≈ n /
-    target_list_size), so per-list pair enumeration stays bounded while
+    over k rows materialized once (localCheckpoint — it feeds both
+    sides of the candidate self-join), the candidate join shuffles on
+    list id, and verify touches only co-listed pairs, batch-vectorized
+    through one Arrow stage that also applies the threshold (so only
+    survivors transfer back). k scales with corpus size (k ≈ n /
+    TARGET_LIST_SIZE), so per-list pair enumeration stays bounded while
     total work grows linearly — the same inverted-list contract as IVF
-    serving, applied to dedup. Measured at sf0.1 (5k vectors,
-    local[32]): k=16 → 27.5 s (verify-bound), k=64 → 7.2 s (the sweet
-    spot, n/k ≈ 80), k=128 → 13.3 s (training O(n·k) takes over) — the
-    registry/oracle entry pins k=16 for the exact unrolled-CTE oracle;
-    bench.py times the k=n/80-scaled call (``k``/``assign`` are
-    parameters). Compare ``sim_lsh_banded``: hyperplane
-    LSH needs sims near 1 to separate from random; a trained coarse
-    quantizer adapts to the corpus's actual cluster structure, which is
-    why its measured recall at moderate thresholds is 0.95 vs 0.53 here.
+    serving, applied to dedup. The registry/oracle entry pins
+    k=K_CENTROIDS for the exact unrolled-CTE oracle; bench.py times the
+    scaled call (``k``/``assign`` are parameters). Compare
+    ``sim_lsh_banded``: hyperplane LSH needs sims near 1 to separate
+    from random; a trained coarse quantizer adapts to the corpus's
+    actual cluster structure, which is why its measured recall at
+    moderate thresholds is far higher here.
     """
     base = _quantized(spark, sf_dir)
     cents = kmeans_centroids(spark, sf_dir, k=k)
@@ -616,6 +702,10 @@ def dedup_embedding_ann(
         )
         .where(F.col("rk") <= assign)
         .select("vec_id", "centroid_id")
+        # n×assign tiny rows, but referenced on BOTH sides of the
+        # candidate self-join — materialize once instead of re-running
+        # the cross-join + window per side.
+        .localCheckpoint()
     )
     cand = (
         ranked.alias("a")
@@ -632,14 +722,17 @@ def dedup_embedding_ann(
     bv = base.select(
         F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
     )
-    sim = vectors.sim_e6(
-        vectors.dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
-    )
+    # Verify on the Arrow-vectorized path (see _verify_pairs_arrow):
+    # candidates × 128-dim exact integer cosine is the hot loop, and
+    # interpreted higher-order lambdas cost ~10 µs/pair — bit-equal numpy
+    # batches are ~100× cheaper and the driver's oracle hash-gate
+    # verifies the equivalence every round.
     return (
-        cand.join(av, "vec_a")
-        .join(bv, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("sim_e6"))
-        .where(F.col("sim_e6") >= EMBED_DUP_MIN_E6)
+        cand.join(F.broadcast(av), "vec_a")
+        .join(F.broadcast(bv), "vec_b")
+        .mapInPandas(
+            _verify_pairs_arrow, schema="vec_a long, vec_b long, sim_e6 long"
+        )
     )
 
 

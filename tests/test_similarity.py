@@ -78,10 +78,10 @@ def test_trained_centroids_deterministic_and_on_grid(spark, sf_dir):
 
 def test_embedding_ann_recall_vs_exact_quadratic(spark, sf_dir):
     """The IVF multi-assignment near-dup path (dedup_embedding_ann) must
-    recover ≥90% of the exact quadratic pair set (dedup_embedding) at the
+    recover ≥95% of the exact quadratic pair set (dedup_embedding) at the
     same threshold — the property that justifies replacing the O(n²)
     baseline with candidate generation. Deterministic plans → a fixed
-    number for a fixed dataset (0.95 at sf0.01)."""
+    number for a fixed dataset."""
     from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
 
     truth = {
@@ -96,8 +96,43 @@ def test_embedding_ann_recall_vs_exact_quadratic(spark, sf_dir):
         for r in similarity.dedup_embedding_ann(spark, sf_dir).collect()
     }
     recall = len(got & truth) / len(truth)
-    assert recall >= 0.9, f"ANN recall too low: {recall}"
+    assert recall >= 0.95, f"ANN recall too low: {recall}"
     # every reported pair is verified exact — no false positives possible
+    assert got <= truth
+
+
+def test_embedding_ann_scaled_config_recall(spark):
+    """VERDICT r3 item 3: pin the recall of the DEPLOYMENT configuration
+    (scaled_ann_params — what bench.py times) at the bench scale factor,
+    so the benched numbers always belong to a configuration whose
+    quality is known. Measured 0.981 on the round-4 sf0.1 corpus
+    (k=25, assign=6)."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):  # bench-scale fixture not present
+        import pytest
+
+        pytest.skip("sf0.1 testdata not available")
+    n = similarity._quantized(spark, sf_dir).count()
+    k, assign = similarity.scaled_ann_params(n)
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.dedup_embedding(
+            spark, sf_dir, allow_quadratic=True
+        ).collect()
+    }
+    assert truth
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.dedup_embedding_ann(
+            spark, sf_dir, k=k, assign=assign
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"scaled ANN recall too low: {recall} (k={k})"
     assert got <= truth
 
 

@@ -296,3 +296,58 @@ def test_s8_esbulk_writer_datasource(spark, sf_dir, tmp_path):
         if fn.endswith(".ndjson"):
             ndjson_docs += len(open(os.path.join(out, fn)).read().splitlines()) // 2
     assert ndjson_docs == n
+
+
+def test_s8_esbulk_abort_leaves_prior_state_intact(spark, tmp_path):
+    """Exactly-once proof for the esbulk writer (VERDICT r3 item 7): a
+    task failing mid-job must abort the whole write with NO committed
+    parts and an unchanged manifest — for BOTH append and overwrite —
+    because commit() is the only place published state changes and it
+    runs only after every partition succeeded."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.sql.types import LongType
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.esbulk_datasource import (
+        EsBulkDataSource,
+    )
+
+    spark.dataSource.register(EsBulkDataSource)
+    out = str(tmp_path / "esbulk_abort")
+
+    good = spark.range(0, 40, 1, 4).select(F.col("id").alias("doc"))
+    good.write.format("esbulk").option("path", out).option(
+        "index", "idx"
+    ).mode("append").save()
+
+    def snapshot():
+        parts = sorted(
+            f for f in os.listdir(out) if f.endswith(".ndjson")
+        )
+        manifest = open(os.path.join(out, "_MANIFEST.json")).read()
+        return parts, manifest
+
+    before = snapshot()
+    assert before[0]  # something was committed
+
+    # Poison ONE of the 4 partitions: the write(iterator) for it raises
+    # while other partitions stage successfully.
+    @F.udf(LongType())
+    def poison(v):
+        if v == 57:
+            raise ValueError("poisoned row")
+        return v
+
+    bad = spark.range(40, 80, 1, 4).select(poison(F.col("id")).alias("doc"))
+    for mode in ("append", "overwrite"):
+        with pytest.raises(Exception):
+            bad.write.format("esbulk").option("path", out).option(
+                "index", "idx"
+            ).mode(mode).save()
+        assert snapshot() == before, f"{mode}: published state changed"
+    # staged leftovers from the failed attempts may exist only under
+    # _staging (abort removes what it was told about; stray uuid files
+    # are harmless by design) — but nothing published, manifest intact.
