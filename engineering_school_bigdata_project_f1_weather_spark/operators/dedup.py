@@ -968,6 +968,63 @@ SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked keeper selection over near-dup clusters — the step
+    that turns pair detection into an actual curation decision: for every
+    connected component of the verified minhash pair graph
+    (:func:`dedup_components`), KEEP exactly the member with the best
+    model-based quality score (``quality.quality_score``; ties broken by
+    lowest doc_id) and drop the rest. Real training pipelines keep the
+    best-quality representative, not an arbitrary min-id one (the
+    reference has no notion of this; extension surface, cf. the
+    Gopher/FineWeb-style dedup-then-select recipe).
+
+    Output: (doc_id, component, score, keep) for every document.
+
+    100 TB shape: composes two already-scale-shaped plans with one
+    doc_id-keyed join (both sides hash-partitioned on doc_id) and one
+    per-component window — partition skew is bounded by the largest
+    duplicate cluster, which the upstream jaccard threshold bounds in
+    practice; a pathological mega-cluster would already have blown up
+    pair verification long before this ranking."""
+    from pyspark.sql import Window
+
+    from .quality import quality_score
+
+    comp = dedup_components(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select("doc_id", "score")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        comp.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            "score",
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )
+
+
+def _keep_best_oracle_sql() -> str:
+    from .quality import _quality_score_oracle_sql
+
+    return f"""
+WITH comp AS (
+    SELECT * FROM ({_components_oracle_sql()})
+),
+q AS (
+    SELECT doc_id, score FROM ({_quality_score_oracle_sql()})
+)
+SELECT c.doc_id, c.component, q.score,
+       ROW_NUMBER() OVER (
+           PARTITION BY c.component ORDER BY q.score DESC, c.doc_id ASC
+       ) = 1 AS keep
+FROM comp c JOIN q USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -979,6 +1036,7 @@ QUERIES = {
     "doc_pagerank": doc_pagerank,
     "dedup_embedding": dedup_embedding,
     "dedup_components": dedup_components,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLE_SQL = {
@@ -1001,4 +1059,5 @@ ORACLE_SQL = {
     "doc_pagerank": _pagerank_oracle_sql(),
     "dedup_embedding": _embedding_oracle_sql(),
     "dedup_components": _components_oracle_sql(),
+    "dedup_keep_best": _keep_best_oracle_sql(),
 }

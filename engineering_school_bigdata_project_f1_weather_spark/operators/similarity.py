@@ -581,11 +581,11 @@ ASSIGN_LISTS = 6
 TARGET_LIST_SIZE = 80  # deployment sizing: k ≈ n / TARGET_LIST_SIZE
 
 
-def _verify_pairs_arrow(batches):
+def _verify_pairs_arrow(batches, min_e6: int | None = None):
     """mapInPandas body for the pairwise verify hot path: whole Arrow
     batches of candidate pairs (vec_a, vec_b, qa, qb, na, nb) come in;
-    exact-cosine-verified pairs at the near-dup threshold go out as
-    (vec_a, vec_b, sim_e6).
+    exact-cosine-verified pairs at the ``min_e6`` threshold (default:
+    the near-dup threshold) go out as (vec_a, vec_b, sim_e6).
 
     Vectorized twin of ``vectors.sim_e6(vectors.dot(...))``: the dot
     products run as ONE numpy int64 matrix op per batch instead of
@@ -604,6 +604,8 @@ def _verify_pairs_arrow(batches):
     yield 0/0 = NaN, dropped by the threshold like the JVM form."""
     import numpy as np
 
+    if min_e6 is None:
+        min_e6 = EMBED_DUP_MIN_E6
     for pdf in batches:
         if len(pdf) == 0:
             continue
@@ -620,7 +622,7 @@ def _verify_pairs_arrow(batches):
                 )
             )
         s = np.where(np.isfinite(s), s, 0.0)
-        keep = s >= EMBED_DUP_MIN_E6
+        keep = s >= min_e6
         yield pd.DataFrame(
             {
                 "vec_a": pdf["vec_a"].to_numpy()[keep],
@@ -684,6 +686,18 @@ def dedup_embedding_ann(
     actual cluster structure, which is why its measured recall at
     moderate thresholds is far higher here.
     """
+    return _ann_verified_pairs(spark, sf_dir, k, assign, EMBED_DUP_MIN_E6)
+
+
+def _ann_verified_pairs(
+    spark: SparkSession, sf_dir: str, k: int, assign: int, min_e6: int
+) -> DataFrame:
+    """Shared IVF-multi-assignment candidate generation + Arrow verify:
+    (vec_a < vec_b, sim_e6) for every co-listed pair with sim ≥ min_e6.
+    Backs :func:`dedup_embedding_ann` (near-dup threshold) and
+    :func:`sim_knn_graph` (no threshold; ranked downstream)."""
+    import functools
+
     base = _quantized(spark, sf_dir)
     cents = kmeans_centroids(spark, sf_dir, k=k)
     csim = vectors.sim_e6(
@@ -731,17 +745,19 @@ def dedup_embedding_ann(
         cand.join(F.broadcast(av), "vec_a")
         .join(F.broadcast(bv), "vec_b")
         .mapInPandas(
-            _verify_pairs_arrow, schema="vec_a long, vec_b long, sim_e6 long"
+            functools.partial(_verify_pairs_arrow, min_e6=min_e6),
+            schema="vec_a long, vec_b long, sim_e6 long",
         )
     )
 
 
-def _embedding_ann_oracle_sql() -> str:
+def _ann_cand_ctes() -> str:
+    """WITH-body fragment shared by the ANN oracles: quantize → trained
+    centroids (3 unrolled Lloyd's iterations) → multi-assignment →
+    co-listed candidate pairs (vec_a < vec_b)."""
     csim = vectors.sim_e6_sql(vectors.dot_sql("v.q", "c.cq"), "v.n2", "c.cn2")
-    sim = vectors.sim_e6_sql(vectors.dot_sql("va.q", "vb.q"), "va.n2", "vb.n2")
     q = vectors.quantize_sql("embedding")
-    return f"""
-WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+    return f"""e AS (SELECT vec_id, {q} AS q FROM embeddings),
 en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
 {_kmeans_cents_ctes()}
 ranked AS (
@@ -758,12 +774,92 @@ cand AS (
     FROM assign a
     JOIN assign b
       ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-)
+)"""
+
+
+def _embedding_ann_oracle_sql() -> str:
+    sim = vectors.sim_e6_sql(vectors.dot_sql("va.q", "vb.q"), "va.n2", "vb.n2")
+    return f"""
+WITH {_ann_cand_ctes()}
 SELECT c.vec_a, c.vec_b, {sim} AS sim_e6
 FROM cand c
 JOIN en va ON va.vec_id = c.vec_a
 JOIN en vb ON vb.vec_id = c.vec_b
 WHERE {sim} >= {EMBED_DUP_MIN_E6}
+"""
+
+
+KNN_GRAPH_DEGREE = 8  # neighbors kept per vector
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN GRAPH construction — each vector's top
+    KNN_GRAPH_DEGREE neighbors (by exact integer cosine) among its IVF
+    multi-assignment candidates: the standard input artifact for
+    graph-based semantic clustering / community detection over an
+    embedding corpus, built without any all-pairs pass.
+
+    Output: (vec_id, nbr_id, rank, sim_e6), rank 1..DEGREE per vec_id;
+    vectors whose candidate lists are shorter than DEGREE emit fewer
+    rows, deterministic tie-break (sim desc, nbr_id asc).
+
+    100 TB shape: reuses :func:`_ann_verified_pairs` (broadcast
+    centroids, list-keyed candidate shuffle, one fused Arrow verify with
+    NO threshold — ranking needs every candidate sim), mirrors the
+    half-pairs, then one per-vector window bounded by the candidate
+    degree (n·assign·list_size rows, never n²). The same recall contract
+    as dedup_embedding_ann applies: a true neighbor outside all shared
+    lists is missed, and the pinned ≥0.95 pair recall bounds that loss.
+    """
+    # -2e6 < floor(cosine*1e6) min (-1e6): keep every candidate's sim.
+    pairs = _ann_verified_pairs(
+        spark, sf_dir, K_CENTROIDS, ASSIGN_LISTS, -2_000_000
+    )
+    mirrored = pairs.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("nbr_id"),
+        "sim_e6",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("nbr_id"),
+            "sim_e6",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_e6"), F.asc("nbr_id")
+    )
+    return (
+        mirrored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KNN_GRAPH_DEGREE)
+        .select("vec_id", "nbr_id", "rank", "sim_e6")
+    )
+
+
+def _knn_graph_oracle_sql() -> str:
+    sim = vectors.sim_e6_sql(vectors.dot_sql("va.q", "vb.q"), "va.n2", "vb.n2")
+    return f"""
+WITH {_ann_cand_ctes()},
+sims AS (
+    SELECT c.vec_a, c.vec_b, {sim} AS sim_e6
+    FROM cand c
+    JOIN en va ON va.vec_id = c.vec_a
+    JOIN en vb ON vb.vec_id = c.vec_b
+),
+mirrored AS (
+    SELECT vec_a AS vec_id, vec_b AS nbr_id, sim_e6 FROM sims
+    UNION ALL
+    SELECT vec_b, vec_a, sim_e6 FROM sims
+),
+rk AS (
+    SELECT vec_id, nbr_id, sim_e6,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim_e6 DESC, nbr_id ASC
+           ) AS BIGINT) AS rank
+    FROM mirrored
+)
+SELECT vec_id, nbr_id, rank, sim_e6 FROM rk
+WHERE rank <= {KNN_GRAPH_DEGREE}
 """
 
 
@@ -824,6 +920,7 @@ QUERIES = {
     "sim_ivf_trained": sim_ivf_trained,
     "dedup_embedding_ann": dedup_embedding_ann,
     "sim_clusters": sim_clusters,
+    "sim_knn_graph": sim_knn_graph,
 }
 
 ORACLE_SQL = {
@@ -834,4 +931,5 @@ ORACLE_SQL = {
     "sim_ivf_trained": _ivf_trained_oracle_sql(),
     "dedup_embedding_ann": _embedding_ann_oracle_sql(),
     "sim_clusters": _clusters_oracle_sql(),
+    "sim_knn_graph": _knn_graph_oracle_sql(),
 }

@@ -15,12 +15,12 @@ goes through a FILE sink (foreachBatch parquet overwrite) so the result
 is executor-written and read back lazily — no driver-resident copy at
 any scale.
 
-Boundary caveat (documented, not hit by the fixture): Spark's
-``session_window`` closes a session when the next event is >= gap away
-(half-open window), while the batch sessionize keeps events at exactly
-the gap (``delta > gap`` starts a new session). The two differ only when
-a consecutive per-user delta equals the gap to the microsecond — the
-fixture has none at any SF (checked 0.001/0.01/0.1).
+Boundary note (MEASURED, round 4): the previously-documented suspicion
+that ``session_window`` diverges from the batch ``delta > gap`` rule at
+delta == gap is wrong — Spark merges touching session windows, so both
+engines keep one session at exactly the gap and both split at gap+1 µs.
+Batch/stream parity is exact at the boundary; pinned by
+tests/test_streaming.py::test_session_window_exact_gap_boundary.
 """
 
 from __future__ import annotations
@@ -126,12 +126,50 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+def stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join + windowed rollup, drained to completion: each
+    event is tagged with the user's market segment from the (static,
+    broadcast) customer dimension, then counted per (hour, segment) —
+    the canonical continuous-ingest enrichment shape
+    (``events_stream.enriched_counts_stream``). The static side is
+    re-read per micro-batch and broadcast to every task, so the stream
+    side never shuffles for the join; events with no matching customer
+    keep a NULL segment (left join) in both engines."""
+    from ..sources.tables import load_table
+
+    out = _drain(
+        events_stream.enriched_counts_stream(
+            events_stream.stream_events(spark, sf_dir),
+            load_table(spark, sf_dir, "customer"),
+        ),
+        "stream_enriched",
+        spark,
+    )
+    return out.select(
+        F.unix_micros(F.col("hour")).alias("hour_us"),
+        "segment",
+        "n_events",
+    )
+
+
+_ENRICHED_ORACLE = f"""
+SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessions": stream_sessions,
+    "stream_enriched": stream_enriched,
 }
 
 ORACLE_SQL = {
     "stream_hourly": _HOURLY_ORACLE,
     "stream_sessions": _SESSIONS_ORACLE,
+    "stream_enriched": _ENRICHED_ORACLE,
 }

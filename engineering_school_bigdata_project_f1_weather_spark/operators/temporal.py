@@ -201,14 +201,98 @@ FROM binned
 GROUP BY ROLLUP (day_us, hour_us)
 """
 
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 build from an event log: collapse
+    each user's consecutive run of equal ``event_type`` into one validity
+    interval ``[valid_from_us, valid_to_us)`` (valid_to = the next run's
+    start; NULL marks the current row) — the standard
+    dimension-construction step a warehouse runs over CDC/event streams,
+    done as pure windows: one shuffle on the user key, a
+    change-flag → running-sum run id, one group-by, one lead().
+
+    Output: (user_id, event_type, valid_from_us, valid_to_us, n_events)
+    per run, deterministically ordered within ties by event_id.
+
+    100 TB shape: both windows and the aggregation share the single
+    ``user_id`` hash partitioning (no second shuffle); state per group is
+    one row — Spark's WindowExec streams sorted runs, so per-user history
+    length never accumulates in memory."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    by_time = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(by_time).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(by_time)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(
+            by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = flagged.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    by_run = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(by_run).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+SCD2_ORACLE = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                     OR event_type != lag(event_type) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+runs0 AS (
+    SELECT *,
+           CAST(SUM(chg) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS run_id
+    FROM flagged
+),
+runs AS (
+    SELECT user_id, run_id, event_type,
+           MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+    FROM runs0 GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, event_type, valid_from_us,
+       lead(valid_from_us) OVER (
+           PARTITION BY user_id ORDER BY run_id
+       ) AS valid_to_us,
+       CAST(n_events AS BIGINT) AS n_events
+FROM runs
+"""
+
+
 QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "events_value_bands": events_value_bands,
     "events_multigrain": events_multigrain,
+    "events_scd2": events_scd2,
 }
 
 ORACLE_SQL = {
     "events_asof_purchase": ASOF_ORACLE,
     "events_value_bands": BANDS_ORACLE,
     "events_multigrain": MULTIGRAIN_ORACLE,
+    "events_scd2": SCD2_ORACLE,
 }

@@ -472,3 +472,73 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     out = spark.read.parquet(sink_dir)
     assert out.count() == src.count()  # no duplicates from re-running batch 1
     assert out.select("event_id").distinct().count() == src.count()
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Boundary property probe (VERDICT r3 item 8): streamq.py documented a
+    suspected half-open-gap divergence — that ``session_window`` starts a
+    NEW session when an inter-event delta EQUALS the gap while the batch
+    rule (``delta > gap`` starts one) keeps it in-session. Measured on a
+    synthetic exact-boundary fixture: Spark MERGES touching session
+    windows, so at delta == gap both engines keep ONE session and at
+    delta == gap + 1 µs both start a SECOND — batch/stream parity is
+    exact at the boundary. This test pins that fact so a future Spark
+    behavior change (or a regression to the suspected semantics) surfaces
+    here instead of as a silent oracle mismatch."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import events_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    gap = dt.timedelta(minutes=30)  # == events_stream.SESSION_GAP
+    us = dt.timedelta(microseconds=1)
+
+    def sessions_both_ways(rows, name):
+        src_dir = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ).coalesce(1).write.parquet(src_dir)
+        # stream_events pins pathGlobFilter=events.parquet; build the
+        # stream directly over the fixture with the same shape.
+        raw = (
+            spark.readStream.schema(spark.read.parquet(src_dir).schema)
+            .parquet(src_dir)
+            .withColumn("event_time", F.col("ts"))
+        )
+        drained = events_stream.run_available_now(
+            events_stream.sessions_stream(raw), f"boundary_{name}", spark
+        ).collect()
+        spark.catalog.dropTempView(f"boundary_{name}")
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        batch_starts = (
+            spark.read.parquet(src_dir)
+            .withColumn(
+                "delta_us",
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+            )
+            .where(
+                F.col("delta_us").isNull()
+                | (F.col("delta_us") > 30 * 60 * 1_000_000)
+            )
+            .count()
+        )
+        return len(drained), batch_starts
+
+    exact = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + gap, 7, "view", 1.0, "{}"),  # delta == gap exactly
+    ]
+    over = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + gap + us, 7, "view", 1.0, "{}"),  # delta == gap + 1 µs
+    ]
+    stream_exact, batch_exact = sessions_both_ways(exact, "exact")
+    stream_over, batch_over = sessions_both_ways(over, "over")
+
+    assert (stream_exact, batch_exact) == (1, 1)  # touching windows merge
+    assert (stream_over, batch_over) == (2, 2)  # past the gap: both split

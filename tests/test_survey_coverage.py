@@ -351,3 +351,61 @@ def test_s8_esbulk_abort_leaves_prior_state_intact(spark, tmp_path):
     # staged leftovers from the failed attempts may exist only under
     # _staging (abort removes what it was told about; stray uuid files
     # are harmless by design) — but nothing published, manifest intact.
+
+
+def test_dedup_keep_best_one_keeper_per_component(spark, sf_dir):
+    """Keeper selection invariants: every document appears exactly once,
+    every component keeps exactly ONE member, and the keeper's quality
+    score is the component maximum (min doc_id on ties)."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    out = dedup.dedup_keep_best(spark, sf_dir).cache()
+    n_docs = out.count()
+    assert out.select("doc_id").distinct().count() == n_docs
+
+    per_comp = out.groupBy("component").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.max("score").alias("max_score"),
+    )
+    assert per_comp.where(F.col("n_keep") != 1).count() == 0
+
+    keepers = out.where("keep").select("component", "score")
+    bad = keepers.join(per_comp, "component").where(
+        F.col("score") != F.col("max_score")
+    )
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_sim_knn_graph_ranks_and_topk_consistency(spark, sf_dir):
+    """kNN-graph invariants: ranks are 1..DEGREE dense per vector with
+    sims non-increasing, and each vector's top-1 neighbor sim can never
+    beat the brute-force top-1 (candidates are a subset of all pairs)."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import similarity
+
+    g = similarity.sim_knn_graph(spark, sf_dir).cache()
+    assert g.where(
+        (F.col("rank") < 1) | (F.col("rank") > similarity.KNN_GRAPH_DEGREE)
+    ).count() == 0
+    # dense ranks: per vec_id, max(rank) == count(rank)
+    per_vec = g.groupBy("vec_id").agg(
+        F.max("rank").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_vec.where(F.col("mx") != F.col("n")).count() == 0
+    # no self-edges, no duplicate neighbor per vector
+    assert g.where(F.col("vec_id") == F.col("nbr_id")).count() == 0
+    assert g.groupBy("vec_id", "nbr_id").count().where("count > 1").count() == 0
+
+    # top-1 of the graph <= brute-force top-1 (sim_topk strides queries;
+    # compare on the overlap)
+    top1 = g.where(F.col("rank") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("sim_e6").alias("g_sim")
+    )
+    brute = similarity.sim_topk(spark, sf_dir).where(F.col("rank") == 1)
+    joined = brute.join(top1, "query_id")
+    assert joined.where(F.col("g_sim") > F.col("sim_e6")).count() == 0
+    g.unpersist()
