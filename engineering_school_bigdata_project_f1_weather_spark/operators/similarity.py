@@ -815,17 +815,25 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _ann_verified_pairs(
         spark, sf_dir, K_CENTROIDS, ASSIGN_LISTS, -2_000_000
     )
+    # Mirror via ONE narrow explode, not a self-union: a union would
+    # re-run the whole candidate+verify subtree per branch (two
+    # MapInPandas stages — pinned against in test_plans.py).
     mirrored = pairs.select(
-        F.col("vec_a").alias("vec_id"),
-        F.col("vec_b").alias("nbr_id"),
-        "sim_e6",
-    ).unionByName(
-        pairs.select(
-            F.col("vec_b").alias("vec_id"),
-            F.col("vec_a").alias("nbr_id"),
-            "sim_e6",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("vec_id"),
+                    F.col("vec_b").alias("nbr_id"),
+                    F.col("sim_e6"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("vec_id"),
+                    F.col("vec_a").alias("nbr_id"),
+                    F.col("sim_e6"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("sim_e6"), F.asc("nbr_id")
     )

@@ -159,3 +159,37 @@ def test_salted_join_key_includes_salt(spark, sf_dir):
 
     plan = _formatted(events_user_spend_salted(spark, sf_dir))
     assert "_salt" in plan
+
+
+def test_events_scd2_single_shuffle(spark, sf_dir):
+    """SCD2 shares ONE user_id hash partitioning across the change-flag
+    window, the run-id window, the run aggregation, and the lead()
+    window — exactly one Exchange in the whole plan (the second window's
+    (user_id, run_id) ordering needs only a local re-Sort)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.temporal import (
+        events_scd2,
+    )
+
+    plan = _formatted(events_scd2(spark, sf_dir))
+    head = plan.split("\n\n", 1)[0]
+    assert head.count("Exchange") == 1, head
+    assert "CartesianProduct" not in plan
+
+
+def test_sim_knn_graph_no_cartesian_single_arrow_stage(spark, sf_dir):
+    """The kNN graph never enumerates all pairs (no CartesianProduct; the
+    only nested-loop join is the K-centroid broadcast fan-out) and the
+    exact-cosine verify is ONE fused Arrow stage (one MapInPandas/
+    ArrowEvalPython node, not a per-expression chain)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators.similarity import (
+        sim_knn_graph,
+    )
+
+    plan = _formatted(sim_knn_graph(spark, sf_dir))
+    head = plan.split("\n\n", 1)[0]
+    assert "CartesianProduct" not in plan
+    n_python = sum(
+        head.count(marker) for marker in ("MapInPandas", "ArrowEvalPython")
+    )
+    assert n_python == 1, head
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
