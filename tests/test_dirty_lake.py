@@ -126,3 +126,42 @@ def test_similarity_survives_zero_vector(spark, dirty_sf):
     )
     similarity.sim_lsh(spark, dirty_sf).collect()
     similarity.sim_lsh_banded(spark, dirty_sf).collect()
+
+
+def test_round4_operators_survive_dirty_lake(spark, dirty_sf):
+    """Round-4 operators on the dirty fixture: SCD2 groups the NULL-user
+    rows without crashing, keeper selection still picks exactly one doc
+    per component, and the kNN graph tolerates the zero-norm vector
+    (its sims surface as 0, never NaN/NULL)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        dedup,
+        similarity,
+        temporal,
+    )
+
+    scd2 = temporal.events_scd2(spark, dirty_sf).collect()
+    assert scd2  # runs; null user_id forms its own partition group
+    by_user: dict = {}
+    for r in scd2:
+        by_user.setdefault(r.user_id, []).append(r)
+    for runs in by_user.values():
+        runs.sort(key=lambda r: r.valid_from_us)
+        # intervals chain: each valid_to equals the next valid_from
+        for a, b in zip(runs, runs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+        assert runs[-1].valid_to_us is None  # open current interval
+
+    keep = dedup.dedup_keep_best(spark, dirty_sf).collect()
+    comps: dict = {}
+    for r in keep:
+        comps.setdefault(r.component, []).append(r)
+    for members in comps.values():
+        assert sum(1 for m in members if m.keep) == 1
+
+    g = similarity.sim_knn_graph(spark, dirty_sf).collect()
+    assert g
+    assert all(r.sim_e6 is not None for r in g)
+    # the zero vector's edges carry sim 0 (NaN mapped to 0 in the Arrow
+    # verify, matching the JVM cast) — never a NaN-poisoned rank
+    zero_edges = [r for r in g if r.vec_id == 1 or r.nbr_id == 1]
+    assert zero_edges and all(r.sim_e6 <= 0 for r in zero_edges)
