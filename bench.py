@@ -177,10 +177,42 @@ def _bench_embedding_ann_scaled_k(spark, sf_dir: str) -> None:
     ).mode("overwrite").save()
 
 
+def _bench_ann_index_update(spark, sf_dir: str) -> float:
+    """Incremental embedding-dedup batch cost (round 4): the IVF index is
+    built on half the vectors OUTSIDE the measured span; timed is one
+    update batch — the steady-state cost of continuous vector ingest."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import similarity
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table_spread,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_ann_index_")
+    try:
+        emb = load_table_spread(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        similarity.ann_index_init(
+            spark, emb.where(F.col("vec_id") % 2 == 0), tmp
+        )
+        t0 = time.perf_counter()
+        similarity.ann_index_update(
+            spark, emb.where(F.col("vec_id") % 2 == 1), tmp
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 EXTRA_BENCH = {
     "minhash_index_update": _bench_minhash_index_update,
     "stream_stateful_drain": _bench_stream_stateful_drain,
     "dedup_embedding_ann": _bench_embedding_ann_scaled_k,
+    "ann_index_update": _bench_ann_index_update,
 }
 
 # Scale-slope probe set (VERDICT r2 item 5): candidate-bounded plans whose

@@ -296,7 +296,14 @@ def kmeans_centroids(
     Per-round driver traffic is only the k×DIM centroid table — steering,
     not data movement, same shape as dedup_components.
     """
-    base = _quantized(spark, sf_dir).cache()
+    return _train_centroids(spark, _quantized(spark, sf_dir).cache(), k, iters)
+
+
+def _train_centroids(
+    spark: SparkSession, base: DataFrame, k: int = K_CENTROIDS, iters: int = 3
+) -> DataFrame:
+    """Training loop over an arbitrary quantized (vec_id, q, n2) frame —
+    shared by the sf_dir registry path and the incremental index."""
     cents = _seed_centroids(base, k).localCheckpoint()
     # Loop-scoped shuffle sizing (same move as propagate_components): the
     # per-iteration shuffles carry n·assign / k·DIM rows, so at bench scale
@@ -304,7 +311,7 @@ def kmeans_centroids(
     # empty tasks); size them to the data and restore the session conf
     # after. At cluster scale the formula climbs back to the session value.
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    n_vecs = base.count()  # cache() above makes this a one-time cheap scan
+    n_vecs = base.count()  # caller caches base, so this is a cheap scan
     loop_parts = max(4, min(int(saved_parts), n_vecs // 50_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
@@ -689,21 +696,14 @@ def dedup_embedding_ann(
     return _ann_verified_pairs(spark, sf_dir, k, assign, EMBED_DUP_MIN_E6)
 
 
-def _ann_verified_pairs(
-    spark: SparkSession, sf_dir: str, k: int, assign: int, min_e6: int
-) -> DataFrame:
-    """Shared IVF-multi-assignment candidate generation + Arrow verify:
-    (vec_a < vec_b, sim_e6) for every co-listed pair with sim ≥ min_e6.
-    Backs :func:`dedup_embedding_ann` (near-dup threshold) and
-    :func:`sim_knn_graph` (no threshold; ranked downstream)."""
-    import functools
-
-    base = _quantized(spark, sf_dir)
-    cents = kmeans_centroids(spark, sf_dir, k=k)
+def _assign_lists(base: DataFrame, cents: DataFrame, assign: int) -> DataFrame:
+    """(vec_id, centroid_id) multi-assignment: each vector's ``assign``
+    nearest centroids by exact integer cosine, deterministic tie-break.
+    The centroid table is broadcast — one narrow pass over the corpus."""
     csim = vectors.sim_e6(
         vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
     )
-    ranked = (
+    return (
         base.join(F.broadcast(cents), F.lit(True))
         .select("vec_id", "centroid_id", csim.alias("csim"))
         .withColumn(
@@ -716,6 +716,22 @@ def _ann_verified_pairs(
         )
         .where(F.col("rk") <= assign)
         .select("vec_id", "centroid_id")
+    )
+
+
+def _ann_verified_pairs(
+    spark: SparkSession, sf_dir: str, k: int, assign: int, min_e6: int
+) -> DataFrame:
+    """Shared IVF-multi-assignment candidate generation + Arrow verify:
+    (vec_a < vec_b, sim_e6) for every co-listed pair with sim ≥ min_e6.
+    Backs :func:`dedup_embedding_ann` (near-dup threshold) and
+    :func:`sim_knn_graph` (no threshold; ranked downstream)."""
+    import functools
+
+    base = _quantized(spark, sf_dir)
+    cents = kmeans_centroids(spark, sf_dir, k=k)
+    ranked = (
+        _assign_lists(base, cents, assign)
         # n×assign tiny rows, but referenced on BOTH sides of the
         # candidate self-join — materialize once instead of re-running
         # the cross-join + window per side.
@@ -869,6 +885,95 @@ rk AS (
 SELECT vec_id, nbr_id, rank, sim_e6 FROM rk
 WHERE rank <= {KNN_GRAPH_DEGREE}
 """
+
+
+# ----------------------------------------------- incremental ANN index
+def _quantize_vectors(vectors_df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, q, n2) on the shared integer grid."""
+    q = vectors_df.select(
+        "vec_id", vectors.quantize(F.col("embedding")).alias("q")
+    )
+    return q.withColumn("n2", vectors.norm2(F.col("q")))
+
+
+def ann_index_init(
+    spark: SparkSession, vectors_df: DataFrame, index_path: str
+) -> None:
+    """Materialize the IVF near-dup index for an initial corpus: train the
+    coarse quantizer on it (deterministic Lloyd's), then persist
+    ``centroids/`` (k rows), ``vectors/`` (one row per vector — q, n2),
+    and ``assign/`` (vec_id → its ASSIGN_LISTS lists). The embedding
+    twin of :func:`dedup.minhash_index_init`."""
+    base = _quantize_vectors(vectors_df).cache()
+    cents = _train_centroids(spark, base)
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    base.write.mode("overwrite").parquet(f"{index_path}/vectors")
+    _assign_lists(base, cents, ASSIGN_LISTS).write.mode("overwrite").parquet(
+        f"{index_path}/assign"
+    )
+
+
+def ann_index_update(
+    spark: SparkSession, new_vectors: DataFrame, index_path: str
+) -> DataFrame:
+    """Incremental embedding-dedup step: assign only NEW vectors to the
+    FROZEN trained quantizer, find near-dup pairs involving them
+    (new×index ∪ new×new — never index×index, already reported), append
+    their rows to the index.
+
+    THE scale property of continuous embedding dedup: per-batch work is
+    O(|new|·k + candidate pairs) — the corpus is touched only through the
+    list-keyed candidate join, never re-assigned or re-trained. Freezing
+    the quantizer between offline retrains is standard IVF practice
+    (FAISS-style); drift degrades recall, not correctness, because every
+    reported pair is exact-verified. Idempotent: vec_ids already indexed
+    are dropped before assignment, so an orchestrator retry is a no-op.
+    Returns (vec_a, vec_b, sim_e6) pairs at the near-dup threshold with
+    at least one new member — same contract as
+    :func:`dedup.minhash_index_update`."""
+    import functools
+
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    old_vecs = spark.read.parquet(f"{index_path}/vectors")
+    old_assign = spark.read.parquet(f"{index_path}/assign")
+
+    new_base = (
+        _quantize_vectors(new_vectors)
+        .join(old_vecs.select("vec_id"), "vec_id", "left_anti")
+        .localCheckpoint()
+    )
+    new_assign = _assign_lists(new_base, cents, ASSIGN_LISTS).localCheckpoint()
+
+    all_assign = old_assign.unionByName(new_assign)
+    cand = (
+        new_assign.alias("a")
+        .join(all_assign.alias("b"), "centroid_id")
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    all_vecs = old_vecs.unionByName(new_base)
+    av = all_vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
+    bv = all_vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    )
+    pairs = (
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
+        .mapInPandas(
+            functools.partial(_verify_pairs_arrow, min_e6=EMBED_DUP_MIN_E6),
+            schema="vec_a long, vec_b long, sim_e6 long",
+        )
+    )
+    result = pairs.localCheckpoint()  # materialize BEFORE mutating the index
+    new_base.write.mode("append").parquet(f"{index_path}/vectors")
+    new_assign.write.mode("append").parquet(f"{index_path}/assign")
+    return result
 
 
 CLUSTER_MIN_SIM_E6 = 300_000  # cluster edge = cosine >= 0.3

@@ -164,3 +164,48 @@ def test_hash_embed_feeds_similarity_stack(spark, sf_dir):
         .withColumn("n2", vectors.norm2(F.col("sparse_q")))
     )
     assert dense.where(F.col("n2") <= 0).count() == 0
+
+
+def test_ann_index_incremental_update(spark, sf_dir, tmp_path):
+    """Incremental embedding-dedup index (round 4 — the IVF twin of the
+    minhash index): init on half the corpus, update with the other half.
+    Every returned pair involves a new vector, is exact-verified (subset
+    of the quadratic truth — false positives impossible), and a retried
+    batch is a no-op on both the result and the index."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table_spread,
+    )
+
+    emb = load_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ann_index")
+
+    similarity.ann_index_init(spark, first, idx)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.ann_index_update(spark, second, idx).collect()
+    }
+    assert got
+    new_ids = {r.vec_id for r in second.select("vec_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b in got)
+
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.dedup_embedding(
+            spark, sf_dir, allow_quadratic=True
+        ).collect()
+    }
+    assert got <= truth  # exact-verified: no false positives
+    touch_new = {p for p in truth if p[0] in new_ids or p[1] in new_ids}
+    recall = len(got & touch_new) / len(touch_new)
+    assert recall >= 0.9, f"incremental ANN recall too low: {recall}"
+
+    # retry: same batch again → no pairs, no index growth
+    assert similarity.ann_index_update(spark, second, idx).count() == 0
+    assert spark.read.parquet(idx + "/vectors").count() == emb.count()
