@@ -309,12 +309,19 @@ def main(compare_path: str | None = None) -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     queries["q3_filter"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # Drop Python refs to per-query localCheckpoint RDDs between
+        # queries — otherwise checkpointed blocks from the iterative /
+        # index entries accumulate in executor memory across the run and
+        # tail entries pay their GC bill (untimed: runs between spans).
+        gc.collect()
     for name, fn in EXTRA_BENCH.items():
         t0 = time.perf_counter()
         measured = fn(spark, sf_dir)  # may return its own span (setup excluded)
@@ -322,6 +329,7 @@ def main(compare_path: str | None = None) -> None:
             measured if measured is not None else time.perf_counter() - t0, 3
         )
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
