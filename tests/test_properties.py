@@ -105,3 +105,50 @@ def test_hash32_matches_python_md5(spark, cases):
     for i, s in enumerate(cases):
         expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
         assert out[i] == expect, (i, s)
+
+
+# ---- winnowing guarantee (Schleimer/Wilkerson/Aiken) ------------------
+# Any match of >= W + K - 1 consecutive tokens between two documents MUST
+# share at least one winnowing fingerprint — the paper's detection
+# guarantee, and the property that makes winnow_matches a sound
+# candidate generator (no guaranteed-length plagiarism can escape).
+_tok = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    prefix_a=st.lists(_tok, min_size=0, max_size=8),
+    suffix_a=st.lists(_tok, min_size=0, max_size=8),
+    prefix_b=st.lists(_tok, min_size=0, max_size=8),
+    suffix_b=st.lists(_tok, min_size=0, max_size=8),
+    common=st.lists(_tok, min_size=6, max_size=12),  # >= W + K - 1 = 6
+)
+def test_winnow_guarantee_shared_run_shares_fingerprint(
+    spark, tmp_path_factory, prefix_a, suffix_a, prefix_b, suffix_b, common
+):
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    assert len(common) >= dedup.WINNOW_W + dedup.WINNOW_K - 1
+
+    doc_a = " ".join(prefix_a + common + suffix_a)
+    doc_b = " ".join(prefix_b + common + suffix_b)
+    d = str(tmp_path_factory.mktemp("winnow") / f"sf_{uuid.uuid4().hex[:6]}")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1, doc_a, "en", "src:1", len(doc_a)), (2, doc_b, "en", "src:1", len(doc_b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    fps = dedup.dedup_winnow(spark, d)
+    a = {r.fp for r in fps.where(F.col("doc_id") == 1).collect()}
+    b = {r.fp for r in fps.where(F.col("doc_id") == 2).collect()}
+    assert a & b, (
+        f"guarantee violated: no shared fingerprint for shared run "
+        f"{common!r} (|run|={len(common)})"
+    )
