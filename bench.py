@@ -208,11 +208,21 @@ def _bench_ann_index_update(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_bpe_train(spark, sf_dir: str) -> None:
+    """BPE tokenizer training (round 4): one corpus-scale word-count pass
+    + N_MERGES vocab-frame merge rounds; pytest-parity verified against a
+    pure-Python reference (tests/test_bpe.py)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import bpe
+
+    assert bpe.train_bpe(spark, sf_dir)
+
+
 EXTRA_BENCH = {
     "minhash_index_update": _bench_minhash_index_update,
     "stream_stateful_drain": _bench_stream_stateful_drain,
     "dedup_embedding_ann": _bench_embedding_ann_scaled_k,
     "ann_index_update": _bench_ann_index_update,
+    "text_bpe_train": _bench_bpe_train,
 }
 
 # Scale-slope probe set (VERDICT r2 item 5): candidate-bounded plans whose

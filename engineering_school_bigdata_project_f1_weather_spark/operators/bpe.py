@@ -1,0 +1,183 @@
+"""Byte-pair-encoding tokenizer TRAINING and application, Spark-first.
+
+The reference has no tokenizer at all; this is extension surface for the
+training-data pipeline (token counting exists as ``text.text_tokens``'s
+regex approximation — this is the real, trained thing).
+
+Distributed structure (the part that matters at 100 TB):
+
+- ONE corpus-scale pass aggregates the distinct-word frequency table
+  (``word, count`` — the classic BPE training input). Everything after
+  runs on that VOCAB-sized frame (tens of thousands of rows for a
+  billion-document corpus), not the corpus.
+- Each merge round: explode adjacent symbol pairs weighted by word
+  count (one partial-agg shuffle over pair keys), take the argmax pair
+  (1 row to the driver — steering, not data), rewrite every word's
+  segmentation with a left-to-right greedy fold. ``localCheckpoint``
+  per round truncates lineage exactly like the k-means / Hash-Min loops.
+- Deterministic: ties broken lexicographically on (left, right), no
+  rand(), so the merge table is reproducible across engines/retries —
+  pinned against a pure-Python reference implementation in
+  tests/test_bpe.py (the iterative merge is not practically expressible
+  as a single DuckDB SQL statement, so this extension is pytest-parity
+  verified rather than oracle_sql-checked; COVERAGE.md records which).
+
+Not registered in ``__spark_entry__`` (no SQL oracle); benched as
+``text_bpe_train`` in bench.py's EXTRA_BENCH.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table_spread
+
+END_OF_WORD = "</w>"  # classic end-of-word marker so merges can't cross words
+N_MERGES = 8
+
+
+def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one corpus-scale pass: distinct-word frequency table."""
+    d = load_table_spread(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return (
+        d.where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _initial_segments(words: DataFrame) -> DataFrame:
+    """word → array of single characters + END_OF_WORD."""
+    return words.select(
+        "word",
+        "n",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+        ).alias("seg"),
+    )
+
+
+def _pair_counts(segs: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies, weighted by word count — one
+    partial-agg shuffle over the vocab frame."""
+    n = F.size("seg")
+    pairs = F.zip_with(
+        F.slice(F.col("seg"), 1, n - 1),
+        F.slice(F.col("seg"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        segs.where(n >= 2)
+        .select(F.explode(pairs).alias("p"), "n")
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("n").alias("freq"))
+    )
+
+
+def _merge_pair(seg, left: str, right: str):
+    """Greedy left-to-right single-pair merge as one aggregate fold:
+    acc = (out array, pending symbol); merging consumes both symbols, so
+    overlapping occurrences (aaa with pair a+a) merge non-overlapping
+    left-to-right — the standard BPE apply rule."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc, s):
+        take_merge = acc["prev"].eqNullSafe(F.lit(left)) & (s == F.lit(right))
+        return F.struct(
+            F.when(
+                take_merge,
+                F.concat(acc["out"], F.array(F.lit(left + right))),
+            )
+            .when(acc["prev"].isNull(), acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+            .alias("out"),
+            F.when(take_merge, F.lit(None).cast("string"))
+            .otherwise(s)
+            .alias("prev"),
+        )
+
+    def finish(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(seg, init, step, finish)
+
+
+def train_bpe(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
+    merge table [(left, right), ...] — the tokenizer artifact.
+
+    Driver traffic per round is ONE (left, right, freq) row; the segment
+    rewrite happens distributed on the vocab frame. Stops early if no
+    pair occurs at least twice."""
+    segs = _initial_segments(word_counts(spark, sf_dir)).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    # Loop-scoped shuffle sizing (same move as the k-means / Hash-Min
+    # loops): every per-round shuffle carries vocab-frame rows, so size
+    # partitions to the vocab and restore the session conf after.
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_vocab = segs.count()
+    loop_parts = max(4, min(int(saved_parts), n_vocab // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(segs)
+                .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["freq"] < 2:
+                break
+            left, right = top[0]["l"], top[0]["r"]
+            merges.append((left, right))
+            segs = segs.select(
+                "word", "n", _merge_pair(F.col("seg"), left, right).alias("seg")
+            ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    return merges
+
+
+def apply_bpe(
+    spark: SparkSession, sf_dir: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table: per doc, the BPE
+    token count and the bytes-per-token compression signal (e6 fixed
+    point). The merge table is a plan literal (broadcast by construction);
+    application is one narrow pass — no shuffle beyond the scan."""
+    d = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+    tok = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).where(F.length("word") > 0)
+    seg = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD)))
+    col = seg
+    for left, right in merges:
+        col = _merge_pair(col, left, right)
+    per_word = tok.select(
+        "doc_id", "n_chars", F.size(col).cast("long").alias("n_pieces")
+    )
+    return (
+        per_word.groupBy("doc_id", "n_chars")
+        .agg(F.sum("n_pieces").alias("n_bpe_tokens"))
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            F.expr(
+                "if(n_bpe_tokens = 0, 0L, div(n_chars * 1000000, n_bpe_tokens))"
+            ).alias("chars_per_token_e6"),
+        )
+    )
