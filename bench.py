@@ -214,7 +214,11 @@ def _bench_bpe_train(spark, sf_dir: str) -> None:
     pure-Python reference (tests/test_bpe.py)."""
     from engineering_school_bigdata_project_f1_weather_spark.operators import bpe
 
-    assert bpe.train_bpe(spark, sf_dir)
+    # Not an assert: `python -O` strips asserts and would silently time a
+    # no-op (round-4 review).
+    merges = bpe.train_bpe(spark, sf_dir)
+    if not merges:
+        raise RuntimeError("BPE training learned no merges at bench scale")
 
 
 EXTRA_BENCH = {
@@ -363,6 +367,9 @@ if __name__ == "__main__":
     if "--scale-slope" in argv:
         scale_slope()
     elif "--compare" in argv:
-        main(compare_path=argv[argv.index("--compare") + 1])
+        i = argv.index("--compare")
+        if i + 1 >= len(argv):
+            sys.exit("usage: bench.py --compare PRIOR_BENCH.json")
+        main(compare_path=argv[i + 1])
     else:
         main()

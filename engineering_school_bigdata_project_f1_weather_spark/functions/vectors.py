@@ -42,11 +42,24 @@ def norm2(a: Column) -> Column:
 
 
 def sim_e6(dot_col: Column, n2a: Column, n2b: Column) -> Column:
-    """floor(cosine * 1e6) as BIGINT — deterministic across engines."""
-    return F.floor(
-        dot_col.cast("double") * F.lit(1_000_000.0)
-        / F.sqrt(n2a.cast("double") * n2b.cast("double"))
-    ).cast("long")
+    """floor(cosine * 1e6) as BIGINT — deterministic across engines.
+
+    Total on zero-norm vectors (round-4 review): 0/0 would be NaN, whose
+    long cast is 0 in a non-ANSI session but an ERROR under ANSI (the
+    driver's mode) and a conversion error in DuckDB — so both this and
+    :func:`sim_e6_sql` define the zero-norm cosine as 0 explicitly, and
+    the Arrow verify (`similarity._verify_pairs_arrow`) maps its NaNs to
+    0 to match."""
+    return (
+        F.when((n2a == 0) | (n2b == 0), F.lit(0))
+        .otherwise(
+            F.floor(
+                dot_col.cast("double") * F.lit(1_000_000.0)
+                / F.sqrt(n2a.cast("double") * n2b.cast("double"))
+            )
+        )
+        .cast("long")
+    )
 
 
 # --- DuckDB twins (generated SQL fragments) -------------------------------
@@ -63,6 +76,7 @@ def dot_sql(a: str, b: str) -> str:
 
 def sim_e6_sql(dot_expr: str, n2a: str, n2b: str) -> str:
     return (
-        f"CAST(FLOOR(CAST({dot_expr} AS DOUBLE) * 1000000.0 "
-        f"/ SQRT(CAST({n2a} AS DOUBLE) * CAST({n2b} AS DOUBLE))) AS BIGINT)"
+        f"CAST(CASE WHEN {n2a} = 0 OR {n2b} = 0 THEN 0 "
+        f"ELSE FLOOR(CAST({dot_expr} AS DOUBLE) * 1000000.0 "
+        f"/ SQRT(CAST({n2a} AS DOUBLE) * CAST({n2b} AS DOUBLE))) END AS BIGINT)"
     )

@@ -756,10 +756,14 @@ def _ann_verified_pairs(
     # candidates × 128-dim exact integer cosine is the hot loop, and
     # interpreted higher-order lambdas cost ~10 µs/pair — bit-equal numpy
     # batches are ~100× cheaper and the driver's oracle hash-gate
-    # verifies the equivalence every round.
+    # verifies the equivalence every round. The vector-side joins are NOT
+    # broadcast-hinted (round-4 review): av/bv are the FULL corpus, which
+    # a deployment cannot broadcast (8 GB hard limit at ~10M vectors);
+    # AQE broadcasts them automatically when they're actually small, and
+    # at scale these are the standard id-keyed shuffle joins.
     return (
-        cand.join(F.broadcast(av), "vec_a")
-        .join(F.broadcast(bv), "vec_b")
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
         .mapInPandas(
             functools.partial(_verify_pairs_arrow, min_e6=min_e6),
             schema="vec_a long, vec_b long, sim_e6 long",
@@ -971,8 +975,16 @@ def ann_index_update(
         )
     )
     result = pairs.localCheckpoint()  # materialize BEFORE mutating the index
-    new_base.write.mode("append").parquet(f"{index_path}/vectors")
+    # Append ORDER matters for crash recovery (round-4 review): assign/
+    # first, vectors/ last. Idempotency keys on vectors/, so a crash
+    # between the two appends leaves assign rows whose vectors are
+    # missing — the retry re-processes the batch (anti-join passes),
+    # re-appending assign: duplicate ASSIGN rows are harmless (candidate
+    # generation is `.distinct()`), whereas the reverse order would
+    # permanently drop the batch's assignments and silently miss every
+    # future near-dup involving those vectors.
     new_assign.write.mode("append").parquet(f"{index_path}/assign")
+    new_base.write.mode("append").parquet(f"{index_path}/vectors")
     return result
 
 

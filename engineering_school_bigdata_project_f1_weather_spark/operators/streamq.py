@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -39,16 +38,24 @@ GAP_US = 1_800_000_000  # streaming/events_stream.py SESSION_GAP
 
 
 def _drain(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
-    """availableNow drain through a FILE sink into a uniquely-named temp
-    parquet directory (the driver may call an entry repeatedly in one
-    session; names must not collide).
+    """availableNow drain through a FILE sink into a per-(session, entry)
+    temp parquet directory.
 
     The drained result is written by the executors and read back lazily —
     no result row is ever driver-resident, so the drain harness itself is
     scale-safe (the previous memory-sink drain copied the full result to
-    the driver, which for per-user-session output grows with the data)."""
+    the driver, which for per-user-session output grows with the data).
+    The directory is keyed by (Spark application id, entry name) and
+    OVERWRITTEN per call rather than uniquely named (round-4 review): a
+    driver/bench loop calls each entry many times per session, and
+    uuid-suffixed dirs leaked one full result copy per call — disk use is
+    now bounded at one result per entry. A handle returned by a PREVIOUS
+    call of the same entry is invalidated by the next call's overwrite;
+    callers (driver comparator, bench, selfcheck) all materialize before
+    re-invoking."""
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_drain_{prefix}_{uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(),
+        f"spark_drain_{spark.sparkContext.applicationId}_{prefix}",
     )
     return events_stream.run_available_now_to_parquet(df, path, spark)
 

@@ -221,11 +221,17 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts_us", "event_id", "event_type"
     )
     by_time = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # Null-safe change flag (round-4 review): a NULL event_type must start
+    # its own run — with plain `!=` the comparison is NULL, the row would
+    # silently merge into the previous run, and the (user_id, run_id,
+    # event_type) grouping would then split one run_id into two rows,
+    # making the lead() chain nondeterministic. `eqNullSafe` treats the
+    # first row (lag NULL vs value) and NULL-typed rows uniformly; the
+    # oracle's IS DISTINCT FROM is the exact SQL twin.
     flagged = e.withColumn(
         "chg",
         F.when(
-            F.lag("event_type").over(by_time).isNull()
-            | (F.col("event_type") != F.lag("event_type").over(by_time)),
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(by_time)),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn(
@@ -255,8 +261,7 @@ WITH e AS (
 ),
 flagged AS (
     SELECT *,
-           CASE WHEN lag(event_type) OVER w IS NULL
-                     OR event_type != lag(event_type) OVER w
+           CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
                 THEN 1 ELSE 0 END AS chg
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)

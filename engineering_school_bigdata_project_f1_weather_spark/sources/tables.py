@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 import os
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,7 +47,10 @@ def _estimated_scan_tasks(df: DataFrame) -> int | None:
         if p.scheme not in ("file", ""):
             return None
         try:
-            sizes.append(os.stat(p.path).st_size)
+            # Hadoop file URIs percent-encode special characters; unquote
+            # so paths with spaces/%-chars stat correctly instead of
+            # silently disabling the spread (round-4 review).
+            sizes.append(os.stat(unquote(p.path)).st_size)
         except OSError:
             return None
     weighted = sum(s + _OPEN_COST_BYTES for s in sizes)

@@ -149,6 +149,13 @@ def run_available_now_to_parquet(
     the driver, at any scale. The returned DataFrame is a plain
     ``spark.read.parquet`` over the drained files."""
 
+    import os
+    import shutil
+
+    # Callers may reuse a drain directory across invocations; a stale
+    # result must never survive into a run whose source fires no batch.
+    shutil.rmtree(path, ignore_errors=True)
+
     def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(path)
 
@@ -159,8 +166,6 @@ def run_available_now_to_parquet(
         .start()
     )
     q.awaitTermination()
-    import os
-
     if not os.path.isdir(path):  # empty source: no batch ever fired
         return spark.createDataFrame([], df.schema)
     return spark.read.parquet(path)

@@ -38,6 +38,9 @@ def dirty_sf(spark, tmp_path_factory):
             (3, "2024-01-01 01:00:00", None, "purchase", 5.5, '{"k": 2}'),  # dup id
             (4, "2024-01-02 09:00:00", 2, "view", -3.25, "not json"),  # bad json
             (5, "2024-01-02 23:59:59", 2, "view", 0.0, "{}"),
+            (6, "2024-01-03 01:00:00", 2, None, 1.0, "{}"),  # null event_type
+            (7, "2024-01-03 01:05:00", 2, None, 1.0, "{}"),  # consecutive null
+            (8, "2024-01-03 01:10:00", 2, "view", 1.0, "{}"),
         ],
         "event_id long, ts_s string, user_id long, event_type string, value double, props string",
     ).select(
@@ -141,6 +144,13 @@ def test_round4_operators_survive_dirty_lake(spark, dirty_sf):
 
     scd2 = temporal.events_scd2(spark, dirty_sf).collect()
     assert scd2  # runs; null user_id forms its own partition group
+    # NULL event_type forms its OWN run (IS DISTINCT FROM semantics):
+    # user 2's tail is view…view → NULL,NULL → view = a 2-event NULL run
+    u2 = sorted(
+        (r for r in scd2 if r.user_id == 2), key=lambda r: r.valid_from_us
+    )
+    assert [r.event_type for r in u2] == ["view", None, "view"]
+    assert u2[1].n_events == 2  # consecutive NULLs collapse into one run
     by_user: dict = {}
     for r in scd2:
         by_user.setdefault(r.user_id, []).append(r)
