@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "sim_knn_graph",
     "events_scd2",
     "stream_enriched",
+    "multimodal_dedup",
+    "sample_quality_weighted",
 ]
 
 

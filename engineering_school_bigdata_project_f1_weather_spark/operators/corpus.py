@@ -549,6 +549,58 @@ WHERE bucket < (CASE {arms} ELSE {STRATUM_DEFAULT_PERMILLE} END)
 """
 
 
+# Quality-weighted admission rates (permille by quality band): the
+# "upsample good data, downsample junk" step of corpus assembly.
+QUALITY_RATE_PERMILLE = {"high": 1000, "mid": 500, "low": 100}
+
+
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (round 4): each document's
+    admission probability depends on its ``quality_score`` band — keep
+    every high-band doc, half the mid band, a tenth of the low band —
+    decided by an md5 bucket of the doc id, never ``rand()``.
+
+    Same nested-sample/retry-safety contract as
+    :func:`sample_stratified` (raising a band's rate later only ADDS
+    documents), but driven by the MODEL signal instead of the language
+    stratum — together they implement quality-weighted data mixing.
+    Plan: the quality features + score are one narrow scan
+    (quality.quality_score) and the keep decision is a hash + CASE
+    filter on top — still no shuffle."""
+    from .quality import quality_score
+
+    q = quality_score(spark, sf_dir)
+    bucket = (
+        texts.hash32(F.concat(F.lit("qual:"), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    rate = F.lit(0)
+    for band, r in QUALITY_RATE_PERMILLE.items():
+        rate = F.when(F.col("band") == band, F.lit(r)).otherwise(rate)
+    return (
+        q.select("doc_id", "band", "score", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+def _quality_weighted_oracle_sql() -> str:
+    from .quality import _quality_score_oracle_sql
+
+    b = texts.hash32_sql("'qual:' || CAST(doc_id AS VARCHAR)")
+    arms = " ".join(
+        f"WHEN band = '{band}' THEN {r}"
+        for band, r in QUALITY_RATE_PERMILLE.items()
+    )
+    return f"""
+WITH q AS (
+    SELECT * FROM ({_quality_score_oracle_sql()})
+)
+SELECT doc_id, band, score, {b} % {SPLIT_BUCKETS} AS bucket
+FROM q
+WHERE {b} % {SPLIT_BUCKETS} < (CASE {arms} ELSE 0 END)
+"""
+
+
 MIX_TOKENS_PER_WEIGHT = 600  # token budget bought by one unit of weight
 
 
@@ -694,6 +746,7 @@ QUERIES = {
     "corpus_pack": corpus_pack,
     "corpus_shuffle": corpus_shuffle,
     "sample_stratified": sample_stratified,
+    "sample_quality_weighted": sample_quality_weighted,
     "corpus_mix": corpus_mix,
     "corpus_forget": corpus_forget,
 }
@@ -707,6 +760,7 @@ ORACLE_SQL = {
     "corpus_pack": _pack_oracle_sql(),
     "corpus_shuffle": _shuffle_oracle_sql(),
     "sample_stratified": _stratified_oracle_sql(),
+    "sample_quality_weighted": _quality_weighted_oracle_sql(),
     "corpus_mix": _mix_oracle_sql(),
     "corpus_forget": _forget_oracle_sql(),
 }

@@ -166,10 +166,30 @@ def multimodal_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY payload column — content-hash grouping
+    on the blob itself (the image/audio twin of ``dedup.dedup_exact``,
+    which hashes text): md5 of the raw bytes, one hash-keyed partial-agg
+    shuffle, keeper = min doc_id. At 100 TB this is the first pass of any
+    multimodal pipeline (byte-identical re-crawls/copies collapse before
+    any expensive decode), and the hash is computed JVM-side on the
+    binary column — no Python in this one."""
+    d = with_payload(load_table_spread(spark, sf_dir, "documents"))
+    return (
+        d.groupBy(F.md5(F.col("payload")).alias("payload_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+            F.min("payload_len").alias("payload_len"),
+        )
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "multimodal_energy": multimodal_energy,
+    "multimodal_dedup": multimodal_dedup,
 }
 
 # Text is ASCII, so byte ops ≡ char ops; md5(text) ≡ md5(utf8 payload).
@@ -202,5 +222,13 @@ ORACLE_SQL = {
              unnest(range(0, least(
                  (strlen(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES},
                  {MAX_FRAMES}))) AS t(i)
+    """,
+    # ASCII text ⇒ md5(text) ≡ md5(utf8-encoded payload bytes).
+    "multimodal_dedup": """
+        SELECT md5(text) AS payload_md5,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS keeper_id,
+               CAST(MIN(strlen(text)) AS BIGINT) AS payload_len
+        FROM documents GROUP BY md5(text)
     """,
 }
