@@ -29,12 +29,14 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     curate,
     dedup,
     events,
+    graph,
     marts,
     multimodal,
     quality,
     reshape,
     search,
     similarity,
+    sketch,
     streamq,
     temporal,
     text,
@@ -55,6 +57,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 _MODULES = [
     marts, analytics, dedup, text, events, temporal, multimodal,
     curate, corpus, reshape, quality, search, streamq, similarity,
+    sketch, graph,
 ]
 
 

@@ -1,0 +1,144 @@
+"""Distributed triangle counting over the part co-order graph.
+
+Extension surface (the reference has no graph analytics; its joins are
+star-schema equi-joins — ``Code Big Data Project.py`` merges results to
+weather on city/date). This is the canonical "graph analytics on a
+relational engine" operator a training-data pipeline uses for corpus
+structure: the same oriented-wedge-join shape computes triangle support
+over a near-duplicate kNN graph (``sim_knn_graph``) or a co-citation
+graph. Here the graph is market-basket style: parts are linked when
+some order contains both.
+
+The naive triangle join (edges ⋈ edges ⋈ edges) explodes on skewed
+degrees: a node of degree d generates d² wedge rows. The classic fix
+(Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+Reducer", WWW'11) is **degree orientation**: orient every undirected
+edge from its lower-(degree, id) endpoint to its higher one. The
+resulting DAG has max out-degree O(√m) regardless of in-degree skew, so
+the wedge join generates Σ out-deg² = O(m^1.5) rows worst case instead
+of Σ deg² — the hot celebrity node stops being the last reducer.
+Every triangle then appears EXACTLY ONCE as an oriented wedge
+u→v, u→w (u the smallest in the total order) closed by the oriented
+edge v→w — no /3 or /6 dedup factor, no duplicate pairs to distinct.
+
+Plan shape: one self-join of lineitem projections on orderkey builds
+candidate pairs (partial-agg distinct), one exploded count gives
+degrees (joined back onto edges on the vertex key — the degree table is
+|V| rows, tiny next to |E|), the wedge join shuffles on the wedge apex, and the
+closing join shuffles on the (v, w) edge key. All joins are equi-joins
+on hashed keys; nothing is ever driver-resident.
+
+Output is per-part triangle participation (part, n_triangles) — a
+|V|-sized frame that hash-checks far more of the computation than a
+single global count. The DuckDB oracle computes the same thing with the
+naive a<b<c three-way join (fine at sf0.01) — orientation is a plan
+optimization, not a semantics change, so both agree exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table_spread
+
+
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected distinct edge set (a < b) of parts co-occurring in at
+    least one order. The (order, part) projection is deduped first so
+    multi-lineitem part repeats within an order don't inflate the
+    self-join."""
+    li = (
+        load_table_spread(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    r = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b")
+    )
+    return (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+        .join(r, "o")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge from its lower (degree, id) endpoint
+    to its higher one. Degrees come from one exploded count over the
+    edge list. The |V|-row degree table is joined back on the vertex key
+    WITHOUT a broadcast hint: it is tiny next to |E| here (AQE picks a
+    broadcast at test scale), but |V| itself grows with the data, so the
+    strategy choice is left to the planner rather than pinned."""
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    e = edges.join(da, "a").join(db, "b")
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-order graph (module
+    docstring). Output: (part, n_triangles), heaviest first then part —
+    one row per part that belongs to at least one triangle."""
+    o = _oriented(_co_order_edges(spark, sf_dir))
+    w1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    # Each triangle appears once: u is the orientation-minimum, and the
+    # (v, w) leg is checked in its oriented direction only.
+    wedges = w1.join(w2, "u").where(F.col("v") != F.col("w"))
+    closer = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closer, ["v", "w"])
+    return (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("part"))
+    )
+
+
+_TRIANGLES_ORACLE = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+    SELECT e1.a AS u, e1.b AS v, e2.b AS w
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+    SELECT u AS part FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY part
+ORDER BY n_triangles DESC, part ASC
+"""
+
+
+QUERIES = {
+    "graph_triangles": graph_triangles,
+}
+
+ORACLE_SQL = {
+    "graph_triangles": _TRIANGLES_ORACLE,
+}
