@@ -169,14 +169,63 @@ GROUP BY 1, 2
 """
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once output from an at-least-once source: the events
+    stream is unioned with a SECOND independent stream over the same
+    files filtered to ``event_id % 7 == 0`` — an in-plan, deterministic
+    simulation of upstream re-delivery (~14% duplicate rate) — then
+    deduped with ``events_stream.dedup_stream``
+    (``dropDuplicatesWithinWatermark`` on event_id: state holds one
+    watermark delay of keys, not history, so the state store is bounded
+    at any ingest rate; re-deliveries inside the delay — including
+    same-micro-batch copies, as here — are dropped against state).
+
+    Drained through the APPEND-mode file sink (dedup is not an
+    aggregation, so complete mode is illegal; each surviving row is
+    emitted exactly once and appended). The drained result must equal
+    the original events exactly — the oracle is a plain projection of
+    the events table, so the hash check proves the dedup removed every
+    injected duplicate and nothing else."""
+    base = events_stream.stream_events(spark, sf_dir)
+    redelivery = events_stream.stream_events(spark, sf_dir).where(
+        F.col("event_id") % 7 == 0
+    )
+    deduped = events_stream.dedup_stream(base.unionByName(redelivery))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_drain_{spark.sparkContext.applicationId}_stream_dedup",
+    )
+    out = events_stream.run_available_now_append_to_parquet(
+        deduped, path, spark
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+_DEDUP_ORACLE = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+FROM events
+"""
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessions": stream_sessions,
     "stream_enriched": stream_enriched,
+    "stream_dedup": stream_dedup,
 }
 
 ORACLE_SQL = {
     "stream_hourly": _HOURLY_ORACLE,
     "stream_sessions": _SESSIONS_ORACLE,
     "stream_enriched": _ENRICHED_ORACLE,
+    "stream_dedup": _DEDUP_ORACLE,
 }

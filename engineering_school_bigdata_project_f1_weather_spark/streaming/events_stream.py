@@ -134,6 +134,36 @@ def run_available_now(df: DataFrame, table_name: str, spark: SparkSession) -> Da
     return spark.table(table_name)
 
 
+def run_available_now_append_to_parquet(
+    df: DataFrame, path: str, spark: SparkSession
+) -> DataFrame:
+    """Append-mode twin of ``run_available_now_to_parquet`` for stateful
+    NON-aggregation streams (dedup): complete mode is only legal for
+    aggregates, and dedup emits each surviving row exactly once as it
+    arrives, so per-batch ``mode("append")`` parquet writes accumulate
+    precisely the final result. Same executor-written, never
+    driver-resident property as the complete-mode drain."""
+
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        df.writeStream.foreachBatch(_write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(path):  # empty source: no batch ever fired
+        return spark.createDataFrame([], df.schema)
+    return spark.read.parquet(path)
+
+
 def run_available_now_to_parquet(
     df: DataFrame, path: str, spark: SparkSession
 ) -> DataFrame:

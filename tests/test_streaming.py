@@ -100,6 +100,21 @@ def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
     assert out.select("event_id").distinct().count() == n_unique
 
 
+def test_stream_dedup_entry_injection_not_vacuous(spark, sf_dir):
+    """The stream_dedup registry entry simulates re-delivery in-plan; this
+    pins that the injected union really does carry duplicates (else the
+    dedup proves nothing) and that the drained result restores the
+    original row count exactly."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import streamq
+
+    n_events = load_events(spark, sf_dir).count()
+    n_injected = load_events(spark, sf_dir).where(F.col("event_id") % 7 == 0).count()
+    assert n_injected > 0
+    out = streamq.stream_dedup(spark, sf_dir)
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+
 def test_enriched_stream_matches_batch_join(spark, sf_dir):
     """Stream-static join parity: hourly per-segment counts from the
     stream must equal the same join+agg computed in batch."""
