@@ -441,7 +441,80 @@ def distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the orders not dominated on
+    (earlier order date, higher total price) — order B dominates A when
+    ``B.date ≤ A.date ∧ B.price ≥ A.price`` with at least one strict.
+    The operator Spark lacks natively; the naive formulation is a
+    quadratic NOT EXISTS self-join (which is exactly what the DuckDB
+    oracle runs — an INDEPENDENT algorithm, so the hash check validates
+    the rewrite, not a shared plan).
+
+    Spark-first rewrite for this 2-D case, fully relational: a point
+    survives iff its price equals the max price ON its date and strictly
+    exceeds the running max over all EARLIER dates. That is one
+    date-level aggregation (shuffle keyed on date, map-side combined),
+    one window over the DATE-LEVEL frame — |distinct dates| rows, a
+    domain that is bounded by the calendar, not by the data, so the
+    single-partition running-max window costs the same at 100 TB as at
+    sf0.01 — and one join back (strategy left to AQE; the date frame is
+    broadcast-sized forever). Dominance is compared on exact integers
+    (epoch micros, price cents). NULL in either dimension excludes the
+    row in both engines (dominance is undefined on unknowns).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.unix_micros(F.col("o_orderdate")).alias("ts_us"),
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    per_date = o.groupBy("ts_us").agg(F.max("price_cents").alias("date_max"))
+    prev = Window.orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_date = per_date.withColumn("prev_max", F.max("date_max").over(prev))
+    return (
+        o.join(per_date, "ts_us")
+        .where(
+            (F.col("price_cents") == F.col("date_max"))
+            & (F.col("prev_max").isNull() | (F.col("price_cents") > F.col("prev_max")))
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "price_cents",
+        )
+        .orderBy("order_date", "o_orderkey")
+    )
+
+
+_SKYLINE_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderdate, epoch_us(o_orderdate) AS ts_us,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+)
+SELECT a.o_orderkey, strftime(a.o_orderdate, '%Y-%m-%d') AS order_date,
+       a.price_cents
+FROM o a
+WHERE NOT EXISTS (
+    SELECT 1 FROM o b
+    WHERE b.ts_us <= a.ts_us AND b.price_cents >= a.price_cents
+      AND (b.ts_us < a.ts_us OR b.price_cents > a.price_cents)
+)
+ORDER BY order_date, o_orderkey
+"""
+
+
 QUERIES = {
+    "orders_skyline": orders_skyline,
     "tpch_pricing_summary": pricing_summary,
     "tpch_revenue_by_nation": revenue_by_nation,
     "tpch_shipping_priority": shipping_priority,
@@ -464,6 +537,7 @@ QUERIES = {
 _REV = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
 ORACLE_SQL = {
+    "orders_skyline": _SKYLINE_ORACLE,
     "tpch_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

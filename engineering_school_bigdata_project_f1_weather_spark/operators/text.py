@@ -208,14 +208,108 @@ LEFT JOIN best b ON b.doc_id = c.doc_id AND b.lang = c.lang
 """
 
 
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOPK = 100
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's most-associated adjacent word
+    pairs, ranked by the Dice coefficient ``2·n(w1,w2)/(n(w1)+n(w2))``
+    in e6 fixed point.
+
+    Dice instead of PMI on purpose: PMI needs ``N_tokens²`` in the
+    numerator (overflow at corpus scale) or a float ``log`` (bit
+    divergence across engines); Dice is the standard collocation
+    measure that stays in small exact integers — the numerator is
+    bounded by 2e6·min(n1,n2) at ANY corpus size, so the arithmetic
+    that is exact at sf0.01 is the same arithmetic that runs at 100 TB.
+
+    Plan: one explode → (w1,w2) partial-agg shuffle for bigram counts
+    (adjacent pairs via the same slice/zip_with shape as BPE pair
+    counting), one explode → token shuffle for unigram counts, two
+    vocabulary-sized equi-joins (strategy left to AQE — vocabulary
+    grows with the corpus, so no pinned broadcast), support filter,
+    TakeOrderedAndProject for the top-k. Never a global sort.
+    """
+    d = load_table_spread(spark, sf_dir, "documents").select(
+        tokens(F.col("text")).alias("t")
+    )
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        d.where(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= COLLOC_MIN_SUPPORT)
+    )
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n2"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.expr("div(2 * n_pair * 1000000, n1 + n2)").alias("dice_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("dice_e6"), F.asc("w1"), F.asc("w2")
+    ).limit(COLLOC_TOPK)
+
+
+_COLLOC_ORACLE = f"""
+WITH toks AS (
+    SELECT string_split(text, ' ') AS t FROM documents
+),
+big AS (
+    SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS n_pair
+    FROM (SELECT unnest(list_zip(t[1:-2], t[2:-1])) AS p
+          FROM toks WHERE len(t) >= 2)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {COLLOC_MIN_SUPPORT}
+),
+uni AS (
+    SELECT w, COUNT(*) AS n_w
+    FROM (SELECT unnest(t) AS w FROM toks)
+    GROUP BY w
+)
+SELECT b.w1, b.w2,
+       CAST(b.n_pair AS BIGINT) AS n_pair,
+       CAST(u1.n_w AS BIGINT) AS n1,
+       CAST(u2.n_w AS BIGINT) AS n2,
+       (2 * b.n_pair * 1000000) // (u1.n_w + u2.n_w) AS dice_e6
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+ORDER BY dice_e6 DESC, w1 ASC, w2 ASC
+LIMIT {COLLOC_TOPK}
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
     "text_quality": text_quality,
+    "text_collocations": text_collocations,
 }
 
 ORACLE_SQL = {
+    "text_collocations": _COLLOC_ORACLE,
     "text_langid_ngram": _langid_ngram_oracle_sql(),
     "text_tokens": f"""
         SELECT doc_id,
