@@ -63,6 +63,46 @@ def test_banded_lsh_recall_not_worse_than_single_table(spark, sf_dir):
     assert banded > 0.2, f"banded recall suspiciously low: {banded}"
 
 
+def test_pq_rerank_recall_vs_exact_l2(spark, sf_dir):
+    """sim_pq's ADC-shortlist + exact-re-rank must recover the exact L2
+    top-k with high recall (the docstring's measured 1.0 at sf0.01 /
+    top-100 shortlist; pinned conservatively at 0.9), and its emitted
+    distances must be the EXACT integer L2 — not approximations."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import vectors
+
+    base = similarity._quantized(spark, sf_dir).cache()
+    q = base.where(F.col("vec_id") % similarity.QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    d2 = (
+        F.col("qn2") - 2 * vectors.dot(F.col("qq"), F.col("q")) + F.col("n2")
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = (
+        base.join(F.broadcast(q), F.lit(True))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= similarity.TOPK)
+        .collect()
+    )
+    truth = {(r["query_id"], r["vec_id"]) for r in exact}
+    truth_d2 = {(r["query_id"], r["vec_id"]): r["d2"] for r in exact}
+    got = similarity.sim_pq(spark, sf_dir).collect()
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(truth & got_pairs) / len(truth)
+    assert recall >= 0.9, f"PQ re-rank recall {recall} < 0.9"
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in truth_d2:
+            assert r["d2"] == truth_d2[key]  # re-rank emits exact distances
+
+
 def test_trained_centroids_deterministic_and_on_grid(spark, sf_dir):
     c1 = similarity.kmeans_centroids(spark, sf_dir, iters=2)
     c2 = similarity.kmeans_centroids(spark, sf_dir, iters=2)
