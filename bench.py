@@ -96,6 +96,16 @@ BENCH_QUERIES = [
     "stream_enriched",
     "multimodal_dedup",
     "sample_quality_weighted",
+    # round-4 second wave: exact MG-sketch heavy hitters, oriented
+    # triangle counting, PQ ANN (encode + ADC + re-rank in one plan),
+    # skyline, collocation mining, and the streaming dedup drain
+    "events_heavy_hitters",
+    "graph_triangles",
+    "sim_pq",
+    "sim_pq_trained",
+    "orders_skyline",
+    "text_collocations",
+    "stream_dedup",
 ]
 
 
@@ -242,6 +252,9 @@ SLOPE_QUERIES = [
     "dedup_minhash_lsh", "dedup_components", "sim_lsh_banded",
     "corpus_curate", "dedup_embedding_ann", "text_hash_embed",
     "text_search", "stream_sessions",
+    # round-4 second wave: sketch-bounded heavy hitters, oriented
+    # triangle join, PQ encode+ADC+re-rank
+    "events_heavy_hitters", "graph_triangles", "sim_pq",
 ]
 
 

@@ -1056,7 +1056,20 @@ def _pq_subvectors(base: DataFrame) -> DataFrame:
     ).withColumn("sn2", vectors.norm2(F.col("sq")))
 
 
-def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_seed_codebook(sub: DataFrame) -> DataFrame:
+    """Deterministic seed codebook: vec_id 1..PQ_K's sub-vectors, per
+    subspace — the PQ twin of ``_seed_centroids``."""
+    return sub.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K)).select(
+        "m",
+        F.col("vec_id").alias("code_id"),
+        F.col("sq").alias("cq"),
+        F.col("sn2").alias("cn2"),
+    )
+
+
+def sim_pq(
+    spark: SparkSession, sf_dir: str, codebook: DataFrame | None = None
+) -> DataFrame:
     """Product-quantization ANN (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI'11) — the memory-bound scale path the
     IVF family doesn't cover: each 64-dim vector is compressed to PQ_M=16
@@ -1096,12 +1109,7 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = _quantized(spark, sf_dir).cache()
     sub = _pq_subvectors(base)
-    cb = sub.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K)).select(
-        "m",
-        F.col("vec_id").alias("code_id"),
-        F.col("sq").alias("cq"),
-        F.col("sn2").alias("cn2"),
-    )
+    cb = codebook if codebook is not None else _pq_seed_codebook(sub)
     d2 = (
         F.col("sn2") - 2 * vectors.dot(F.col("sq"), F.col("cq")) + F.col("cn2")
     ).cast("long")
@@ -1161,7 +1169,155 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle_sql() -> str:
+PQ_TRAIN_ITERS = 2
+
+
+def pq_train_codebooks(
+    spark: SparkSession, sf_dir: str, iters: int = PQ_TRAIN_ITERS
+) -> DataFrame:
+    """Per-subspace k-means codebook training — ALL PQ_M subspaces in ONE
+    Lloyd's loop by keying every stage on (m, code): assignment is an
+    L2-argmin against the broadcast (PQ_M·PQ_K)-row codebook, the
+    re-estimation is one (m, code, pos) partial-agg shuffle with the same
+    exact-integer rounded mean as ``kmeans_centroids``
+    (``floor(s/c + ½) = (2s+c − pmod(2s+c, 2c)) / (2c)``), and empty
+    codes keep their previous entry. Deterministic end to end (seeded
+    init, injective argmin keys, integer means) — the DuckDB oracle
+    unrolls these iterations and reproduces the trained codebook
+    bit-for-bit. Per-iteration driver traffic: none (localCheckpoint
+    truncates lineage; the codebook never leaves the cluster)."""
+    base = _quantized(spark, sf_dir).cache()
+    sub = _pq_subvectors(base).localCheckpoint()
+    cb = _pq_seed_codebook(sub).localCheckpoint()
+    d2 = (
+        F.col("sn2") - 2 * vectors.dot(F.col("sq"), F.col("cq")) + F.col("cn2")
+    ).cast("long")
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_vecs = base.count()
+    loop_parts = max(4, min(int(saved_parts), n_vecs // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(iters):
+            assign = (
+                sub.join(F.broadcast(cb), "m")
+                .groupBy("vec_id", "m")
+                .agg(
+                    F.min_by("code_id", d2 * PQ_K + F.col("code_id")).alias(
+                        "code_id"
+                    )
+                )
+                .join(sub.select("vec_id", "m", "sq"), ["vec_id", "m"])
+            )
+            means = (
+                assign.select("m", "code_id", F.posexplode("sq").alias("pos", "val"))
+                .groupBy("m", "code_id", "pos")
+                .agg(
+                    F.sum("val").cast("long").alias("s"),
+                    F.count(F.lit(1)).alias("c"),
+                )
+                .select(
+                    "m",
+                    "code_id",
+                    "pos",
+                    F.expr("div(2*s + c - pmod(2*s + c, 2*c), 2*c)").alias("v"),
+                )
+                .groupBy("m", "code_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+                .select(
+                    "m",
+                    "code_id",
+                    F.transform("pv", lambda s: s["v"]).alias("cq"),
+                )
+                .withColumn("cn2", vectors.norm2(F.col("cq")))
+            )
+            cb = (
+                cb.select(
+                    "m",
+                    "code_id",
+                    F.col("cq").alias("ocq"),
+                    F.col("cn2").alias("ocn2"),
+                )
+                .join(means, ["m", "code_id"], "left")
+                .select(
+                    "m",
+                    "code_id",
+                    F.coalesce("cq", "ocq").alias("cq"),
+                    F.coalesce("cn2", "ocn2").alias("cn2"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    return cb
+
+
+def sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving with k-means-trained codebooks — same three-stage plan
+    as :func:`sim_pq`, only the codebook frame differs (the drop-in
+    contract the sim_pq docstring promises, proven the same way
+    ``sim_ivf_trained`` proves it for IVF). Shortlist recall vs the
+    seeded codebook is pinned in tests/test_similarity.py."""
+    return sim_pq(
+        spark, sf_dir, codebook=pq_train_codebooks(spark, sf_dir)
+    )
+
+
+def _pq_train_ctes(iters: int = PQ_TRAIN_ITERS) -> str:
+    """The per-subspace Lloyd's loop of :func:`pq_train_codebooks`
+    UNROLLED as generated DuckDB CTEs — the PQ twin of
+    ``_kmeans_cents_ctes``, with (m, code) in every key so all PQ_M
+    codebooks train in the same unrolled blocks. Requires ``subn``
+    (vec_id, m, sq, sn2) in scope."""
+    d2 = f"CAST(s.sn2 - 2 * {vectors.dot_sql('s.sq', 'c.cq')} + c.cn2 AS BIGINT)"
+    parts = [
+        f"""pcb0 AS (
+    SELECT m, vec_id AS code_id, sq AS cq, sn2 AS cn2 FROM subn
+    WHERE vec_id BETWEEN 1 AND {PQ_K}
+),
+"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""pasg{i} AS (
+    SELECT s.vec_id, s.m,
+           arg_min(c.code_id, {d2} * {PQ_K} + c.code_id) AS code_id
+    FROM subn s JOIN pcb{i - 1} c ON c.m = s.m
+    GROUP BY s.vec_id, s.m
+),
+pex{i} AS (
+    SELECT a.m, a.code_id,
+           CAST(generate_subscripts(s.sq, 1) AS BIGINT) AS pos,
+           CAST(unnest(s.sq) AS BIGINT) AS val
+    FROM pasg{i} a JOIN subn s ON s.vec_id = a.vec_id AND s.m = a.m
+),
+pmm{i} AS (
+    SELECT m, code_id, pos,
+           CAST((2 * s + c - (((2 * s + c) % (2 * c)) + 2 * c) % (2 * c))
+                // (2 * c) AS BIGINT) AS v
+    FROM (
+        SELECT m, code_id, pos, CAST(SUM(val) AS BIGINT) AS s, COUNT(*) AS c
+        FROM pex{i} GROUP BY m, code_id, pos
+    )
+),
+pagg{i} AS (
+    SELECT m, code_id, list(CAST(v AS DOUBLE) ORDER BY pos) AS cq
+    FROM pmm{i} GROUP BY m, code_id
+),
+pcb{i} AS (
+    SELECT o.m, o.code_id,
+           COALESCE(n.cq, o.cq) AS cq,
+           {vectors.dot_sql('COALESCE(n.cq, o.cq)', 'COALESCE(n.cq, o.cq)')} AS cn2
+    FROM pcb{i - 1} o
+    LEFT JOIN pagg{i} n ON n.m = o.m AND n.code_id = o.code_id
+),
+""")
+    return "".join(parts)
+
+
+def _pq_oracle_sql(pre_cb: str = "", cb_select: str | None = None) -> str:
+    """PQ serving-path oracle; ``pre_cb`` injects extra CTEs (the trained
+    codebook chain) and ``cb_select`` overrides the codebook source
+    (default: the deterministic vec_id 1..PQ_K seeds) — same shape as
+    ``_ivf_oracle_sql``."""
     q = vectors.quantize_sql("embedding")
     subs = "\n    UNION ALL ".join(
         f"SELECT vec_id, {m} AS m, q[{1 + PQ_SUBDIM * m}:{PQ_SUBDIM * (m + 1)}] AS sq FROM e"
@@ -1173,15 +1329,19 @@ def _pq_oracle_sql() -> str:
     qd2 = (
         f"CAST(s.sn2 - 2 * {vectors.dot_sql('s.sq', 'c.cq')} + c.cn2 AS BIGINT)"
     )
+    if cb_select is None:
+        cb_select = (
+            f"SELECT m, vec_id AS code_id, sq AS cq, sn2 AS cn2 FROM subn "
+            f"WHERE vec_id BETWEEN 1 AND {PQ_K}"
+        )
     return f"""
 WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
 subs AS (
     {subs}
 ),
 subn AS (SELECT vec_id, m, sq, {vectors.dot_sql('sq', 'sq')} AS sn2 FROM subs),
-cb AS (
-    SELECT m, vec_id AS code_id, sq AS cq, sn2 AS cn2 FROM subn
-    WHERE vec_id BETWEEN 1 AND {PQ_K}
+{pre_cb}cb AS (
+    {cb_select}
 ),
 enc AS (
     SELECT s.vec_id, s.m,
@@ -1224,8 +1384,16 @@ SELECT query_id, neighbor_id, d2, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def _pq_trained_oracle_sql() -> str:
+    return _pq_oracle_sql(
+        pre_cb=_pq_train_ctes(),
+        cb_select=f"SELECT m, code_id, cq, cn2 FROM pcb{PQ_TRAIN_ITERS}",
+    )
+
+
 QUERIES = {
     "sim_pq": sim_pq,
+    "sim_pq_trained": sim_pq_trained,
     "sim_topk": sim_topk,
     "sim_lsh": sim_lsh,
     "sim_lsh_banded": sim_lsh_banded,
@@ -1238,6 +1406,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "sim_pq": _pq_oracle_sql(),
+    "sim_pq_trained": _pq_trained_oracle_sql(),
     "sim_topk": _topk_oracle_sql(),
     "sim_lsh": _lsh_oracle_sql(),
     "sim_lsh_banded": _lsh_banded_oracle_sql(),

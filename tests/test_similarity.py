@@ -103,6 +103,42 @@ def test_pq_rerank_recall_vs_exact_l2(spark, sf_dir):
             assert r["d2"] == truth_d2[key]  # re-rank emits exact distances
 
 
+def test_pq_trained_codebook_reduces_quantization_error(spark, sf_dir):
+    """Lloyd's iterations can only lower the k-means objective; the
+    trained PQ codebook must have strictly lower total quantization
+    error (Σ over vectors and subspaces of L2² to the assigned code)
+    than the seeded one, and training must be deterministic (two runs →
+    identical codebooks — the property the unrolled oracle depends on)."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import vectors
+
+    def total_error(cb):
+        sub = similarity._pq_subvectors(similarity._quantized(spark, sf_dir))
+        d2 = (
+            F.col("sn2")
+            - 2 * vectors.dot(F.col("sq"), F.col("cq"))
+            + F.col("cn2")
+        ).cast("long")
+        per = (
+            sub.join(F.broadcast(cb), "m")
+            .groupBy("vec_id", "m")
+            .agg(F.min(d2).alias("best_d2"))
+        )
+        return per.agg(F.sum("best_d2")).collect()[0][0]
+
+    sub = similarity._pq_subvectors(similarity._quantized(spark, sf_dir))
+    seeded_err = total_error(similarity._pq_seed_codebook(sub))
+    trained = similarity.pq_train_codebooks(spark, sf_dir)
+    trained_err = total_error(trained)
+    assert trained_err < seeded_err, (trained_err, seeded_err)
+
+    again = similarity.pq_train_codebooks(spark, sf_dir)
+    a = sorted(map(tuple, trained.select("m", "code_id", "cq").collect()))
+    b = sorted(map(tuple, again.select("m", "code_id", "cq").collect()))
+    assert a == b
+
+
 def test_trained_centroids_deterministic_and_on_grid(spark, sf_dir):
     c1 = similarity.kmeans_centroids(spark, sf_dir, iters=2)
     c2 = similarity.kmeans_centroids(spark, sf_dir, iters=2)
