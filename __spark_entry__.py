@@ -32,6 +32,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     graph,
     marts,
     multimodal,
+    olap_deep,
     quality,
     reshape,
     search,
@@ -57,7 +58,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 _MODULES = [
     marts, analytics, dedup, text, events, temporal, multimodal,
     curate, corpus, reshape, quality, search, streamq, similarity,
-    sketch, graph,
+    sketch, graph, olap_deep,
 ]
 
 

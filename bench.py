@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "orders_skyline",
     "text_collocations",
     "stream_dedup",
+    # round-4 third wave: the two heaviest deep-OLAP shapes — the Q8
+    # seven-way market-share join and the Q16 distinct-supplier census
+    "tpch_market_share",
+    "tpch_supplier_counts",
 ]
 
 
