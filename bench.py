@@ -110,6 +110,13 @@ BENCH_QUERIES = [
     # seven-way market-share join and the Q16 distinct-supplier census
     "tpch_market_share",
     "tpch_supplier_counts",
+    # round-4 third wave (extension operators): lexical near-dup join,
+    # link prediction over the support co-purchase graph, Markov
+    # transition matrix, per-label embedding outlier sweep
+    "text_sparse_sim",
+    "graph_link_predict",
+    "events_transitions",
+    "embedding_outliers",
 ]
 
 

@@ -407,7 +407,46 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov estimate): for
+    each ordered pair (from_type, to_type) of CONSECUTIVE events within a
+    user's stream, the transition count and its conditional probability in
+    integer parts-per-million (``n · 1e6 // Σ_to n`` — never a float
+    ratio).  The behavioral-model shape: next-action prediction priors,
+    funnel leakage, bot detection.
+
+    Plan: ONE shuffle keyed on user_id serves the lead() window (ordering
+    is (ts_us, event_id) — total, so ties are deterministic); the pair
+    aggregation then shuffles |types|² ≤ 25 groups with map-side combine;
+    the per-from total is a broadcast-sized window over the matrix itself.
+    No step grows with data except the user-keyed exchange.
+    """
+    e = load_events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.withColumn("to_type", F.lead("event_type").over(order))
+        .where(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            "to_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_from = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("from_total", F.sum("n").over(per_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("div(n * 1000000, from_total)").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 QUERIES = {
+    "events_transitions": events_transitions,
     "events_hourly": events_hourly,
     "events_hourly_incremental": events_hourly_incremental,
     "events_sessionize": events_sessionize,
@@ -421,6 +460,25 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_transitions": """
+        WITH p AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS to_type
+            FROM events
+        ),
+        m AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM p WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+                    AS BIGINT) AS p_ppm
+        FROM m
+        ORDER BY from_type, to_type
+    """,
     "events_hourly": f"""
         SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us, event_type,
                COUNT(*) AS n_events,

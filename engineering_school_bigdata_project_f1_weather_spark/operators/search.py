@@ -193,14 +193,133 @@ HAVING CAST(SUM(sv) AS BIGINT) != 0
 """
 
 
+SPARSE_MAXDF = 100  # shingles in more docs than this are boilerplate → pruned
+SPARSE_IDF_CAP = 1_000_000  # bounds weights (and thus dot products) at any N
+SPARSE_MIN_E6 = 400_000  # report pairs with cosine ≥ 0.4
+
+
+def text_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine similarity over 3-token shingles —
+    the lexical near-duplicate join (Elsayed et al.'s MapReduce pairwise
+    similarity shape): documents become idf-weighted binary shingle
+    vectors, and candidate pairs are generated ONLY through shared
+    shingles (an inverted-index self-join), never an all-pairs product.
+
+    Semantics (identical in the oracle): shingles with df > SPARSE_MAXDF
+    are pruned from the vocabulary — boilerplate carries no signal and
+    its posting lists are what would otherwise blow up the self-join
+    (the standard max-df cut); weights are the capped integer idf
+    ``min(div(N·1000, df), cap)`` so every weight — and hence every
+    norm/dot term — is bounded regardless of corpus size; the cosine is
+    ``floor(dot·1e6 / sqrt(n2a·n2b))`` on exact-integer operands (sqrt
+    and one division are the only float ops — IEEE-correctly-rounded on
+    identical inputs in both engines, so results are bit-identical).
+
+    Plan shape: one narrow explode builds the (doc, shingle) frame; the
+    df aggregation is one shingle-keyed shuffle with map-side combine;
+    the pair join shuffles on the shingle key with per-key work bounded
+    by SPARSE_MAXDF²; per-pair dots and per-doc norms are partial-agg
+    shuffles.  At 100 TB the max-df cut is what keeps the self-join's
+    largest key at a constant ≤ maxdf² pairs."""
+    d = (
+        load_table_spread(spark, sf_dir, "documents")
+        .select("doc_id", texts.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", texts.shingles_of_tokens(F.col("toks")).alias("shs"))
+    )
+    sh = d.select("doc_id", F.explode("shs").alias("s"))
+    n_docs_df = load_table_spread(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dfs = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= SPARSE_MAXDF)
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "s",
+            F.least(
+                F.expr("div(n_docs * 1000, df)"), F.lit(SPARSE_IDF_CAP)
+            ).alias("w"),
+        )
+    )
+    weighted = sh.join(dfs, "s")
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    right = weighted.select(F.col("doc_id").alias("doc_b"), "s", "w")
+    dots = (
+        weighted.select(F.col("doc_id").alias("doc_a"), "s", "w")
+        .join(right.withColumnRenamed("w", "wb"), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("w") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    sim = F.floor(
+        F.col("dot").cast("double")
+        * F.lit(1_000_000.0)
+        / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double"))
+    ).cast("long")
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", sim.alias("sim_e6"))
+        .where(F.col("sim_e6") >= SPARSE_MIN_E6)
+        .orderBy(F.desc("sim_e6"), "doc_a", "doc_b")
+    )
+
+
+def _sparse_sim_oracle_sql() -> str:
+    shs = texts.shingles_sql("text")
+    return f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, unnest({shs}) AS s FROM documents
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfs AS (
+    SELECT s,
+           least((SELECT n_docs FROM n) * 1000 // COUNT(*),
+                 {SPARSE_IDF_CAP}) AS w
+    FROM sh GROUP BY s
+    HAVING COUNT(*) <= {SPARSE_MAXDF}
+),
+weighted AS (SELECT sh.doc_id, sh.s, dfs.w FROM sh JOIN dfs USING (s)),
+norms AS (
+    SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+    FROM weighted GROUP BY doc_id
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+    FROM weighted a JOIN weighted b
+      ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot,
+       CAST(FLOOR(CAST(dot AS DOUBLE) * 1000000.0
+                  / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+            AS BIGINT) AS sim_e6
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE CAST(FLOOR(CAST(dot AS DOUBLE) * 1000000.0
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+           AS BIGINT) >= {SPARSE_MIN_E6}
+ORDER BY sim_e6 DESC, doc_a, doc_b
+"""
+
+
 QUERIES = {
     "text_postings": text_postings,
     "text_search": text_search,
     "text_hash_embed": text_hash_embed,
+    "text_sparse_sim": text_sparse_sim,
 }
 
 ORACLE_SQL = {
     "text_postings": _postings_oracle_sql(),
     "text_search": _search_oracle_sql(),
     "text_hash_embed": _hash_embed_oracle_sql(),
+    "text_sparse_sim": _sparse_sim_oracle_sql(),
 }

@@ -1391,7 +1391,87 @@ def _pq_trained_oracle_sql() -> str:
     )
 
 
+OUTLIER_SHIFT = 4096  # makes every quantized coordinate non-negative
+OUTLIER_TOP_K = 5
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier detection: for each label, the top-5
+    vectors farthest (squared L2) from the label's centroid — the data-QC
+    pass that flags mislabeled or corrupt embeddings before training.
+
+    Exact-arithmetic contract: coordinates are shifted by +OUTLIER_SHIFT
+    so every value is non-negative, making the centroid's integer
+    division identical in both engines (truncation == floor above zero —
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
+    so signed inputs would diverge on negative centroids).  The centroid
+    IS the floor-divided integer point — that rounding is part of the
+    operator's semantics, and it keeps every residual bounded by the
+    coordinate range regardless of group size: dist² ≤ dim·(2·shift)²
+    at ANY corpus scale, no overflow ever.
+
+    Plan shape: one narrow posexplode (64 rows per vector), a per-(label,
+    dim) partial-agg shuffle whose output is |labels|·dim rows (a
+    broadcast-sized centroid table forever), a broadcast join back onto
+    the exploded frame, one per-vector sum keyed on vec_id, and a top-5
+    window per label.  Nothing driver-resident; the only data-sized
+    exchanges are the two keyed aggregations.
+    """
+    base = load_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vectors.quantize(F.col("embedding")).alias("q")
+    )
+    ex = base.select(
+        "vec_id", "label", F.posexplode("q").alias("d", "x")
+    ).withColumn("xs", F.col("x") + F.lit(OUTLIER_SHIFT))
+    cent = ex.groupBy("label", "d").agg(
+        F.expr("div(sum(xs), count(*))").alias("c")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "d"])
+        .withColumn("r", F.col("xs") - F.col("c"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("r") * F.col("r")).alias("dist2"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= OUTLIER_TOP_K)
+        .select("label", "vec_id", "dist2", "rank")
+    )
+
+
+_OUTLIERS_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, label,
+           {vectors.quantize_sql("embedding")} AS qv
+    FROM embeddings
+),
+ex AS (
+    SELECT vec_id, label,
+           generate_subscripts(qv, 1) AS d,
+           CAST(unnest(qv) AS BIGINT) + {OUTLIER_SHIFT} AS xs
+    FROM q
+),
+c AS (
+    SELECT label, d, CAST(SUM(xs) // COUNT(*) AS BIGINT) AS c
+    FROM ex GROUP BY label, d
+),
+dist AS (
+    SELECT ex.vec_id, ex.label,
+           CAST(SUM((ex.xs - c.c) * (ex.xs - c.c)) AS BIGINT) AS dist2
+    FROM ex JOIN c ON ex.label = c.label AND ex.d = c.d
+    GROUP BY 1, 2
+)
+SELECT label, vec_id, dist2, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY dist2 DESC, vec_id ASC) AS INT) AS rank
+    FROM dist
+) WHERE rank <= {OUTLIER_TOP_K}
+"""
+
+
 QUERIES = {
+    "embedding_outliers": embedding_outliers,
     "sim_pq": sim_pq,
     "sim_pq_trained": sim_pq_trained,
     "sim_topk": sim_topk,
@@ -1405,6 +1485,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "embedding_outliers": _OUTLIERS_ORACLE,
     "sim_pq": _pq_oracle_sql(),
     "sim_pq_trained": _pq_trained_oracle_sql(),
     "sim_topk": _topk_oracle_sql(),
