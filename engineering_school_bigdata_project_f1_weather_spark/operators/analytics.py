@@ -513,8 +513,67 @@ ORDER BY order_date, o_orderkey
 """
 
 
+def orders_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions, integer-exact: per order
+    priority, each order's ``percent_rank`` and ``cume_dist`` over price —
+    computed from rank()/count() in exact ppm (``(rank−1)·1e6 //
+    (n−1)``, ``n_le·1e6 // n``) rather than the engines' native
+    double-valued functions, so ties and rounding are bit-identical by
+    construction.  cume_dist's "rows ≤ current" count is
+    ``rank + ties − 1``, obtained from the DESCENDING rank of the same
+    key — two windows over ONE shuffle (same partition key).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    part = Window.partitionBy("o_orderpriority")
+    asc = part.orderBy(F.asc("price_cents"))
+    desc = part.orderBy(F.desc("price_cents"))
+    return (
+        # rank() is IntegerType — widen BEFORE the ×1e6 or it wraps at 2^31
+        o.withColumn("rnk", F.rank().over(asc).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(part))
+        # rows with value <= current = n - (descending rank) + 1
+        .withColumn("n_le", F.col("n") - F.rank().over(desc) + 1)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "price_cents",
+            F.expr("div((rnk - 1) * 1000000, n - 1)").alias("pr_ppm"),
+            F.expr("div(n_le * 1000000, n)").alias("cd_ppm"),
+        )
+    )
+
+
+_DISTRIBUTION_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+),
+r AS (
+    SELECT *,
+           RANK() OVER (PARTITION BY o_orderpriority
+                        ORDER BY price_cents ASC) AS rnk,
+           RANK() OVER (PARTITION BY o_orderpriority
+                        ORDER BY price_cents DESC) AS drnk,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM o
+)
+SELECT o_orderkey, o_orderpriority, price_cents,
+       CAST((rnk - 1) * 1000000 // (n - 1) AS BIGINT) AS pr_ppm,
+       CAST((n - drnk + 1) * 1000000 // n AS BIGINT) AS cd_ppm
+FROM r
+"""
+
+
 QUERIES = {
     "orders_skyline": orders_skyline,
+    "orders_distribution": orders_distribution,
     "tpch_pricing_summary": pricing_summary,
     "tpch_revenue_by_nation": revenue_by_nation,
     "tpch_shipping_priority": shipping_priority,
@@ -538,6 +597,7 @@ _REV = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT
 
 ORACLE_SQL = {
     "orders_skyline": _SKYLINE_ORACLE,
+    "orders_distribution": _DISTRIBUTION_ORACLE,
     "tpch_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

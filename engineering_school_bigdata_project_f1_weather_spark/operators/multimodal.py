@@ -185,11 +185,62 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ENERGY_BUCKET = 50_000  # coarse energy quantum per analysis window
+
+
+def multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-style fingerprint dedup over binary payloads: each
+    clip's windowed-energy profile (the REAL numpy decode from
+    ``multimodal_energy``) is coarsely quantized per window
+    (``div(energy, ENERGY_BUCKET)``) and the ordered bucket sequence is
+    hashed into one fingerprint per clip — clips whose content differs
+    only by perturbations below the energy quantum collapse into the
+    same group (the Shazam/Chromaprint shape: robust features → coarse
+    quantize → hash → exact join).  Byte-identical copies always agree;
+    small edits agree unless they cross a bucket boundary — a recall
+    trade documented here, deterministic in both engines.
+
+    Plan: Arrow-batched decode (mapInPandas) → per-clip ordered
+    aggregation keyed on doc_id (one shuffle; the profile string is
+    |frames| buckets, bounded by payload size) → fingerprint groupBy
+    (second partial-agg shuffle).  Only groups with ≥ 2 clips are
+    reported — the dedup candidates.
+    """
+    e = multimodal_energy(spark, sf_dir).withColumn(
+        "bucket", F.expr(f"div(energy, {ENERGY_BUCKET})")
+    )
+    profiles = e.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("frame_idx", "bucket"))
+                    ),
+                    lambda s: s.bucket.cast("string"),
+                ),
+            )
+        ).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+    return (
+        profiles.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("doc_id").alias("keeper_id"),
+            F.min("n_frames").alias("n_frames"),
+        )
+        .where(F.col("n_clips") >= 2)
+        .orderBy(F.desc("n_clips"), "keeper_id")
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "multimodal_energy": multimodal_energy,
     "multimodal_dedup": multimodal_dedup,
+    "multimodal_fingerprint": multimodal_fingerprint,
 }
 
 # Text is ASCII, so byte ops ≡ char ops; md5(text) ≡ md5(utf8 payload).
@@ -230,5 +281,30 @@ ORACLE_SQL = {
                MIN(doc_id) AS keeper_id,
                CAST(MIN(strlen(text)) AS BIGINT) AS payload_len
         FROM documents GROUP BY md5(text)
+    """,
+    "multimodal_fingerprint": f"""
+        WITH e AS (
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   CAST(list_sum(list_transform(
+                       range(1, {ENERGY_FRAME} + 1),
+                       j -> ord(substr(text, i * {ENERGY_FRAME} + j, 1))
+                            * ord(substr(text, i * {ENERGY_FRAME} + j, 1))
+                   )) AS BIGINT) // {ENERGY_BUCKET} AS bucket
+            FROM documents,
+                 unnest(range(0, strlen(text) // {ENERGY_FRAME})) AS t(i)
+        ),
+        profiles AS (
+            SELECT doc_id,
+                   md5(string_agg(CAST(bucket AS VARCHAR), ','
+                                  ORDER BY frame_idx)) AS fingerprint,
+                   COUNT(*) AS n_frames
+            FROM e GROUP BY doc_id
+        )
+        SELECT fingerprint, COUNT(*) AS n_clips, MIN(doc_id) AS keeper_id,
+               CAST(MIN(n_frames) AS BIGINT) AS n_frames
+        FROM profiles
+        GROUP BY fingerprint
+        HAVING COUNT(*) >= 2
+        ORDER BY n_clips DESC, keeper_id
     """,
 }

@@ -28,7 +28,7 @@ cares about and the two are order-isomorphic). Scores are
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import texts
 from ..sources.tables import load_table_spread
@@ -310,11 +310,59 @@ ORDER BY sim_e6 DESC, doc_a, doc_b
 """
 
 
+def documents_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rank-frequency (Zipf) table: every token's total term
+    frequency, its frequency rank (ties broken by token — total order),
+    and its corpus share in exact ppm.  The vocabulary-health census run
+    before tokenizer training (`operators/bpe.py` consumes exactly these
+    counts).
+
+    Plan: the same one-shuffle token aggregation as text_postings; the
+    rank window and the share's total run over the VOCABULARY frame
+    (|distinct tokens| rows — Heaps-law sublinear in corpus size), with
+    the corpus-total as a one-row in-plan aggregate, never a driver-side
+    count."""
+    tf = (
+        _token_counts(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.sum("tf").cast("long").alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").alias("total"))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        tf.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "freq",
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.expr("div(freq * 1000000, total)").alias("share_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _zipf_oracle_sql() -> str:
+    return """
+WITH tf AS (
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY t
+)
+SELECT token, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INT) AS rank,
+       CAST(freq * 1000000 // (SELECT SUM(freq) FROM tf) AS BIGINT)
+           AS share_ppm
+FROM tf
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "text_postings": text_postings,
     "text_search": text_search,
     "text_hash_embed": text_hash_embed,
     "text_sparse_sim": text_sparse_sim,
+    "documents_zipf": documents_zipf,
 }
 
 ORACLE_SQL = {
@@ -322,4 +370,5 @@ ORACLE_SQL = {
     "text_search": _search_oracle_sql(),
     "text_hash_embed": _hash_embed_oracle_sql(),
     "text_sparse_sim": _sparse_sim_oracle_sql(),
+    "documents_zipf": _zipf_oracle_sql(),
 }
