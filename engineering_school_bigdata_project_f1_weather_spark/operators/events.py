@@ -445,8 +445,145 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_CONVERT_TYPE = "purchase"
+AB_CONVERT_MIN_CENTS = 15_000  # a qualifying purchase is ≥ $150
+AB_CHI2_95_E6 = 3_841_459  # floor(3.841458820… · 1e6), χ²₁ at α=0.05
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-variant experiment readout: users split A/B by a deterministic
+    assignment hash (user_id parity — a stand-in for the usual
+    bucket-of-md5), conversion = "did the user ever fire a purchase
+    event", and the 2×2 chi-square statistic decides significance at 95%.
+
+    Exactness contract: counts and the ppm conversion rates are exact
+    integers.  χ² itself is computed in doubles — but every input
+    (a, b, c, d, N) is an exact BIGINT, and both engines evaluate the
+    same expression tree left-to-right on identical operands, so the
+    doubles (and the floor to chi2_e6, and the ≥-threshold decision)
+    are bit-identical, the same contract the cosine operators use.
+
+    Plan: one user-keyed partial aggregation (converted = max(is_convert)
+    per user — map-side combinable), then a 2-group aggregate and a
+    single-row projection.  Nothing about this changes at 1e9 users; the
+    only data-sized exchange is the per-user combine.
+    """
+    e = load_events(spark, sf_dir)
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == AB_CONVERT_TYPE)
+                & (_cents("value") >= AB_CONVERT_MIN_CENTS),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    cell = users.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = cell.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    # ad−bc is an EXACT integer (bounded by N²/4 — bigint-safe to ~4e9
+    # users); the χ² division is the only float step, on identical
+    # operands in both engines.  Squaring is d·d, never pow() (pow is not
+    # guaranteed correctly rounded everywhere; multiplication is).
+    det = (
+        F.col("conv_a") * (F.col("n_b") - F.col("conv_b"))
+        - F.col("conv_b") * (F.col("n_a") - F.col("conv_a"))
+    ).alias("det")
+    staged = wide.select("n_a", "conv_a", "n_b", "conv_b", det)
+    degenerate = (
+        (F.col("conv_a") + F.col("conv_b") == 0)
+        | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b"))
+    )
+    chi2_raw = F.floor(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        * (F.col("det").cast("double") * F.col("det").cast("double"))
+        / (
+            F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            * (F.col("conv_a") + F.col("conv_b")).cast("double")
+            * (
+                F.col("n_a")
+                + F.col("n_b")
+                - F.col("conv_a")
+                - F.col("conv_b")
+            ).cast("double")
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    # all-convert / none-convert table: χ² is 0/0 — define it as 0 (no
+    # evidence of difference), identically in the oracle
+    chi2_e6 = F.when(degenerate, F.lit(0)).otherwise(chi2_raw).cast("long")
+    return staged.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("div(conv_a * 1000000, n_a)").alias("p_a_ppm"),
+        F.expr("div(conv_b * 1000000, n_b)").alias("p_b_ppm"),
+        chi2_e6.alias("chi2_e6"),
+        (chi2_e6 >= AB_CHI2_95_E6).alias("significant"),
+    )
+
+
+_AB_ORACLE = f"""
+WITH users AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = '{AB_CONVERT_TYPE}'
+                     AND CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                         >= {AB_CONVERT_MIN_CENTS}
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id
+),
+cell AS (
+    SELECT user_id % 2 AS variant, COUNT(*) AS n,
+           CAST(SUM(converted) AS BIGINT) AS conv
+    FROM users GROUP BY 1
+),
+wide AS (
+    SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 0 THEN conv END) AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 1 THEN conv END) AS BIGINT) AS conv_b
+    FROM cell
+),
+staged AS (
+    SELECT *, conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS det
+    FROM wide
+),
+scored AS (
+    SELECT *,
+           CASE WHEN conv_a + conv_b = 0
+                  OR conv_a + conv_b = n_a + n_b THEN 0
+           ELSE CAST(FLOOR(
+               CAST(n_a + n_b AS DOUBLE)
+               * (CAST(det AS DOUBLE) * CAST(det AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                  * CAST(conv_a + conv_b AS DOUBLE)
+                  * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE))
+               * 1000000.0
+           ) AS BIGINT) END AS chi2_e6
+    FROM staged
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       conv_a * 1000000 // n_a AS p_a_ppm,
+       conv_b * 1000000 // n_b AS p_b_ppm,
+       chi2_e6,
+       chi2_e6 >= {AB_CHI2_95_E6} AS significant
+FROM scored
+"""
+
+
 QUERIES = {
     "events_transitions": events_transitions,
+    "events_ab_test": events_ab_test,
     "events_hourly": events_hourly,
     "events_hourly_incremental": events_hourly_incremental,
     "events_sessionize": events_sessionize,
@@ -460,6 +597,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_ab_test": _AB_ORACLE,
     "events_transitions": """
         WITH p AS (
             SELECT event_type AS from_type,

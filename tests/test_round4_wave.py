@@ -18,6 +18,7 @@ from tools.selfcheck import canon_rows
 
 WAVE = [
     "events_transitions",
+    "events_ab_test",
     "graph_link_predict",
     "embedding_outliers",
     "text_sparse_sim",
@@ -54,6 +55,32 @@ def test_transitions_rows_sum_to_stream_length(spark, sf_dir):
     sums = out.groupBy("from_type").agg(F.sum("p_ppm").alias("s")).collect()
     for r in sums:
         assert 1_000_000 - 25 <= r.s <= 1_000_000
+
+
+def test_ab_test_chi2_matches_scipy_formula(spark, sf_dir):
+    """Recompute χ² in pure Python from the returned 2×2 table — the
+    in-plan double arithmetic must agree exactly; rates are exact ppm."""
+    import math
+
+    r = events.events_ab_test(spark, sf_dir).collect()[0]
+    assert r.p_a_ppm == r.conv_a * 1_000_000 // r.n_a
+    assert r.p_b_ppm == r.conv_b * 1_000_000 // r.n_b
+    det = r.conv_a * (r.n_b - r.conv_b) - r.conv_b * (r.n_a - r.conv_a)
+    c = r.conv_a + r.conv_b
+    n = r.n_a + r.n_b
+    if c in (0, n):
+        assert r.chi2_e6 == 0
+    else:
+        chi2 = (
+            float(n) * (float(det) * float(det))
+            / (float(r.n_a) * float(r.n_b) * float(c) * float(n - c))
+            * 1_000_000.0
+        )
+        assert r.chi2_e6 == math.floor(chi2)
+    assert r.significant == (r.chi2_e6 >= events.AB_CHI2_95_E6)
+    # the assignment split is user-parity — arms must be non-trivial
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 < r.conv_a < r.n_a  # conversion threshold keeps rates interior
 
 
 def test_link_predict_excludes_existing_edges(spark, sf_dir):
