@@ -431,8 +431,152 @@ ORDER BY c_mktsegment
 """
 
 
+# --- Q15: top supplier(s) of a quarter -----------------------------------
+
+TOPSUPP_DATE_LO = "1997-01-01"
+TOPSUPP_DATE_HI = "1997-04-01"
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the quarter's MAXIMUM
+    shipped revenue — the create-view-then-scalar-max pattern, expressed
+    as one grouped aggregate reused twice (Catalyst materializes the
+    revenue frame once under AQE; the max is a one-row broadcast, the
+    classic argmax-via-scalar-subquery without a window over the whole
+    frame).  Ties all surface (revenue equality is exact in cents)."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= TOPSUPP_DATE_LO)
+        & (F.col("l_shipdate") < TOPSUPP_DATE_HI)
+    )
+    rev = (
+        l.withColumn("rev_cents", _rev_cents())
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_cents").alias("total_rev_cents"))
+    )
+    mx = rev.agg(F.max("total_rev_cents").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev_cents") == F.col("max_rev"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            "total_rev_cents",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_TOPSUPP_ORACLE = f"""
+WITH rev AS (
+    SELECT l_suppkey, CAST(SUM({_REV}) AS BIGINT) AS total_rev_cents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '{TOPSUPP_DATE_LO}'
+      AND l_shipdate < DATE '{TOPSUPP_DATE_HI}'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+# --- Association rules (market-basket) ------------------------------------
+
+RULES_SUPPORT_MIN = 2
+RULES_TOP_K = 50
+
+
+def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over co-ordered parts: for every directed
+    rule a→b with pair support ≥ RULES_SUPPORT_MIN, confidence
+    (``P(b|a)``) and lift (``P(b|a)/P(b)``) in exact integer ppm; top-50
+    by lift.  The classic a-priori first level — candidate generation IS
+    the supported-pair self-join (never all pairs: the support filter
+    prunes before scoring), item supports are one groupBy, and the
+    order-count is a one-row broadcast.
+
+    ``lift_ppm = div(s_ab · N · 1e6, s_a · s_b)`` — products bounded by
+    N²·1e6 (decimal-free to ~10⁶ baskets; past that the same plan runs
+    with the operands pre-divided or DECIMAL, noted here for honesty).
+    Deterministic total order: (lift desc, conf desc, a, b).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("s_item")
+    )
+    r = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+        .join(r, "o")
+        .where(F.col("a") != F.col("b"))  # directed: both a→b and b→a
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= RULES_SUPPORT_MIN)
+    )
+    sa = item.select(F.col("item").alias("a"), F.col("s_item").alias("s_a"))
+    sb = item.select(F.col("item").alias("b"), F.col("s_item").alias("s_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            F.expr("div(s_ab * 1000000, s_a)").alias("conf_ppm"),
+            F.expr("div(s_ab * n_orders * 1000000, s_a * s_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), F.desc("conf_ppm"), "a", "b")
+        .limit(RULES_TOP_K)
+    )
+
+
+_RULES_ORACLE = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+item AS (
+    SELECT l_partkey AS item, COUNT(*) AS s_item FROM li GROUP BY 1
+),
+pairs AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS s_ab
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {RULES_SUPPORT_MIN}
+)
+SELECT p.a, p.b, CAST(p.s_ab AS BIGINT) AS s_ab,
+       CAST(ia.s_item AS BIGINT) AS s_a,
+       CAST(ib.s_item AS BIGINT) AS s_b,
+       p.s_ab * 1000000 // ia.s_item AS conf_ppm,
+       p.s_ab * (SELECT n_orders FROM n) * 1000000
+           // (ia.s_item * ib.s_item) AS lift_ppm
+FROM pairs p
+JOIN item ia ON ia.item = p.a
+JOIN item ib ON ib.item = p.b
+ORDER BY lift_ppm DESC, conf_ppm DESC, a, b
+LIMIT {RULES_TOP_K}
+"""
+
+
 QUERIES = {
     "tpch_returned_revenue": returned_revenue,
+    "tpch_top_supplier": top_supplier,
+    "part_affinity_rules": part_affinity_rules,
     "tpch_promo_share": promo_share,
     "tpch_market_share": market_share,
     "tpch_supplier_counts": supplier_counts,
@@ -442,6 +586,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "tpch_returned_revenue": _RETURNED_ORACLE,
+    "tpch_top_supplier": _TOPSUPP_ORACLE,
+    "part_affinity_rules": _RULES_ORACLE,
     "tpch_promo_share": _PROMO_ORACLE,
     "tpch_market_share": _SHARE_ORACLE,
     "tpch_supplier_counts": _SUPPCNT_ORACLE,

@@ -288,11 +288,129 @@ FROM runs
 """
 
 
+def events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) lookup against an SCD2 dimension: every
+    purchase event is joined to the user-state interval active AT its
+    timestamp — the "what plan/state was the customer in when they
+    bought" join every warehouse runs against its type-2 dimensions.
+
+    The dimension is the SCD2 run table built over the user's NON-purchase
+    events (state = last browsing activity run); the facts are the
+    purchases.  Join semantics: equi-key on user_id plus the half-open
+    interval predicate ``valid_from ≤ ts < valid_to`` (NULL valid_to =
+    current row).  LEFT join — purchases before a user's first state
+    interval surface with NULL state rather than vanishing.
+
+    Scale shape: the range predicate rides ON the user_id equi-join, so
+    per-key work is |facts_u| × |intervals_u| — bounded by per-user
+    history, never a global theta join; both sides shuffle once on the
+    same key.  Intervals partition each user's timeline (runs are
+    consecutive by construction), so at most one interval matches — a
+    property the test pins.
+    """
+    e = load_events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("f_user"), F.col("ts_us").alias("f_ts")
+    )
+    by_time = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dim_events = e.where(F.col("event_type") != "purchase")
+    flagged = dim_events.withColumn(
+        "chg",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(by_time)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(
+            by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = flagged.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts_us").alias("valid_from_us")
+    )
+    by_run = Window.partitionBy("user_id").orderBy("run_id")
+    dim = runs.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from_us",
+        F.lead("valid_from_us").over(by_run).alias("valid_to_us"),
+    )
+    return (
+        facts.join(
+            dim,
+            (F.col("f_user") == F.col("user_id"))
+            & (F.col("f_ts") >= F.col("valid_from_us"))
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("f_ts") < F.col("valid_to_us"))
+            ),
+            "left",
+        )
+        .select(
+            "event_id",
+            F.col("f_user").alias("user_id"),
+            F.col("f_ts").alias("ts_us"),
+            "state",
+            "valid_from_us",
+        )
+        .orderBy("event_id")
+    )
+
+
+SCD2_LOOKUP_ORACLE = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+    FROM events
+),
+facts AS (
+    SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM e WHERE event_type <> 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+runs0 AS (
+    SELECT *,
+           SUM(chg) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run_id
+    FROM flagged
+),
+runs AS (
+    SELECT user_id, run_id, event_type AS state,
+           MIN(ts_us) AS valid_from_us
+    FROM runs0 GROUP BY user_id, run_id, event_type
+),
+dim AS (
+    SELECT user_id, state, valid_from_us,
+           lead(valid_from_us) OVER (
+               PARTITION BY user_id ORDER BY run_id
+           ) AS valid_to_us
+    FROM runs
+)
+SELECT f.event_id, f.user_id, f.ts_us, d.state, d.valid_from_us
+FROM facts f
+LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND f.ts_us >= d.valid_from_us
+ AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+ORDER BY f.event_id
+"""
+
+
 QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "events_value_bands": events_value_bands,
     "events_multigrain": events_multigrain,
     "events_scd2": events_scd2,
+    "events_scd2_lookup": events_scd2_lookup,
 }
 
 ORACLE_SQL = {
@@ -300,4 +418,5 @@ ORACLE_SQL = {
     "events_value_bands": BANDS_ORACLE,
     "events_multigrain": MULTIGRAIN_ORACLE,
     "events_scd2": SCD2_ORACLE,
+    "events_scd2_lookup": SCD2_LOOKUP_ORACLE,
 }

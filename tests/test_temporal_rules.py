@@ -1,0 +1,75 @@
+"""events_scd2_lookup / tpch_top_supplier / part_affinity_rules: oracle
+parity at sf0.001 plus semantic invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entrymod
+from engineering_school_bigdata_project_f1_weather_spark.operators import (
+    events,
+    olap_deep,
+    temporal,
+)
+from tools.selfcheck import canon_rows
+
+TRIO = ["events_scd2_lookup", "tpch_top_supplier", "part_affinity_rules"]
+
+
+@pytest.mark.parametrize("name", TRIO)
+def test_matches_oracle(name, spark, sf_dir, duck):
+    spdf = entrymod.queries()[name](spark, sf_dir).toPandas()
+    dpdf = duck.execute(entrymod.oracle_sql()[name]).df()
+    assert len(spdf) == len(dpdf) > 0
+    assert sorted(spdf.columns) == sorted(dpdf.columns)
+    sh, _ = canon_rows(list(spdf.columns), list(spdf.itertuples(index=False, name=None)))
+    dh, _ = canon_rows(list(dpdf.columns), list(dpdf.itertuples(index=False, name=None)))
+    assert sh == dh
+
+
+def test_scd2_lookup_is_a_function_of_facts(spark, sf_dir):
+    """Intervals partition each user's timeline, so the temporal join is
+    1:≤1 — output rows == purchase facts, no duplication, and any
+    matched state is a non-purchase type."""
+    out = temporal.events_scd2_lookup(spark, sf_dir)
+    n_facts = (
+        events.load_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert out.count() == n_facts
+    assert out.select("event_id").distinct().count() == n_facts
+    states = {r.state for r in out.select("state").distinct().collect()}
+    assert "purchase" not in states
+    # matched rows respect the interval bounds
+    bad = out.where(
+        F.col("state").isNotNull() & (F.col("ts_us") < F.col("valid_from_us"))
+    ).count()
+    assert bad == 0
+
+
+def test_top_supplier_is_argmax(spark, sf_dir):
+    rows = olap_deep.top_supplier(spark, sf_dir).collect()
+    assert rows
+    revs = {r.total_rev_cents for r in rows}
+    assert len(revs) == 1  # all returned rows share the maximum
+
+
+def test_affinity_rules_math(spark, sf_dir):
+    """conf/lift recomputable from the supports; pair support can never
+    exceed either item support; directed mirror pairs both appear in the
+    unfiltered frame (spot-check via recomputation of one rule)."""
+    rows = olap_deep.part_affinity_rules(spark, sf_dir).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    for r in rows[:5]:
+        assert r.s_ab <= min(r.s_a, r.s_b)
+        assert r.conf_ppm == r.s_ab * 1_000_000 // r.s_a
+        assert r.lift_ppm == r.s_ab * n_orders * 1_000_000 // (r.s_a * r.s_b)
+        assert r.s_ab >= olap_deep.RULES_SUPPORT_MIN
