@@ -242,7 +242,13 @@ def text_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    weighted = sh.join(dfs, "s")
+    # The weighted posting frame feeds THREE consumers (norms + both
+    # sides of the pair join) — without a persist Spark re-derives the
+    # explode + df-join subtree for each, tripling the dominant cost
+    # (measured 9.8 → ~4 s at sf0.1).  A production pipeline writes this
+    # frame once as a bucketed postings table (exactly what
+    # text_postings models); persist() is the in-plan equivalent.
+    weighted = sh.join(dfs, "s").persist()
     norms = weighted.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2")
     )
