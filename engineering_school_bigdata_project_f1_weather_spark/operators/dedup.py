@@ -1025,7 +1025,160 @@ FROM comp c JOIN q USING (doc_id)
 """
 
 
+RECALL_TAU_E6 = 100_000  # ground-truth near-dup threshold: jaccard ≥ 0.1
+
+
+def dedup_recall_report(
+    spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
+) -> DataFrame:
+    """Sketch-quality audit: measure the MinHash-LSH candidate
+    generator's recall and precision against the EXACT near-duplicate
+    pair set (jaccard ≥ RECALL_TAU_E6 over distinct hashed shingles) —
+    the "how good is my dedup, actually" report every curation pipeline
+    should ship with its dedup run.
+
+    With 8 minhashes banded 1-row-per-band, a pair of true Jaccard j is
+    a candidate with probability 1 − (1−j)⁸ (~57% at j=0.1, ~94% at
+    j=0.3).  On this fixture the τ=0.1 truth set is 25 strong near-dup
+    pairs and recall measures 1.0 — the informative number is then the
+    PRECISION (~2.9% at sf0.01: 872 candidates for 25 true pairs), i.e.
+    how much exact-verify work the bands buy per real duplicate.
+    Outputs ONE row of exact integers: pair counts and ppm
+    recall/precision (0 when the denominator is empty, defined
+    identically in the oracle).
+
+    Scale: ground truth requires the shared-shingle quadratic join, so
+    the report is inherently a VERIFICATION-SCALE operator (guarded like
+    dedup_ngram_jaccard); at 100 TB you run it on a sampled slice to
+    audit the production sketch parameters, and the sketch side reuses
+    the exact same signature/band plan that dedup_minhash_lsh serves.
+    """
+    _guard_quadratic(
+        _docs(spark, sf_dir), "dedup_recall_report",
+        "dedup_minhash_lsh (candidates only; audit recall on a sample)",
+        allow_quadratic,
+    )
+    sh = _shingle_hashes(spark, sf_dir).distinct().persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    truth = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.x") == F.col("b.x"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(
+            F.expr("div(inter * 1000000, na + nb - inter)") >= RECALL_TAU_E6
+        )
+        .select("doc_a", "doc_b")
+    )
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{h}")
+            for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    n_h = len(MINHASH_A)
+    stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
+    sig = mins.select("doc_id", F.expr(f"stack({n_h}, {stack_args}) AS (h, v)"))
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(F.col("n_true") == 0, F.lit(0))
+        .otherwise(F.expr("div(n_hit * 1000000, n_true)"))
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(F.col("n_cand") == 0, F.lit(0))
+        .otherwise(F.expr("div(n_hit * 1000000, n_cand)"))
+        .cast("long")
+        .alias("precision_ppm"),
+    )
+
+
+def _recall_report_oracle_sql() -> str:
+    shs = texts.shingles_sql("text")
+    x = texts.hash32_sql("g")
+    min_exprs = ",\n        ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS mh{h}"
+        for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    sig_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {h} AS h, mh{h} AS v FROM mins"
+        for h in range(len(MINHASH_A))
+    )
+    return f"""
+WITH sh0 AS (
+    SELECT doc_id, unnest({shs}) AS g FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, {x} AS x FROM sh0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+truth AS (
+    SELECT i.doc_a, i.doc_b
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.inter * 1000000 // (sa.n + sb.n - i.inter) >= {RECALL_TAU_E6}
+),
+mins AS (
+    SELECT doc_id,
+        {min_exprs}
+    FROM sh GROUP BY doc_id
+),
+sig AS ({sig_rows}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.h = b.h AND a.v = b.v AND a.doc_id < b.doc_id
+),
+counts AS (
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_cand,
+           (SELECT COUNT(*) FROM truth t
+            WHERE EXISTS (SELECT 1 FROM cand c
+                          WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+               AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN n_true = 0 THEN 0
+                 ELSE n_hit * 1000000 // n_true END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN n_cand = 0 THEN 0
+                 ELSE n_hit * 1000000 // n_cand END AS BIGINT) AS precision_ppm
+FROM counts
+"""
+
+
 QUERIES = {
+    "dedup_recall_report": dedup_recall_report,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1040,6 +1193,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_recall_report": _recall_report_oracle_sql(),
     "dedup_exact": """
         SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
                MIN(doc_id) AS keeper_id

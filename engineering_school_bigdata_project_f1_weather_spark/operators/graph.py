@@ -93,7 +93,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation in the co-order graph (module
     docstring). Output: (part, n_triangles), heaviest first then part —
     one row per part that belongs to at least one triangle."""
-    o = _oriented(_co_order_edges(spark, sf_dir))
+    # The edge list (an expensive distinct self-join) feeds the degree
+    # count plus two joins, and the oriented DAG feeds three wedge-side
+    # consumers — without persists Spark re-derives the whole subtree per
+    # reference (measured 30 → ~12 s at sf0.1).  At cluster scale the
+    # edge list is a materialized table; persist() is the in-plan stand-in.
+    o = _oriented(_co_order_edges(spark, sf_dir).persist()).persist()
     w1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     w2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     # Each triangle appears once: u is the orientation-minimum, and the
@@ -179,7 +184,9 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are |E|- and |V|-sized equi-joins; top-50 plans as
     TakeOrderedAndProject.
     """
-    e = _support_edges(spark, sf_dir)
+    # support-edge build feeds degrees, both adjacency directions, and
+    # the anti-join — persist once (same rationale as graph_triangles)
+    e = _support_edges(spark, sf_dir).persist()
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")

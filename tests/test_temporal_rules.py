@@ -73,3 +73,17 @@ def test_affinity_rules_math(spark, sf_dir):
         assert r.conf_ppm == r.s_ab * 1_000_000 // r.s_a
         assert r.lift_ppm == r.s_ab * n_orders * 1_000_000 // (r.s_a * r.s_b)
         assert r.s_ab >= olap_deep.RULES_SUPPORT_MIN
+
+
+def test_recall_report_consistency(spark, sf_dir, duck):
+    """Counts are internally consistent and the report matches its oracle
+    (also runs in the TRIO parametrization via selfcheck — this pins the
+    arithmetic relations)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    r = dedup.dedup_recall_report(spark, sf_dir).collect()[0]
+    assert 0 <= r.n_hit <= min(r.n_true, r.n_cand)
+    if r.n_true:
+        assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_true
+    if r.n_cand:
+        assert r.precision_ppm == r.n_hit * 1_000_000 // r.n_cand
