@@ -581,7 +581,69 @@ FROM scored
 """
 
 
+MONTH_DAYS_US = 30 * 24 * HOUR_US  # fixed 30-day "month" grid (calendar-free)
+
+
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU / stickiness — the product-analytics census: distinct
+    active users per epoch-aligned day, distinct users of the containing
+    30-day window, and their ratio in exact ppm (``div(dau·1e6, mau)``).
+
+    Scale notes: COUNT(DISTINCT user) is the classically expensive op —
+    here each grain is ONE expand-free exact distinct aggregate keyed on
+    (bucket, user) partials (Spark plans two-stage distinct aggregation:
+    partial sets per partition combine before the final count).  The two
+    grains join on the month key — |days| rows against |months| rows,
+    broadcast forever.  At 100 TB the same plan holds; if exactness can
+    be relaxed, swap count_distinct for approx_count_distinct and keep
+    the shape (the tolerance-pinning pattern of tpch_distinct_parts).
+    """
+    e = load_events(spark, sf_dir).select(
+        (F.col("ts_us") - F.col("ts_us") % (24 * HOUR_US)).alias("day_us"),
+        (F.col("ts_us") - F.col("ts_us") % MONTH_DAYS_US).alias("month_us"),
+        "user_id",
+    )
+    dau = e.groupBy("day_us", "month_us").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    mau = e.groupBy("month_us").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "month_us")
+        .select(
+            "day_us",
+            "month_us",
+            "dau",
+            "mau",
+            F.expr("div(dau * 1000000, mau)").alias("stickiness_ppm"),
+        )
+        .orderBy("day_us")
+    )
+
+
+_DAU_MAU_ORACLE = f"""
+WITH e AS (
+    SELECT epoch_us(ts) - epoch_us(ts) % {24 * HOUR_US} AS day_us,
+           epoch_us(ts) - epoch_us(ts) % {MONTH_DAYS_US} AS month_us,
+           user_id
+    FROM events
+),
+dau AS (
+    SELECT day_us, month_us, COUNT(DISTINCT user_id) AS dau
+    FROM e GROUP BY 1, 2
+),
+mau AS (
+    SELECT month_us, COUNT(DISTINCT user_id) AS mau FROM e GROUP BY 1
+)
+SELECT day_us, dau.month_us, CAST(dau AS BIGINT) AS dau,
+       CAST(mau AS BIGINT) AS mau,
+       dau * 1000000 // mau AS stickiness_ppm
+FROM dau JOIN mau ON dau.month_us = mau.month_us
+ORDER BY day_us
+"""
+
+
 QUERIES = {
+    "events_dau_mau": events_dau_mau,
     "events_transitions": events_transitions,
     "events_ab_test": events_ab_test,
     "events_hourly": events_hourly,
@@ -597,6 +659,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_dau_mau": _DAU_MAU_ORACLE,
     "events_ab_test": _AB_ORACLE,
     "events_transitions": """
         WITH p AS (

@@ -1470,7 +1470,141 @@ SELECT label, vec_id, dist2, rank FROM (
 """
 
 
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-sketch quality audit — the ANN twin of
+    ``dedup.dedup_recall_report``: measure the banded-LSH candidate
+    generator's recall and precision against the EXACT cosine truth set
+    (all pairs with sim ≥ EMBED_DUP_MIN_E6, by brute force).  One row of
+    exact integers; denominator-empty cases defined as 0.
+
+    The truth side is inherently quadratic (that is what an audit costs —
+    at 100 TB you run it on a sampled slice to validate the production
+    band/bit parameters); the candidate side reuses the exact signature
+    plan `sim_lsh_banded` serves.  Recall here is the number the
+    sim_lsh_banded docstring argues from theory (1−(1−p⁸)⁴) — this
+    operator MEASURES it on the corpus.
+    """
+    base = _quantized(spark, sf_dir).persist()
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    )
+    sim = vectors.sim_e6(
+        vectors.dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+    )
+    truth = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim_e6"))
+        .where(F.col("sim_e6") >= EMBED_DUP_MIN_E6)
+        .select("vec_a", "vec_b")
+    )
+    band_cols = []
+    for band in range(N_BANDS):
+        bucket = None
+        for i in range(BAND_BITS):
+            j = BAND_PLANE_OFFSET + band * BAND_BITS + i
+            plane = F.array(*[F.lit(w) for w in _hyperplane(j)])
+            d = vectors.dot(F.col("q"), plane)
+            bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        band_cols.append(bucket.cast("long").alias(f"band{band}"))
+    sig = base.select("vec_id", *band_cols)
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+        .persist()
+    )
+    hit = truth.join(cand, ["vec_a", "vec_b"], "left_semi")
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(F.col("n_true") == 0, F.lit(0))
+        .otherwise(F.expr("div(n_hit * 1000000, n_true)"))
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(F.col("n_cand") == 0, F.lit(0))
+        .otherwise(F.expr("div(n_hit * 1000000, n_cand)"))
+        .cast("long")
+        .alias("precision_ppm"),
+    )
+
+
+def _sim_recall_oracle_sql() -> str:
+    q = vectors.quantize_sql("embedding")
+    sim = vectors.sim_e6_sql(vectors.dot_sql("a.q", "b.q"), "a.n2", "b.n2")
+
+    def band_bits(band: int) -> str:
+        return " + ".join(
+            f"CASE WHEN {vectors.dot_sql('q', str(_hyperplane(BAND_PLANE_OFFSET + band * BAND_BITS + i)))} >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i in range(BAND_BITS)
+        )
+
+    band_defs = ", ".join(
+        f"CAST({band_bits(b)} AS BIGINT) AS band{b}" for b in range(N_BANDS)
+    )
+    band_union = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, band{b} AS bucket FROM sg"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
+truth AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM en a JOIN en b ON a.vec_id < b.vec_id
+    WHERE {sim} >= {EMBED_DUP_MIN_E6}
+),
+sg AS (SELECT vec_id, q, n2, {band_defs} FROM en),
+bandrows AS (
+    {band_union}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bandrows a
+    JOIN bandrows b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+counts AS (
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_cand,
+           (SELECT COUNT(*) FROM truth t
+            WHERE EXISTS (SELECT 1 FROM cand c
+                          WHERE c.vec_a = t.vec_a AND c.vec_b = t.vec_b))
+               AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN n_true = 0 THEN 0
+                 ELSE n_hit * 1000000 // n_true END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN n_cand = 0 THEN 0
+                 ELSE n_hit * 1000000 // n_cand END AS BIGINT) AS precision_ppm
+FROM counts
+"""
+
+
 QUERIES = {
+    "sim_recall_report": sim_recall_report,
     "embedding_outliers": embedding_outliers,
     "sim_pq": sim_pq,
     "sim_pq_trained": sim_pq_trained,
@@ -1485,6 +1619,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sim_recall_report": _sim_recall_oracle_sql(),
     "embedding_outliers": _OUTLIERS_ORACLE,
     "sim_pq": _pq_oracle_sql(),
     "sim_pq_trained": _pq_trained_oracle_sql(),

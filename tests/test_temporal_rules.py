@@ -87,3 +87,37 @@ def test_recall_report_consistency(spark, sf_dir, duck):
         assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_true
     if r.n_cand:
         assert r.precision_ppm == r.n_hit * 1_000_000 // r.n_cand
+
+
+def test_dau_mau_consistency(spark, sf_dir):
+    """DAU never exceeds its month's MAU; stickiness is the exact ppm
+    ratio; every active day appears."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import events as ev
+
+    rows = ev.events_dau_mau(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.dau <= r.mau
+        assert r.stickiness_ppm == r.dau * 1_000_000 // r.mau
+    n_days = (
+        ev.load_events(spark, sf_dir)
+        .select((F.col("ts_us") - F.col("ts_us") % (24 * ev.HOUR_US)).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_days
+
+
+def test_sim_recall_report_measures_banded_lsh(spark, sf_dir):
+    """The audit's counts are consistent, and recall is strictly below 1
+    on this corpus (the banded sketch misses weak near-dups — the fact
+    the operator exists to surface)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import similarity
+
+    r = similarity.sim_recall_report(spark, sf_dir).collect()[0]
+    assert 0 <= r.n_hit <= min(r.n_true, r.n_cand)
+    assert r.n_true > 0 and r.n_cand > 0
+    assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_true
+    assert r.precision_ppm == r.n_hit * 1_000_000 // r.n_cand
