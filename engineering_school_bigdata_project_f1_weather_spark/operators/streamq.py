@@ -216,7 +216,47 @@ FROM events
 """
 
 
+def stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily-active-users: CHAINED stateful operators —
+    ``dropDuplicatesWithinWatermark`` on (user, day) followed by a
+    per-day count — because distinct aggregates are not supported on
+    streams; dedup-then-count is the standard streaming rewrite of
+    COUNT(DISTINCT).  Drained complete-mode to the file sink and
+    hash-compared against the exact batch DAU (the batch twin is
+    ``events.events_dau_mau``'s day grain).
+
+    Honesty note on exactness: within-watermark dedup holds a key only
+    for the watermark delay past its event time, so a (user, day) pair
+    re-appearing more than the delay later in EVENT time would recount.
+    Here the availableNow drain delivers the immutable file in one
+    micro-batch (watermark still at origin while it processes), so the
+    dedup state covers the whole day and the result is exact — and a
+    production deployment sizes the delay to the day span (or merges
+    idempotently downstream).  State is bounded at |users × days inside
+    the delay| either way.
+    """
+    ev = events_stream.stream_events(spark, sf_dir)
+    dd = (
+        ev.withWatermark("event_time", events_stream.WATERMARK)
+        .withColumn("day", F.date_trunc("DAY", F.col("event_time")))
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+    )
+    agg = dd.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    out = _drain(agg, "stream_dau", spark)
+    return out.select(
+        F.unix_micros(F.col("day")).alias("day_us"), "dau"
+    ).orderBy("day_us")
+
+
+_DAU_ORACLE = """
+SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "stream_dau": stream_dau,
     "stream_hourly": stream_hourly,
     "stream_sessions": stream_sessions,
     "stream_enriched": stream_enriched,
@@ -224,6 +264,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "stream_dau": _DAU_ORACLE,
     "stream_hourly": _HOURLY_ORACLE,
     "stream_sessions": _SESSIONS_ORACLE,
     "stream_enriched": _ENRICHED_ORACLE,

@@ -557,3 +557,33 @@ def test_session_window_exact_gap_boundary(spark, tmp_path):
 
     assert (stream_exact, batch_exact) == (1, 1)  # touching windows merge
     assert (stream_over, batch_over) == (2, 2)  # past the gap: both split
+
+
+def test_stream_dau_matches_batch_distinct(spark, sf_dir):
+    """Chained dedup→count drain equals the exact batch COUNT(DISTINCT)
+    per day (the streaming rewrite is lossless under the one-batch
+    availableNow drain)."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+        streamq,
+    )
+
+    got = {
+        r.day_us: r.dau for r in streamq.stream_dau(spark, sf_dir).collect()
+    }
+    want = {
+        r.day_us: r.dau
+        for r in (
+            ev.load_events(spark, sf_dir)
+            .groupBy(
+                (F.col("ts_us") - F.col("ts_us") % (24 * ev.HOUR_US)).alias(
+                    "day_us"
+                )
+            )
+            .agg(F.count_distinct("user_id").alias("dau"))
+            .collect()
+        )
+    }
+    assert got == want
