@@ -573,10 +573,107 @@ LIMIT {RULES_TOP_K}
 """
 
 
+# --- Q17: small-quantity revenue ------------------------------------------
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity — the correlated-aggregate
+    filter, decorrelated into one per-part aggregate joined back.
+
+    Exactness: ``qty < 0.2 · avg(qty)`` is rewritten
+    ``5 · qty · n > 0 ∧ 5 · qty · n < Σqty`` in BIGINTs (quantities are
+    integral in this lake) — no float mean, no 0.2 literal.  One
+    partial-agg shuffle on partkey for the stats, one equi-join back
+    (same key — AQE reuses the partitioning), one global sum.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _rev_cents().alias("rev_cents"),
+    )
+    stats = l.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_items")
+    )
+    return (
+        l.join(stats, "l_partkey")
+        .where(F.lit(5) * F.col("qty") * F.col("n_items") < F.col("sum_qty"))
+        .agg(
+            F.sum("rev_cents").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+_SMALLQTY_ORACLE = f"""
+WITH l AS (
+    SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+           {_REV} AS rev_cents
+    FROM lineitem
+),
+stats AS (
+    SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM l GROUP BY l_partkey
+)
+SELECT CAST(SUM(l.rev_cents) AS BIGINT) AS rev_cents,
+       COUNT(*) AS n_small
+FROM l JOIN stats USING (l_partkey)
+WHERE 5 * l.qty * stats.n_items < stats.sum_qty
+"""
+
+# --- Q4: late-shipment order-priority census ------------------------------
+
+LATE_SHIP_DAYS = 90
+
+
+def priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders have at least
+    one lineitem shipped more than LATE_SHIP_DAYS after the order date —
+    the EXISTS correlated subquery, planned as a left-semi join (build on
+    the date-filtered pair set, no row explosion; the lake has no
+    commit/receipt dates, so ship-lag stands in, noted here).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate"), LATE_SHIP_DAYS)
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_LATE_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "tpch_returned_revenue": returned_revenue,
     "tpch_top_supplier": top_supplier,
     "part_affinity_rules": part_affinity_rules,
+    "tpch_small_qty_revenue": small_qty_revenue,
+    "tpch_priority_late_orders": priority_late_orders,
     "tpch_promo_share": promo_share,
     "tpch_market_share": market_share,
     "tpch_supplier_counts": supplier_counts,
@@ -588,6 +685,8 @@ ORACLE_SQL = {
     "tpch_returned_revenue": _RETURNED_ORACLE,
     "tpch_top_supplier": _TOPSUPP_ORACLE,
     "part_affinity_rules": _RULES_ORACLE,
+    "tpch_small_qty_revenue": _SMALLQTY_ORACLE,
+    "tpch_priority_late_orders": _LATE_ORACLE,
     "tpch_promo_share": _PROMO_ORACLE,
     "tpch_market_share": _SHARE_ORACLE,
     "tpch_supplier_counts": _SUPPCNT_ORACLE,

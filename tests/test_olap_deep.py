@@ -127,3 +127,55 @@ def test_idle_customers_threshold_is_scalar_exact(spark, sf_dir):
     # group averages of qualifying customers must each beat the threshold
     for r in out:
         assert r.total_cents * pos.n > pos.s * r.n_custs
+
+
+def test_small_qty_threshold_is_integer_exact(spark, sf_dir):
+    """Re-derive the Q17 filter for one part in pure Python — the
+    decorrelated integer rewrite must agree with 'qty < 0.2*avg'."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", F.col("l_quantity").cast("long").alias("q"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in l:
+        per[r.l_partkey].append(r.q)
+    expect = sum(
+        1
+        for _, qs in per.items()
+        for q in qs
+        if 5 * q * len(qs) < sum(qs)
+    )
+    got = olap_deep.small_qty_revenue(spark, sf_dir).collect()[0].n_small
+    assert got == expect
+
+
+def test_priority_late_orders_semi_join_no_explosion(spark, sf_dir):
+    """Counts are per ORDER, not per late lineitem: each group total must
+    be <= the number of orders in that priority."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    out = {r.o_orderpriority: r.n_late_orders
+           for r in olap_deep.priority_late_orders(spark, sf_dir).collect()}
+    totals = {
+        r.o_orderpriority: r.n
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out
+    for prio, n in out.items():
+        assert 0 < n <= totals[prio]
