@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "graph_link_predict",
     "events_transitions",
     "embedding_outliers",
+    # chained-stateful-operator streaming drain
+    "stream_dau",
 ]
 
 
