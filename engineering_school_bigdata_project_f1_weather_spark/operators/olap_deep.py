@@ -668,12 +668,205 @@ ORDER BY o_orderpriority
 """
 
 
+# --- Cohort lifetime value -------------------------------------------------
+
+
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by FIRST-order
+    year (the cohort), revenue accumulated per order-age year — the
+    commerce twin of ``events_retention``'s (cohort × offset) census.
+
+    Plan: one customer-keyed aggregate finds each customer's cohort
+    year; the join back to orders is an equi-join on custkey (the
+    cohort frame is |customers| rows — shuffles, or broadcasts under
+    AQE when it fits); the matrix aggregate shuffles |cohorts × ages| ≤
+    a few dozen groups with map-side combine.  Exact cents throughout.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort_year"))
+    return (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_year", (F.col("yr") - F.col("cohort_year")).alias("age_years")
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("rev_cents"),
+        )
+        .orderBy("cohort_year", "age_years")
+    )
+
+
+_COHORT_ORACLE = """
+WITH o AS (
+    SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+),
+cohort AS (
+    SELECT o_custkey, MIN(yr) AS cohort_year FROM o GROUP BY o_custkey
+)
+SELECT c.cohort_year, o.yr - c.cohort_year AS age_years,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o.price_cents) AS BIGINT) AS rev_cents
+FROM o JOIN cohort c USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+# --- Supplier concentration (HHI) -----------------------------------------
+
+
+def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration (Herfindahl–Hirschman) index per part type:
+    each supplier's revenue share of the type in ppm, squared and summed
+    — ``HHI_e12 = Σ share_ppm²`` (10¹² = monopoly).  The antitrust-style
+    concentration census, all in exact integers: shares are integer ppm
+    of exact cent totals, so the squared sum is reproducible bit-for-bit
+    at any aggregation order.
+
+    Plan: one (type, supplier) partial-agg shuffle, a |types|-row total
+    broadcast-joined back, and a |types × suppliers|-group final sum.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    by_supp = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .withColumn("rev_cents", _rev_cents())
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("rev_cents").alias("rev"))
+    )
+    totals = by_supp.groupBy("p_type").agg(F.sum("rev").alias("total"))
+    return (
+        by_supp.join(F.broadcast(totals), "p_type")
+        .withColumn("share_ppm", F.expr("div(rev * 1000000, total)"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("share_ppm") * F.col("share_ppm")).alias("hhi_e12"),
+        )
+        .orderBy("p_type")
+    )
+
+
+_HHI_ORACLE = f"""
+WITH by_supp AS (
+    SELECT p.p_type, l.l_suppkey, CAST(SUM({_REV}) AS BIGINT) AS rev
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT p_type, CAST(SUM(rev) AS BIGINT) AS total FROM by_supp GROUP BY 1),
+shares AS (
+    SELECT b.p_type, b.rev * 1000000 // t.total AS share_ppm
+    FROM by_supp b JOIN tot t USING (p_type)
+)
+SELECT p_type, COUNT(*) AS n_suppliers,
+       CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_e12
+FROM shares GROUP BY p_type ORDER BY p_type
+"""
+
+# --- In-engine OLS: discount → quantity elasticity ------------------------
+
+
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ordinary-least-squares fit of quantity on discount —
+    in-engine regression from EXACT integer sufficient statistics:
+    x = discount in e2 fixed point (0–10), y = integral quantity;
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` with every Σ an exact
+    BIGINT from ONE map-side-combinable aggregate, and only the final
+    slope/intercept divisions in doubles (identical operands in both
+    engines — the repo's standard last-mile float contract).  Output
+    slope/intercept in e6 fixed point, plus n.
+
+    This is the distributed-ML primitive shape: sufficient statistics
+    reduce (one shuffle, tiny result), model math on the reduced frame.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.floor(F.col("l_discount") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+    )
+    stats = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_e6 = F.floor(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        * F.lit(1_000_000.0)
+        / det.cast("double")
+    ).cast("long")
+    intercept_e6 = F.floor(
+        (F.col("sxx") * F.col("sy") - F.col("sx") * F.col("sxy")).cast("double")
+        * F.lit(1_000_000.0)
+        / det.cast("double")
+    ).cast("long")
+    return (
+        stats.where(det > 0)  # degenerate single-discount brands excluded
+        .select(
+            "p_brand",
+            "n",
+            slope_e6.alias("slope_e6"),
+            intercept_e6.alias("intercept_e6"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_ELASTICITY_ORACLE = """
+WITH base AS (
+    SELECT p.p_brand,
+           CAST(FLOOR(l.l_discount * 100.0 + 0.5) AS BIGINT) AS x,
+           CAST(l.l_quantity AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+stats AS (
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM base GROUP BY p_brand
+)
+SELECT p_brand, n,
+       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+           AS slope_e6,
+       CAST(FLOOR(CAST(sxx * sy - sx * sxy AS DOUBLE) * 1000000.0
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+           AS intercept_e6
+FROM stats
+WHERE n * sxx - sx * sx > 0
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "tpch_returned_revenue": returned_revenue,
     "tpch_top_supplier": top_supplier,
     "part_affinity_rules": part_affinity_rules,
     "tpch_small_qty_revenue": small_qty_revenue,
     "tpch_priority_late_orders": priority_late_orders,
+    "customer_cohort_ltv": customer_cohort_ltv,
+    "supplier_concentration": supplier_concentration,
+    "discount_elasticity": discount_elasticity,
     "tpch_promo_share": promo_share,
     "tpch_market_share": market_share,
     "tpch_supplier_counts": supplier_counts,
@@ -687,6 +880,9 @@ ORACLE_SQL = {
     "part_affinity_rules": _RULES_ORACLE,
     "tpch_small_qty_revenue": _SMALLQTY_ORACLE,
     "tpch_priority_late_orders": _LATE_ORACLE,
+    "customer_cohort_ltv": _COHORT_ORACLE,
+    "supplier_concentration": _HHI_ORACLE,
+    "discount_elasticity": _ELASTICITY_ORACLE,
     "tpch_promo_share": _PROMO_ORACLE,
     "tpch_market_share": _SHARE_ORACLE,
     "tpch_supplier_counts": _SUPPCNT_ORACLE,

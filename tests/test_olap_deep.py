@@ -179,3 +179,73 @@ def test_priority_late_orders_semi_join_no_explosion(spark, sf_dir):
     assert out
     for prio, n in out.items():
         assert 0 < n <= totals[prio]
+
+
+def test_cohort_ltv_age_zero_covers_every_customer(spark, sf_dir):
+    """Age-0 rows must jointly count every customer exactly once (each
+    customer's first year is their cohort), and all ages are >= 0."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = olap_deep.customer_cohort_ltv(spark, sf_dir).collect()
+    assert all(r.age_years >= 0 for r in rows)
+    n_age0 = sum(r.n_customers for r in rows if r.age_years == 0)
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert n_age0 == n_cust
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """HHI lies in (0, 1e12]; a single-supplier type would be exactly
+    1e12; many equal suppliers push it toward 1e12 / n."""
+    rows = olap_deep.supplier_concentration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.hhi_e12 <= 1_000_000_000_000
+        # floor-rounding of shares can only LOWER the sum below the
+        # perfect-equality bound of 1e12; it can never exceed it
+        assert r.hhi_e12 >= 1_000_000_000_000 // (r.n_suppliers * 2)
+
+
+def test_elasticity_matches_numpy(spark, sf_dir):
+    """Re-fit one brand with numpy.polyfit — the exact-sufficient-stats
+    slope must agree to the e6 floor."""
+    import math
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = olap_deep.discount_elasticity(spark, sf_dir).collect()
+    assert rows
+    brand = rows[0].p_brand
+    pts = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(F.col("p_brand") == brand)
+        .select(
+            F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)).cast("long").alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+        .collect()
+    )
+    x = np.array([p.x for p in pts], dtype=np.int64)
+    y = np.array([p.y for p in pts], dtype=np.int64)
+    n = len(x)
+    det = n * int((x * x).sum()) - int(x.sum()) ** 2
+    slope = (n * int((x * y).sum()) - int(x.sum()) * int(y.sum())) / det
+    assert rows[0].slope_e6 == math.floor(
+        (n * int((x * y).sum()) - int(x.sum()) * int(y.sum())) * 1_000_000.0 / det
+    )
+    np_slope = np.polyfit(x.astype(float), y.astype(float), 1)[0]
+    assert abs(slope - np_slope) < 1e-6
