@@ -737,7 +737,67 @@ WHERE digest IN (SELECT digest FROM req)
 """
 
 
+BALANCED_K = 20  # documents kept per language
+
+
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-stratum sampling: EXACTLY K documents per language,
+    chosen by md5-rank — the class-balancing step before training an
+    evaluator (langid, quality) where skewed strata would dominate.
+    Complements :func:`sample_stratified` (rate-based, size ∝ stratum):
+    here the sample SIZE is fixed per stratum regardless of skew.
+
+    Determinism/retry-safety: rank is over (md5(doc_id), doc_id) — a
+    pure function of the data, no rand(); re-runs, task retries, and
+    the oracle all select the identical K.  Adding documents to a
+    stratum can displace at most the highest-hash members (bounded
+    churn), never reshuffle the whole sample.
+
+    Plan: one shuffle on the language key for the rank window; rows
+    beyond K are dropped before any downstream work.  At thousands of
+    strata this is the same single window; the skewed-stratum worst
+    case is one partition holding the largest language — the standard
+    fix (two-phase: pre-filter by a permille bound, then rank) applies
+    unchanged."""
+    from pyspark.sql import Window
+
+    d = _docs_tokens(spark, sf_dir)
+    h = texts.hash32(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("long").alias("n_tokens"),
+            h.alias("h"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BALANCED_K)
+        .select("doc_id", "lang", "n_tokens", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _balanced_oracle_sql() -> str:
+    h = texts.hash32_sql("'bal:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           {h} AS h
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS INT) AS rk
+    FROM d
+)
+SELECT doc_id, lang, n_tokens, rk FROM r WHERE rk <= {BALANCED_K}
+"""
+
+
 QUERIES = {
+    "sample_balanced": sample_balanced,
     "text_chunk": text_chunk,
     "text_contamination": text_contamination,
     "sample_split": sample_split,
@@ -752,6 +812,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sample_balanced": _balanced_oracle_sql(),
     "text_chunk": _chunk_oracle_sql(),
     "text_contamination": _contamination_oracle_sql(),
     "sample_split": _sample_split_oracle_sql(),

@@ -466,3 +466,27 @@ def test_quality_score_bands_partition(spark, sf_dir):
     assert {r.band for r in rows} <= {"high", "mid", "low"}
     for r in rows:
         assert r.keep == (r.band != "low")
+
+
+def test_sample_balanced_exact_k_and_nested_stability(spark, sf_dir):
+    """Every language yields exactly min(K, stratum size) docs; the kept
+    set is a pure function of doc_id (re-run identical)."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import corpus
+
+    out = corpus.sample_balanced(spark, sf_dir)
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per
+    for lang, n in per.items():
+        assert n == min(corpus.BALANCED_K, sizes[lang])
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in corpus.sample_balanced(spark, sf_dir).collect())
+    assert a == b
