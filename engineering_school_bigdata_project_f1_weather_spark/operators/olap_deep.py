@@ -30,7 +30,7 @@ sort.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
 
@@ -773,6 +773,155 @@ SELECT p_type, COUNT(*) AS n_suppliers,
 FROM shares GROUP BY p_type ORDER BY p_type
 """
 
+# --- RFM customer segmentation --------------------------------------------
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1–4 on Recency (days
+    since last order, relative to the lake's max order date — an in-plan
+    one-row aggregate, never a driver-side clock), Frequency (order
+    count) and Monetary (total cents), quartiled with ntile(4) over
+    DETERMINISTIC total orders (metric + custkey tie-break, so both
+    engines bucket identically), combined into the classic 3-digit code.
+
+    Plan: one customer-keyed aggregate, a one-row broadcast for the
+    reference date, three ntile windows sharing one global sort domain
+    each (|customers| rows — at true scale these become range-partitioned
+    window sorts, the standard distributed ntile), narrow code projection.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("monetary_cents"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    base = per_cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff(F.col("ref_date"), F.col("last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (
+            F.ntile(4).over(w_r) * 100
+            + F.ntile(4).over(w_f) * 10
+            + F.ntile(4).over(w_m)
+        )
+        .cast("int")
+        .alias("rfm_code"),
+    )
+
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey, MAX(o_orderdate) AS last_order,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS monetary_cents
+    FROM orders GROUP BY o_custkey
+),
+base AS (
+    SELECT o_custkey,
+           CAST(datediff('day', last_order,
+                         (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+               AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary_cents
+    FROM per_cust
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) * 100
+            + NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) * 10
+            + NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC)
+            AS INT) AS rfm_code
+FROM base
+"""
+
+# --- Benford first-digit audit --------------------------------------------
+
+# floor(log10(1 + 1/d) · 1e6) for d = 1..9 — precomputed so neither engine
+# ever evaluates a log.
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over extended prices — the fraud /
+    data-generation-artifact detector: observed leading-digit frequency
+    in ppm against the Benford expectation (precomputed integer
+    constants — no log in-plan).  Synthetic uniform-ish prices FAIL
+    Benford loudly, which is itself the point: the operator flags
+    non-natural distributions.
+
+    Plan: one narrow digit projection + a 9-group aggregate with
+    map-side combine; the total is a window over the 9-row frame.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = l.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    expected = None
+    for d, ppm in BENFORD_PPM.items():
+        expected = (
+            F.when(F.col("digit") == d, F.lit(ppm))
+            if expected is None
+            else expected.when(F.col("digit") == d, F.lit(ppm))
+        )
+    return (
+        counts.withColumn("observed_ppm", F.expr("div(n * 1000000, sum(n) over ())"))
+        .select(
+            "digit",
+            "n",
+            "observed_ppm",
+            expected.cast("long").alias("benford_ppm"),
+            (F.col("observed_ppm") - expected).cast("long").alias("diff_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_oracle_sql() -> str:
+    whens = " ".join(
+        f"WHEN digit = {d} THEN {ppm}" for d, ppm in BENFORD_PPM.items()
+    )
+    return f"""
+WITH l AS (
+    SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                                 AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+    FROM lineitem
+),
+c AS (SELECT digit, COUNT(*) AS n FROM l GROUP BY digit)
+SELECT digit, n,
+       CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS observed_ppm,
+       CAST(CASE {whens} END AS BIGINT) AS benford_ppm,
+       CAST(n * 1000000 // SUM(n) OVER ()
+            - CASE {whens} END AS BIGINT) AS diff_ppm
+FROM c ORDER BY digit
+"""
+
+
 # --- In-engine OLS: discount → quantity elasticity ------------------------
 
 
@@ -867,6 +1016,8 @@ QUERIES = {
     "customer_cohort_ltv": customer_cohort_ltv,
     "supplier_concentration": supplier_concentration,
     "discount_elasticity": discount_elasticity,
+    "customer_rfm": customer_rfm,
+    "lineitem_benford": lineitem_benford,
     "tpch_promo_share": promo_share,
     "tpch_market_share": market_share,
     "tpch_supplier_counts": supplier_counts,
@@ -883,6 +1034,8 @@ ORACLE_SQL = {
     "customer_cohort_ltv": _COHORT_ORACLE,
     "supplier_concentration": _HHI_ORACLE,
     "discount_elasticity": _ELASTICITY_ORACLE,
+    "customer_rfm": _RFM_ORACLE,
+    "lineitem_benford": _benford_oracle_sql(),
     "tpch_promo_share": _PROMO_ORACLE,
     "tpch_market_share": _SHARE_ORACLE,
     "tpch_supplier_counts": _SUPPCNT_ORACLE,

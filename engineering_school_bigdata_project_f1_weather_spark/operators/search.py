@@ -363,12 +363,81 @@ ORDER BY rank
 """
 
 
+KEYWORDS_PER_DOC = 3
+
+
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: each document's top-3 tokens by
+    TF-IDF (the same integer-exact odds-ratio idf as ``text_search``),
+    deterministic tie-break on the token — the metadata-enrichment step
+    that tags every training document with its salient terms.
+
+    Plan: token counts (one shuffle), the idf table derived from the
+    SAME aggregation (vocabulary-sized — broadcasts), score join, one
+    doc-keyed top-k window.  All corpus-scale work is the single token
+    aggregation; the window shuffles on doc_id with a bounded k."""
+    tc = _token_counts(spark, sf_dir)
+    n_docs_df = load_table_spread(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = (
+        tc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "token",
+            F.expr("div((2 * n_docs - 2 * df + 1) * 1000000, 2 * df + 1)").alias(
+                "idf_e6"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e6"), F.asc("token")
+    )
+    return (
+        tc.join(idf, "token")
+        .withColumn("score_e6", (F.col("tf") * F.col("idf_e6")).cast("long"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "token", "score_e6", "rk")
+    )
+
+
+def _keywords_oracle_sql() -> str:
+    return f"""
+WITH tc AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id, token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+    SELECT token,
+           (2 * (SELECT n_docs FROM n) - 2 * COUNT(DISTINCT doc_id) + 1)
+               * 1000000 // (2 * COUNT(DISTINCT doc_id) + 1) AS idf_e6
+    FROM tc GROUP BY token
+),
+scored AS (
+    SELECT tc.doc_id, tc.token,
+           CAST(tc.tf * idf.idf_e6 AS BIGINT) AS score_e6
+    FROM tc JOIN idf USING (token)
+)
+SELECT doc_id, token, score_e6, rk FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_e6 DESC, token ASC) AS INT) AS rk
+    FROM scored
+) WHERE rk <= {KEYWORDS_PER_DOC}
+"""
+
+
 QUERIES = {
     "text_postings": text_postings,
     "text_search": text_search,
     "text_hash_embed": text_hash_embed,
     "text_sparse_sim": text_sparse_sim,
     "documents_zipf": documents_zipf,
+    "text_keywords": text_keywords,
 }
 
 ORACLE_SQL = {
@@ -377,4 +446,5 @@ ORACLE_SQL = {
     "text_hash_embed": _hash_embed_oracle_sql(),
     "text_sparse_sim": _sparse_sim_oracle_sql(),
     "documents_zipf": _zipf_oracle_sql(),
+    "text_keywords": _keywords_oracle_sql(),
 }

@@ -249,3 +249,26 @@ def test_elasticity_matches_numpy(spark, sf_dir):
     )
     np_slope = np.polyfit(x.astype(float), y.astype(float), 1)[0]
     assert abs(slope - np_slope) < 1e-6
+
+
+def test_rfm_quartiles_balanced(spark, sf_dir):
+    """ntile(4) buckets differ in size by at most 1 per dimension, and
+    every code digit is within 1..4."""
+    from collections import Counter
+
+    rows = olap_deep.customer_rfm(spark, sf_dir).collect()
+    assert rows
+    for place in (100, 10, 1):
+        c = Counter((r.rfm_code // place) % 10 for r in rows)
+        assert set(c) <= {1, 2, 3, 4}
+        assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_benford_sums_and_flags_synthetic_prices(spark, sf_dir):
+    rows = olap_deep.lineitem_benford(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    s = sum(r.observed_ppm for r in rows)
+    assert 1_000_000 - 9 <= s <= 1_000_000
+    # synthetic uniform prices must NOT follow Benford — the audit flags
+    # them with a large total deviation
+    assert sum(abs(r.diff_ppm) for r in rows) > 100_000

@@ -169,3 +169,17 @@ def test_sparse_sim_agrees_with_direct_cosine(spark, sf_dir):
     n2b = sum(v * v for v in wb.values())
     assert dot == r0.dot
     assert math.floor(dot * 1_000_000.0 / math.sqrt(float(n2a) * float(n2b))) == r0.sim_e6
+
+
+def test_keywords_exactly_k_per_doc(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    out = search.text_keywords(spark, sf_dir)
+    per = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    bad = per.where(F.col("n") > search.KEYWORDS_PER_DOC).count()
+    assert bad == 0
+    # scores strictly ordered within each doc's ranks
+    rows = out.where(F.col("doc_id") == out.select("doc_id").first().doc_id).collect()
+    rows.sort(key=lambda r: r.rk)
+    for a, b in zip(rows, rows[1:]):
+        assert (a.score_e6, ) >= (b.score_e6, )
