@@ -1177,8 +1177,47 @@ FROM counts
 """
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size census: how many clusters of each size the
+    verified pair graph produces, and how many documents (and removable
+    duplicates) they hold — the one-screen dedup report a curation run
+    publishes next to its output (size 1 = unique docs; removable =
+    Σ (size−1) over clusters).
+
+    Composes :func:`dedup_components` (iterative Hash-Min + pointer
+    jumping) with two tiny aggregations: |docs| → |clusters| → |distinct
+    sizes| rows.  The oracle composes the same recursive-CTE fixpoint.
+    """
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("size")).cast("long").alias("n_docs"),
+            (F.count(F.lit(1)) * (F.col("size") - 1))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("size")
+    )
+
+
+def _cluster_stats_oracle_sql() -> str:
+    return f"""
+WITH comp AS ({_components_oracle_sql()}),
+sizes AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY component)
+SELECT CAST(size AS BIGINT) AS size,
+       COUNT(*) AS n_clusters,
+       CAST(COUNT(*) * size AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * (size - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY size ORDER BY size
+"""
+
+
 QUERIES = {
     "dedup_recall_report": dedup_recall_report,
+    "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1194,6 +1233,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_recall_report": _recall_report_oracle_sql(),
+    "dedup_cluster_stats": _cluster_stats_oracle_sql(),
     "dedup_exact": """
         SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
                MIN(doc_id) AS keeper_id

@@ -121,3 +121,18 @@ def test_sim_recall_report_measures_banded_lsh(spark, sf_dir):
     assert r.n_true > 0 and r.n_cand > 0
     assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_true
     assert r.precision_ppm == r.n_hit * 1_000_000 // r.n_cand
+
+
+def test_cluster_stats_census_accounting(spark, sf_dir):
+    """Σ n_docs equals the corpus size; Σ n_removable = docs − clusters;
+    sizes are positive."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    rows = dedup.dedup_cluster_stats(spark, sf_dir).collect()
+    assert rows and all(r.size >= 1 for r in rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    n_clusters = sum(r.n_clusters for r in rows)
+    assert sum(r.n_removable for r in rows) == n_docs - n_clusters
