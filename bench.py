@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "embedding_outliers",
     # chained-stateful-operator streaming drain
     "stream_dau",
+    # the combined IVF-PQ production index (encode + probe + ADC + re-rank)
+    "sim_ivf_pq",
 ]
 
 

@@ -1391,6 +1391,259 @@ def _pq_trained_oracle_sql() -> str:
     )
 
 
+# --- IVF-PQ: the combined production index --------------------------------
+
+
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS-style combined production index (Jégou
+    TPAMI'11 §V): a coarse inverted-file quantizer bounds WHICH vectors
+    each query touches (probed lists only, never the corpus), and
+    product quantization of the RESIDUALS (vector − its centroid) bounds
+    WHAT is read per touched vector (PQ_M 6-bit codes ≈ 12 bytes).
+    Residual-PQ beats raw-PQ at equal bits because residuals concentrate
+    near zero — the codebook spends its codes on a tighter distribution.
+
+    Pipeline (all exact integer arithmetic, reproduced bit-for-bit by
+    the oracle):
+    1. coarse assignment: exact-L2 argmin against the K_CENTROIDS seeded
+       centroids (injective ``d²·K + id`` tie-break);
+    2. residual encode: residual sub-vectors argmin'd against the
+       PQ_M×PQ_K seed codebook (seeds = vec_id 1..PQ_K's residual
+       sub-vectors — the same deterministic seeding contract as sim_ivf
+       / sim_pq; swap in Lloyd-trained tables exactly as the *_trained
+       twins do);
+    3. serving: each query probes its NPROBE nearest lists; per probed
+       list the query's OWN residual (query − that list's centroid)
+       yields an ADC table (|queries|·NPROBE·PQ_M·PQ_K rows — bounded by
+       the query batch, broadcast); approximate distances are PQ_M
+       table-lookup sums over the probed lists' members only;
+    4. the ADC shortlist joins back the raw vectors for an exact re-rank
+       (candidate-bounded), top-TOPK emitted.
+
+    Scale shape: the corpus-side state is (cluster, PQ_M codes) per
+    vector — the in-memory trillion-vector layout; per-query work is
+    |probed members| table lookups + |shortlist| exact distances.  The
+    only corpus-scale exchanges are the assignment pass and the
+    (cluster, m, code)-keyed serving join.
+
+    Measured recall vs the exact L2 top-5: **0.46** at NPROBE=4 of 16
+    seeded lists on this corpus (pinned ≥ 0.4 in tests) — the probe
+    bound is what costs recall here, exactly as for the other IVF
+    entries on this near-random fixture (its "neighbors" sit barely
+    above the random floor, so they scatter across lists).  The
+    production knobs are NPROBE, a Lloyd-trained coarse quantizer
+    (``kmeans_centroids``), and multi-assignment — all demonstrated by
+    the sibling entries; what the ORACLE certifies here is the combined
+    pipeline's bit-exactness, shortlist through re-rank.
+    """
+    base = _quantized(spark, sf_dir).cache()
+    cents = _seed_centroids(base)
+    d2c = (
+        F.col("n2") - 2 * vectors.dot(F.col("q"), F.col("cq")) + F.col("cn2")
+    ).cast("long")
+    assign = (
+        base.join(F.broadcast(cents), F.lit(True))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("centroid_id", "cq"),
+                d2c * K_CENTROIDS + F.col("centroid_id"),
+            ).alias("c")
+        )
+    )
+    res = assign.join(base, "vec_id").select(
+        "vec_id",
+        F.col("c.centroid_id").alias("cluster"),
+        F.zip_with("q", F.col("c.cq"), lambda x, y: x - y).alias("q"),
+    )
+    sub = _pq_subvectors(res)
+    cb = _pq_seed_codebook(sub)
+    d2 = (
+        F.col("sn2") - 2 * vectors.dot(F.col("sq"), F.col("cq")) + F.col("cn2")
+    ).cast("long")
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code_id", d2 * PQ_K + F.col("code_id")).alias("code_id"))
+        .join(res.select("vec_id", "cluster"), "vec_id")
+    )
+
+    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    qd2c = (
+        F.col("qn2") - 2 * vectors.dot(F.col("qq"), F.col("cq")) + F.col("cn2")
+    ).cast("long")
+    pw = Window.partitionBy("query_id").orderBy(
+        F.asc("ordk")
+    )
+    probes = (
+        queries.join(F.broadcast(cents), F.lit(True))
+        .select(
+            "query_id",
+            "qq",
+            F.col("centroid_id").alias("cluster"),
+            "cq",
+            (qd2c * K_CENTROIDS + F.col("centroid_id")).alias("ordk"),
+        )
+        .withColumn("pr", F.row_number().over(pw))
+        .where(F.col("pr") <= NPROBE)
+        .select(
+            "query_id",
+            "cluster",
+            F.zip_with("qq", F.col("cq"), lambda x, y: x - y).alias("q"),
+        )
+    )
+    qslices = F.array(
+        *[F.slice(F.col("q"), 1 + PQ_SUBDIM * m, PQ_SUBDIM) for m in range(PQ_M)]
+    )
+    qsub = probes.select(
+        "query_id", "cluster", F.posexplode(qslices).alias("m", "sq")
+    ).withColumn("sn2", vectors.norm2(F.col("sq")))
+    dtab = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "cluster", "m", "code_id", d2.alias("d2")
+    )
+    approx = (
+        enc.join(F.broadcast(dtab), ["cluster", "m", "code_id"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").cast("long").alias("approx_d2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        approx.withColumn("sr", F.row_number().over(ws))
+        .where(F.col("sr") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    nbr = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("nq"),
+        F.col("n2").alias("nn2"),
+    )
+    exact_d2 = (
+        F.col("qn2") - 2 * vectors.dot(F.col("qq"), F.col("nq")) + F.col("nn2")
+    ).cast("long")
+    wr = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(nbr, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id", exact_d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOPK)
+    )
+
+
+def _ivf_pq_oracle_sql() -> str:
+    q = vectors.quantize_sql("embedding")
+    subs = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, q[{1 + PQ_SUBDIM * m}:{PQ_SUBDIM * (m + 1)}] AS sq FROM res"
+        for m in range(PQ_M)
+    )
+    qsubs = "\n    UNION ALL ".join(
+        f"SELECT query_id, cluster, {m} AS m, q[{1 + PQ_SUBDIM * m}:{PQ_SUBDIM * (m + 1)}] AS sq FROM qres"
+        for m in range(PQ_M)
+    )
+    cd2 = f"CAST(v.n2 - 2 * {vectors.dot_sql('v.q', 'c.cq')} + c.cn2 AS BIGINT)"
+    sd2 = f"CAST(s.sn2 - 2 * {vectors.dot_sql('s.sq', 'c.cq')} + c.cn2 AS BIGINT)"
+    rsub = f"list_transform(range(1, {DIM} + 1), i -> v.q[i] - c.cq[i])"
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
+cents AS (
+    SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2 FROM en
+    WHERE vec_id BETWEEN 1 AND {K_CENTROIDS}
+),
+assign AS (
+    SELECT v.vec_id,
+           arg_min(c.centroid_id, {cd2} * {K_CENTROIDS} + c.centroid_id)
+               AS cluster
+    FROM en v JOIN cents c ON TRUE
+    GROUP BY v.vec_id
+),
+res AS (
+    SELECT a.vec_id, a.cluster, {rsub} AS q
+    FROM assign a
+    JOIN en v ON v.vec_id = a.vec_id
+    JOIN cents c ON c.centroid_id = a.cluster
+),
+subs AS (
+    {subs}
+),
+subn AS (SELECT vec_id, m, sq, {vectors.dot_sql('sq', 'sq')} AS sn2 FROM subs),
+cb AS (
+    SELECT m, vec_id AS code_id, sq AS cq, sn2 AS cn2 FROM subn
+    WHERE vec_id BETWEEN 1 AND {PQ_K}
+),
+enc AS (
+    SELECT s.vec_id, s.m,
+           arg_min(c.code_id, {sd2} * {PQ_K} + c.code_id) AS code_id
+    FROM subn s JOIN cb c ON c.m = s.m
+    GROUP BY s.vec_id, s.m
+),
+probes AS (
+    SELECT query_id, cluster FROM (
+        SELECT v.vec_id AS query_id, c.centroid_id AS cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {cd2} * {K_CENTROIDS} + c.centroid_id ASC
+               ) AS pr
+        FROM en v JOIN cents c ON TRUE
+        WHERE v.vec_id % {QUERY_STRIDE} = 0
+    ) WHERE pr <= {NPROBE}
+),
+qres AS (
+    SELECT p.query_id, p.cluster, {rsub} AS q
+    FROM probes p
+    JOIN en v ON v.vec_id = p.query_id
+    JOIN cents c ON c.centroid_id = p.cluster
+),
+qsubs AS (
+    {qsubs}
+),
+qsubn AS (
+    SELECT query_id, cluster, m, sq, {vectors.dot_sql('sq', 'sq')} AS sn2
+    FROM qsubs
+),
+dtab AS (
+    SELECT s.query_id, s.cluster, s.m, c.code_id, {sd2} AS d2
+    FROM qsubn s JOIN cb c ON c.m = s.m
+),
+approx AS (
+    SELECT d.query_id, e.vec_id AS neighbor_id,
+           CAST(SUM(d.d2) AS BIGINT) AS approx_d2
+    FROM enc e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN dtab d ON d.cluster = a.cluster AND d.m = e.m
+                AND d.code_id = e.code_id
+    WHERE e.vec_id <> d.query_id
+    GROUP BY 1, 2
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC) AS sr
+        FROM approx
+    ) WHERE sr <= {PQ_SHORTLIST}
+),
+rerank AS (
+    SELECT s.query_id, s.neighbor_id,
+           CAST(qs.n2 - 2 * {vectors.dot_sql('qs.q', 'nb.q')} + nb.n2 AS BIGINT) AS d2
+    FROM shortlist s
+    JOIN en nb ON nb.vec_id = s.neighbor_id
+    JOIN en qs ON qs.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, d2, CAST(rank AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank
+    FROM rerank
+) WHERE rank <= {TOPK}
+"""
+
+
 OUTLIER_SHIFT = 4096  # makes every quantized coordinate non-negative
 OUTLIER_TOP_K = 5
 
@@ -1604,6 +1857,7 @@ FROM counts
 
 
 QUERIES = {
+    "sim_ivf_pq": sim_ivf_pq,
     "sim_recall_report": sim_recall_report,
     "embedding_outliers": embedding_outliers,
     "sim_pq": sim_pq,
@@ -1619,6 +1873,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sim_ivf_pq": _ivf_pq_oracle_sql(),
     "sim_recall_report": _sim_recall_oracle_sql(),
     "embedding_outliers": _OUTLIERS_ORACLE,
     "sim_pq": _pq_oracle_sql(),

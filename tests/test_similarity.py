@@ -285,3 +285,45 @@ def test_ann_index_incremental_update(spark, sf_dir, tmp_path):
     # retry: same batch again → no pairs, no index growth
     assert similarity.ann_index_update(spark, second, idx).count() == 0
     assert spark.read.parquet(idx + "/vectors").count() == emb.count()
+
+
+def test_ivf_pq_recall_and_exact_rerank(spark, sf_dir):
+    """IVF-PQ: re-ranked distances are the EXACT L2 of the emitted pairs,
+    and recall of the true top-5 is >= 0.4 at NPROBE=4/16 (the docstring's
+    measured 0.46 on the sf0.01 fixture; the probe bound is the trade)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import vectors
+    from engineering_school_bigdata_project_f1_weather_spark.operators import similarity
+
+    got = similarity.sim_ivf_pq(spark, sf_dir).collect()
+    assert got
+    base = similarity._quantized(spark, sf_dir).cache()
+    qs = base.where(F.col("vec_id") % similarity.QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    nb = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"), F.col("n2").alias("nn2")
+    )
+    d2 = (F.col("qn2") - 2 * vectors.dot(F.col("qq"), F.col("nq")) + F.col("nn2")).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    truth = (
+        qs.join(nb, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= similarity.TOPK)
+    )
+    tmap = {(r.query_id, r.neighbor_id): r.d2 for r in truth.collect()}
+    gset = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(set(tmap) & gset) / len(tmap)
+    assert recall >= 0.4
+    # every emitted distance equals the exact pair distance (re-rank is exact)
+    exact = {
+        (r.query_id, r.neighbor_id): r.d2
+        for r in qs.join(nb, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .collect()
+    }
+    for r in got:
+        assert r.d2 == exact[(r.query_id, r.neighbor_id)]
