@@ -235,12 +235,64 @@ def multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ENERGY_ACTIVE_MIN = 314_000  # frames at/above the corpus median are "active"
+
+
+def multimodal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segmentation over the decoded energy track — the
+    silence-removal / clip-splitting step of an audio pipeline: frames
+    below the energy threshold are dropped, and the surviving frames are
+    grouped into maximal CONSECUTIVE runs (gaps-and-islands on
+    frame_idx) per clip.  Output: one row per segment with its frame
+    span and exact energy mass.
+
+    Composes the real numpy decode (``multimodal_energy``) with pure
+    windows: one doc-keyed shuffle serves the lag() island detection and
+    the run aggregation — the same single-partitioning trick as
+    ``events_sessionize``, applied downstream of an Arrow stage.
+    """
+    e = multimodal_energy(spark, sf_dir).where(
+        F.col("energy") >= ENERGY_ACTIVE_MIN
+    )
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = e.withColumn(
+        "new_seg",
+        F.when(
+            F.lag("frame_idx").over(order).isNull()
+            | (F.col("frame_idx") - F.lag("frame_idx").over(order) > 1),
+            1,
+        ).otherwise(0),
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = flagged.withColumn("seg", F.sum("new_seg").over(running))
+    return (
+        seg.groupBy("doc_id", "seg")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").cast("long").alias("energy_sum"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg").cast("long").alias("seg"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "energy_sum",
+        )
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "multimodal_energy": multimodal_energy,
     "multimodal_dedup": multimodal_dedup,
     "multimodal_fingerprint": multimodal_fingerprint,
+    "multimodal_segments": multimodal_segments,
 }
 
 # Text is ASCII, so byte ops ≡ char ops; md5(text) ≡ md5(utf8 payload).
@@ -306,5 +358,40 @@ ORACLE_SQL = {
         GROUP BY fingerprint
         HAVING COUNT(*) >= 2
         ORDER BY n_clips DESC, keeper_id
+    """,
+    "multimodal_segments": f"""
+        WITH e AS (
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   CAST(list_sum(list_transform(
+                       range(1, {ENERGY_FRAME} + 1),
+                       j -> ord(substr(text, i * {ENERGY_FRAME} + j, 1))
+                            * ord(substr(text, i * {ENERGY_FRAME} + j, 1))
+                   )) AS BIGINT) AS energy
+            FROM documents,
+                 unnest(range(0, strlen(text) // {ENERGY_FRAME})) AS t(i)
+        ),
+        active AS (SELECT * FROM e WHERE energy >= {ENERGY_ACTIVE_MIN}),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN lag(frame_idx) OVER w IS NULL
+                             OR frame_idx - lag(frame_idx) OVER w > 1
+                        THEN 1 ELSE 0 END AS new_seg
+            FROM active
+            WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        ),
+        segs AS (
+            SELECT *,
+                   CAST(SUM(new_seg) OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS seg
+            FROM flagged
+        )
+        SELECT doc_id, seg,
+               CAST(MIN(frame_idx) AS INT) AS start_frame,
+               CAST(MAX(frame_idx) AS INT) AS end_frame,
+               COUNT(*) AS n_frames,
+               CAST(SUM(energy) AS BIGINT) AS energy_sum
+        FROM segs GROUP BY doc_id, seg
     """,
 }

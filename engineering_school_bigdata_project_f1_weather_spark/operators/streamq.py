@@ -255,7 +255,47 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov transition matrix via CUSTOM state
+    (``applyInPandasWithState``): each user's consecutive event pairs are
+    extracted per micro-batch with the last event carried in GroupState
+    (cross-batch bridging is what the declarative API cannot express —
+    lead() needs the next row, state hands it the previous one).  The
+    drained pair facts are aggregated to the same (from_type, to_type,
+    n, p_ppm) shape as the batch ``events_transitions`` and share its
+    oracle — the hard batch-parity signal for the arbitrary-state
+    surface (the pytest twin additionally drains file-by-file to prove
+    the state actually bridges micro-batches).
+    """
+    from ..streaming import stateful
+
+    ev = events_stream.stream_events(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    pairs = stateful.transitions_stream(ev)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_drain_{spark.sparkContext.applicationId}_stream_transitions",
+    )
+    out = events_stream.run_available_now_append_to_parquet(pairs, path, spark)
+    from pyspark.sql import Window
+
+    m = out.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    per_from = Window.partitionBy("from_type")
+    return (
+        m.withColumn("from_total", F.sum("n").over(per_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("div(n * 1000000, from_total)").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 QUERIES = {
+    "stream_transitions": stream_transitions,
     "stream_dau": stream_dau,
     "stream_hourly": stream_hourly,
     "stream_sessions": stream_sessions,
@@ -263,7 +303,28 @@ QUERIES = {
     "stream_dedup": stream_dedup,
 }
 
+_TRANSITIONS_ORACLE = """
+    WITH p AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS to_type
+        FROM events
+    ),
+    m AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM p WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_ppm
+    FROM m
+    ORDER BY from_type, to_type
+"""
+
 ORACLE_SQL = {
+    "stream_transitions": _TRANSITIONS_ORACLE,
     "stream_dau": _DAU_ORACLE,
     "stream_hourly": _HOURLY_ORACLE,
     "stream_sessions": _SESSIONS_ORACLE,

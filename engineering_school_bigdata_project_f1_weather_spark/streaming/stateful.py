@@ -151,3 +151,67 @@ def user_totals_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- streaming transition extraction ---------------------------------------
+
+TRANSITION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+    ]
+)
+
+# state: the user's chronologically-last event seen so far
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def _emit_transitions(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit one (from_type, to_type) row per consecutive event pair in a
+    user's stream, bridging micro-batches through the carried last-event
+    state — the streaming builder of the Markov transition matrix
+    (events_transitions is the batch twin).
+
+    In-batch rows are sorted by (ts_us, event_id) — the same total order
+    as the batch window — so batch/stream parity is exact as long as
+    micro-batches arrive in event-time order per user (true for the
+    file-replay source; a production deployment adds a watermark buffer
+    before this operator or tolerates the re-ordering error)."""
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_us", "event_id"], kind="mergesort"
+    )
+    types = rows["event_type"].tolist()
+    if state.exists:
+        _, _, last_type = state.get
+        froms = [last_type] + types[:-1]
+        tos = types
+    else:
+        froms = types[:-1]
+        tos = types[1:]
+    last = rows.iloc[-1]
+    state.update((int(last["ts_us"]), int(last["event_id"]), str(last["event_type"])))
+    if froms:
+        yield pd.DataFrame({"from_type": froms, "to_type": tos})
+
+
+def transitions_stream(events: DataFrame) -> DataFrame:
+    """Per-user consecutive-pair extraction with carried state (module
+    docstring of :func:`_emit_transitions`)."""
+    prepped = events.select("user_id", "ts_us", "event_id", "event_type")
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _emit_transitions,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -587,3 +587,59 @@ def test_stream_dau_matches_batch_distinct(spark, sf_dir):
         )
     }
     assert got == want
+
+
+def test_stream_transitions_state_bridges_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState transitions: drain the events TIME-SPLIT
+    into two parquet halves (maxFilesPerTrigger=1, event-time order
+    preserved across batches — the operator's documented contract); the
+    aggregated pair counts must equal the batch lead() matrix, which
+    requires the carried last-event state to bridge the split boundary."""
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+        events_stream,
+    )
+
+    src = load_events(spark, sf_dir)
+    mid = src.agg(
+        F.expr("percentile_approx(ts_us, 0.5, 10000)")
+    ).collect()[0][0]
+    half_dir = str(tmp_path / "time_halves")
+    base = src.drop("ts_us")
+    base.where(F.unix_micros("ts") < mid).coalesce(1).write.parquet(
+        half_dir, mode="overwrite"
+    )
+    base.where(F.unix_micros("ts") >= mid).coalesce(1).write.parquet(
+        half_dir, mode="append"
+    )
+    # file order must follow time order for the replay; glob lists both
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+        .withColumn("ts_us", F.unix_micros("ts"))
+    )
+    out_dir = str(tmp_path / "pairs")
+    got_df = events_stream.run_available_now_append_to_parquet(
+        stateful.transitions_stream(stream), out_dir, spark
+    )
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in got_df.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in src.withColumn("to_type", F.lead("event_type").over(order))
+        .where(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
