@@ -642,7 +642,108 @@ ORDER BY day_us
 """
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume per
+    type — the smoothing primitive behind alerting baselines, computed
+    as the EXACT integer recurrence ``s_t = div(s_{t-1} + x_t, 2)``
+    (α = ½; s_0 = x_0): a floor at every step, so the whole series is
+    integers and both engines agree bit-for-bit (a float EWMA would
+    accumulate rounding skew between engines).
+
+    A recurrence has no windowed-SQL form; the trick is that the HOURLY
+    frame is calendar-bounded (|hours × types|, independent of event
+    volume at any scale), so each type's series is collected into one
+    array and folded with a higher-order ``aggregate`` lambda — JVM-side,
+    no UDF; the corpus-scale work remains the one hourly rollup shuffle.
+    The DuckDB oracle runs the same recurrence as a recursive CTE over
+    the hour index — an independent formulation of the same fixpoint.
+
+    Output: (event_type, hour_us, n_events, ewma) for every hour.
+    """
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            (F.col("ts_us") - F.col("ts_us") % HOUR_US).alias("hour_us"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour_us", "n"))).alias("xs")
+    )
+    # fold: acc is the emitted array of (hour_us, n, s); each step floors
+    # (prev_s + x) / 2, seeding with x_0
+    folded = series.select(
+        "event_type",
+        F.aggregate(
+            "xs",
+            F.expr(
+                "CAST(array() AS array<struct<hour_us:bigint,n:bigint,s:bigint>>)"
+            ),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["hour_us"].alias("hour_us"),
+                        x["n"].alias("n"),
+                        F.when(
+                            F.size(acc) == 0, x["n"].cast("long")
+                        )
+                        .otherwise(
+                            F.floor(
+                                (
+                                    F.element_at(acc, -1)["s"] + x["n"]
+                                ).cast("double")
+                                / F.lit(2.0)
+                            ).cast("long")
+                        )
+                        .alias("s"),
+                    )
+                ),
+            ),
+        ).alias("out"),
+    )
+    return (
+        folded.select("event_type", F.explode("out").alias("o"))
+        .select(
+            "event_type",
+            F.col("o.hour_us").alias("hour_us"),
+            F.col("o.n").alias("n_events"),
+            F.col("o.s").alias("ewma"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+_EWMA_ORACLE = f"""
+WITH RECURSIVE hourly AS (
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+idx AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY hour_us) AS i
+    FROM hourly
+),
+rec(event_type, i, hour_us, n, s) AS (
+    SELECT event_type, i, hour_us, n, CAST(n AS BIGINT)
+    FROM idx WHERE i = 1
+    UNION ALL
+    SELECT x.event_type, x.i, x.hour_us, x.n,
+           CAST(FLOOR(CAST(r.s + x.n AS DOUBLE) / 2.0) AS BIGINT)
+    FROM rec r JOIN idx x
+      ON x.event_type = r.event_type AND x.i = r.i + 1
+)
+SELECT event_type, hour_us, CAST(n AS BIGINT) AS n_events, s AS ewma
+FROM rec
+ORDER BY event_type, hour_us
+"""
+
+
 QUERIES = {
+    "events_ewma": events_ewma,
     "events_dau_mau": events_dau_mau,
     "events_transitions": events_transitions,
     "events_ab_test": events_ab_test,
@@ -659,6 +760,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_ewma": _EWMA_ORACLE,
     "events_dau_mau": _DAU_MAU_ORACLE,
     "events_ab_test": _AB_ORACLE,
     "events_transitions": """

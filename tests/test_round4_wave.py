@@ -183,3 +183,19 @@ def test_keywords_exactly_k_per_doc(spark, sf_dir):
     rows.sort(key=lambda r: r.rk)
     for a, b in zip(rows, rows[1:]):
         assert (a.score_e6, ) >= (b.score_e6, )
+
+
+def test_ewma_recurrence_matches_python(spark, sf_dir):
+    """Re-run the integer recurrence in pure Python for one event type."""
+    rows = [
+        r
+        for r in events.events_ewma(spark, sf_dir).collect()
+        if r.event_type == "click"
+    ]
+    rows.sort(key=lambda r: r.hour_us)
+    assert rows
+    s = rows[0].n_events
+    assert rows[0].ewma == s
+    for r in rows[1:]:
+        s = (s + r.n_events) // 2
+        assert r.ewma == s
