@@ -796,7 +796,94 @@ SELECT doc_id, lang, n_tokens, rk FROM r WHERE rk <= {BALANCED_K}
 """
 
 
+def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: ONE row of corpus-level facts a published
+    training set ships with — document/token/language counts, exact-dup
+    rate, length distribution — all exact integers from two aggregation
+    passes (one over documents, one over the md5 groups).
+
+    Plan: a single conditional-aggregate scan (counts, token sums,
+    min/max lengths, distinct langs/sources) plus the digest groupBy for
+    the dup census, cross-joined as one-row frames.  Nothing
+    driver-resident; every statistic is map-side combinable.
+    """
+    base = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(texts.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("digest"),
+    )
+    facts = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("n_tokens").alias("min_doc_tokens"),
+        F.max("n_tokens").alias("max_doc_tokens"),
+    )
+    dups = (
+        base.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_texts"),
+            F.sum(F.col("n") - 1).cast("long").alias("n_exact_dups"),
+        )
+    )
+    return (
+        facts.crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "n_sources",
+            "min_doc_tokens",
+            "max_doc_tokens",
+            "n_unique_texts",
+            "n_exact_dups",
+            F.expr("div(n_exact_dups * 1000000, n_docs)").alias("dup_ppm"),
+            F.expr("div(n_tokens, n_docs)").alias("mean_doc_tokens"),
+        )
+    )
+
+
+def _corpus_card_oracle_sql() -> str:
+    return """
+WITH base AS (
+    SELECT doc_id, lang, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS digest
+    FROM documents
+),
+facts AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(n_tokens) AS min_doc_tokens,
+           MAX(n_tokens) AS max_doc_tokens
+    FROM base
+),
+dups AS (
+    SELECT COUNT(*) AS n_unique_texts,
+           CAST(SUM(n - 1) AS BIGINT) AS n_exact_dups
+    FROM (SELECT digest, COUNT(*) AS n FROM base GROUP BY digest)
+)
+SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+       min_doc_tokens, max_doc_tokens, n_unique_texts, n_exact_dups,
+       n_exact_dups * 1000000 // n_docs AS dup_ppm,
+       n_tokens // n_docs AS mean_doc_tokens
+FROM facts, dups
+"""
+
+
 QUERIES = {
+    "corpus_card": corpus_card,
     "sample_balanced": sample_balanced,
     "text_chunk": text_chunk,
     "text_contamination": text_contamination,
@@ -812,6 +899,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_card": _corpus_card_oracle_sql(),
     "sample_balanced": _balanced_oracle_sql(),
     "text_chunk": _chunk_oracle_sql(),
     "text_contamination": _contamination_oracle_sql(),

@@ -922,6 +922,50 @@ FROM c ORDER BY digit
 """
 
 
+# --- Q13: customer order-count distribution -------------------------------
+
+
+def cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the histogram of customers by how many orders
+    they placed — INCLUDING zero-order customers, which is what makes
+    this the canonical left-outer-join-then-double-aggregate: customer
+    ⟕ orders counted per customer (a left join so order-less customers
+    keep a 0), then the counts themselves grouped into the distribution.
+
+    Plan: the join shuffles on custkey (orders side pre-aggregated to
+    per-customer counts first, so the join carries |customers| rows, not
+    |orders|); the second aggregate runs over the |distinct counts| ≤
+    max-orders-per-customer domain — broadcast-sized forever."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_CUSTDIST_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 # --- In-engine OLS: discount → quantity elasticity ------------------------
 
 
@@ -1018,6 +1062,7 @@ QUERIES = {
     "discount_elasticity": discount_elasticity,
     "customer_rfm": customer_rfm,
     "lineitem_benford": lineitem_benford,
+    "tpch_cust_distribution": cust_distribution,
     "tpch_promo_share": promo_share,
     "tpch_market_share": market_share,
     "tpch_supplier_counts": supplier_counts,
@@ -1036,6 +1081,7 @@ ORACLE_SQL = {
     "discount_elasticity": _ELASTICITY_ORACLE,
     "customer_rfm": _RFM_ORACLE,
     "lineitem_benford": _benford_oracle_sql(),
+    "tpch_cust_distribution": _CUSTDIST_ORACLE,
     "tpch_promo_share": _PROMO_ORACLE,
     "tpch_market_share": _SHARE_ORACLE,
     "tpch_supplier_counts": _SUPPCNT_ORACLE,

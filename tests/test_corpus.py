@@ -490,3 +490,15 @@ def test_sample_balanced_exact_k_and_nested_stability(spark, sf_dir):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in corpus.sample_balanced(spark, sf_dir).collect())
     assert a == b
+
+
+def test_corpus_card_accounting(spark, sf_dir):
+    """Card facts reconcile: dup count = docs − unique texts; mean length
+    within [min, max]; ppm recomputable."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import corpus
+
+    r = corpus.corpus_card(spark, sf_dir).collect()[0]
+    assert r.n_docs == r.n_unique_texts + r.n_exact_dups
+    assert r.min_doc_tokens <= r.mean_doc_tokens <= r.max_doc_tokens
+    assert r.dup_ppm == r.n_exact_dups * 1_000_000 // r.n_docs
+    assert r.n_langs >= 1 and r.n_sources >= 1

@@ -272,3 +272,17 @@ def test_benford_sums_and_flags_synthetic_prices(spark, sf_dir):
     # synthetic uniform prices must NOT follow Benford — the audit flags
     # them with a large total deviation
     assert sum(abs(r.diff_ppm) for r in rows) > 100_000
+
+
+def test_cust_distribution_covers_all_customers(spark, sf_dir):
+    """Σ custdist = |customers| (zero-order customers included — the
+    left join is the point of Q13)."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = olap_deep.cust_distribution(spark, sf_dir).collect()
+    total = sum(r.custdist for r in rows)
+    assert total == load_table(spark, sf_dir, "customer").count()
