@@ -50,7 +50,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 # entries that round only the judge's selfcheck sweep witnessed on r3 data
 # (marts + analytics + dedup + text), filling the remaining window slots
 # with the head of events.  Testdata regenerates each round, so in
-# ADDITION to the rotating driver window the whole 134-entry registry is
+# ADDITION to the rotating driver window the whole registry is
 # re-verified at round end via `python tools/selfcheck.py --ansi --json
 # SELFCHECK_r{N}.json` and committed — that artifact, not the window, is
 # the complete current-data correctness record.

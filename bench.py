@@ -301,6 +301,11 @@ def scale_slope() -> None:
         per_sf: dict[str, float] = {}
         for sf_dir in sf_dirs:
             run(name, sf_dir)  # warm the IO caches / plans; second run timed
+            # Evict frames the warm run persisted (operators with in-plan
+            # persist(): graph_triangles, text_sparse_sim, link_predict) —
+            # otherwise the timed run reads cached blocks and the slope
+            # stops measuring the joins it claims to measure.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             run(name, sf_dir)
             per_sf[sf_dir.rsplit("sf", 1)[-1]] = round(

@@ -543,7 +543,12 @@ def orders_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderpriority",
             "price_cents",
-            F.expr("div((rnk - 1) * 1000000, n - 1)").alias("pr_ppm"),
+            # a singleton group would divide by zero (ANSI error): define
+            # its percent_rank as 0, as SQL's native percent_rank does
+            F.when(F.col("n") == 1, F.lit(0))
+            .otherwise(F.expr("div((rnk - 1) * 1000000, n - 1)"))
+            .cast("long")
+            .alias("pr_ppm"),
             F.expr("div(n_le * 1000000, n)").alias("cd_ppm"),
         )
     )
@@ -565,7 +570,8 @@ r AS (
     FROM o
 )
 SELECT o_orderkey, o_orderpriority, price_cents,
-       CAST((rnk - 1) * 1000000 // (n - 1) AS BIGINT) AS pr_ppm,
+       CAST(CASE WHEN n = 1 THEN 0
+                 ELSE (rnk - 1) * 1000000 // (n - 1) END AS BIGINT) AS pr_ppm,
        CAST((n - drnk + 1) * 1000000 // n AS BIGINT) AS cd_ppm
 FROM r
 """

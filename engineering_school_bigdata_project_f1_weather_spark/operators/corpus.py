@@ -807,6 +807,8 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup census, cross-joined as one-row frames.  Nothing
     driver-resident; every statistic is map-side combinable.
     """
+    # persist: the frame feeds both aggregation passes — without it the
+    # scan + tokenization (the expensive step) would run twice
     base = load_table_spread(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -814,7 +816,7 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(texts.tokens(F.col("text"))).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         F.md5("text").alias("digest"),
-    )
+    ).persist()
     facts = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),

@@ -95,6 +95,16 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_min_exprs() -> list:
+    """The H per-doc min-hash aggregate expressions — single source of
+    truth shared by the production LSH entry and the recall audit (an
+    audit computed against a diverged sketch would measure nothing)."""
+    return [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{h}")
+        for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates with exact-Jaccard verification.
 
@@ -122,10 +132,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("doc_id")
         .agg(
             F.collect_set("x").alias("xs"),
-            *[
-                F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{h}")
-                for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-            ],
+            *_minhash_min_exprs(),
         )
         .withColumn("n", F.size("xs").cast("long"))
         .cache()
@@ -1076,12 +1083,7 @@ def dedup_recall_report(
         )
         .select("doc_a", "doc_b")
     )
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{h}")
-            for h, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ]
-    )
+    mins = sh.groupBy("doc_id").agg(*_minhash_min_exprs())
     n_h = len(MINHASH_A)
     stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
     sig = mins.select("doc_id", F.expr(f"stack({n_h}, {stack_args}) AS (h, v)"))

@@ -34,15 +34,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
 
-
-def _rev_cents() -> F.Column:
-    return F.floor(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
-        + F.lit(0.5)
-    ).cast("long")
-
-
-_REV = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+# The repo-wide revenue-quantization rule lives in analytics.py — import
+# it rather than restate it, so a change to the money math reaches every
+# OLAP module at once.
+from .analytics import _REV
+from .analytics import _revenue_cents as _rev_cents
 
 # --- Q10: returned-item revenue ranking ---------------------------------
 

@@ -1723,7 +1723,9 @@ SELECT label, vec_id, dist2, rank FROM (
 """
 
 
-def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_recall_report(
+    spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
+) -> DataFrame:
     """Embedding-sketch quality audit — the ANN twin of
     ``dedup.dedup_recall_report``: measure the banded-LSH candidate
     generator's recall and precision against the EXACT cosine truth set
@@ -1737,7 +1739,17 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_lsh_banded docstring argues from theory (1−(1−p⁸)⁴) — this
     operator MEASURES it on the corpus.
     """
+    from .dedup import _guard_quadratic
+
     base = _quantized(spark, sf_dir).persist()
+    # same opt-in contract as dedup_recall_report / dedup_embedding: the
+    # truth side is O(n²) BY DEFINITION — refuse past the guard size
+    # unless the caller explicitly samples or accepts the cost.
+    _guard_quadratic(
+        base, "sim_recall_report",
+        "sim_lsh_banded (candidates only; audit recall on a sample)",
+        allow_quadratic,
+    )
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
     )

@@ -303,25 +303,12 @@ QUERIES = {
     "stream_dedup": stream_dedup,
 }
 
-_TRANSITIONS_ORACLE = """
-    WITH p AS (
-        SELECT event_type AS from_type,
-               LEAD(event_type) OVER (
-                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-               ) AS to_type
-        FROM events
-    ),
-    m AS (
-        SELECT from_type, to_type, COUNT(*) AS n
-        FROM p WHERE to_type IS NOT NULL
-        GROUP BY 1, 2
-    )
-    SELECT from_type, to_type, n,
-           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
-                AS BIGINT) AS p_ppm
-    FROM m
-    ORDER BY from_type, to_type
-"""
+# stream_transitions "shares its oracle" with the batch twin — make
+# that literal: reference events_transitions' SQL instead of a copy,
+# so an edit to the batch oracle reaches the streaming parity check.
+from .events import ORACLE_SQL as _EVENTS_ORACLE_SQL
+
+_TRANSITIONS_ORACLE = _EVENTS_ORACLE_SQL["events_transitions"]
 
 ORACLE_SQL = {
     "stream_transitions": _TRANSITIONS_ORACLE,

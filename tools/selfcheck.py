@@ -107,6 +107,11 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # Several operators persist shared frames in-plan (graph, sparse
+        # sim, recall audits); without an explicit unpersist those cache
+        # entries would accumulate across the 140+ entry sweep and squeeze
+        # later entries' executor memory — evict between entries.
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir)
             # toPandas (Arrow) — same materialization path as the driver, so
