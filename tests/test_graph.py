@@ -49,7 +49,7 @@ def test_clique_counts_each_triangle_exactly_once(spark):
 def test_sf_entry_matches_naive_recount(spark, sf_dir):
     per_part = graph.graph_triangles(spark, sf_dir)
     total_participations = per_part.agg(F.sum("n_triangles")).collect()[0][0]
-    e = graph._co_order_edges(spark, sf_dir)
+    e = graph._support_edges(spark, sf_dir)
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
