@@ -323,24 +323,19 @@ def _train_centroids(
 
 def _kmeans_iterations(base, cents, k: int, iters: int):
     for _ in range(iters):
-        # Assignment stays on the JVM expression path: at n×k rows the
-        # interpreted dot cost is small, while an Arrow hop here would
-        # ship both 128-dim arrays per row to Python workers each
-        # iteration — measured 2× slower end-to-end than the expression.
-        # (The PAIRWISE verify in dedup_embedding_ann is the opposite
-        # trade and uses _sim_e6_arrow.)
-        csim = vectors.sim_e6(
-            vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
-        )
+        # Per-round assignment is the shared `_assign_lists` with
+        # assign=1 — its (desc csim, asc centroid_id) ranking is the
+        # same total order the previous in-line `max_by(centroid_id,
+        # csim*128 - centroid_id)` encoded (csim is integer e6, so the
+        # composite could only tie on identical (csim, id)), and the
+        # helper's per-k dispatch gives training iterations the numpy
+        # matmul path above ARROW_ASSIGN_MIN_K (r5: measured faster from
+        # k=16 up — the r3 "Arrow 2× slower" note measured a pairwise
+        # formulation that shipped both vectors per pair, not the
+        # broadcast-matrix matmul; see the constant's comment).
         assign = (
-            base.join(F.broadcast(cents), F.lit(True))
-            .select(
-                "vec_id",
-                "centroid_id",
-                (csim * F.lit(128) - F.col("centroid_id")).alias("ord"),
-            )
-            .groupBy("vec_id")
-            .agg(F.max_by("centroid_id", "ord").alias("cluster"))
+            _assign_lists(base, cents, 1, k=k)
+            .withColumnRenamed("centroid_id", "cluster")
             .join(base.select("vec_id", "q"), "vec_id")
         )
         # Exact-integer rounded mean: floor(s/c + 1/2) = floor((2s+c)/(2c)),
@@ -696,10 +691,103 @@ def dedup_embedding_ann(
     return _ann_verified_pairs(spark, sf_dir, k, assign, EMBED_DUP_MIN_E6)
 
 
-def _assign_lists(base: DataFrame, cents: DataFrame, assign: int) -> DataFrame:
+# Dispatch point between the two bit-identical assignment paths (VERDICT
+# r4 item 4). The expression path materializes n×k ROWS through the
+# row-oriented interpreter (linear in k: 0.62 / 0.47 / 0.43 / 1.96 s at
+# k=16/32/64/256, n=2k, median-of-3, local[32]); the Arrow path is one
+# numpy int64 matmul per batch and k-insensitive (0.41-0.48 s across the
+# same sweep, and 0.43-0.47 s even at n=20k where the expression path
+# hits 2.0 s by k=256). On this host the crossover sits BELOW the
+# smallest configured k: Arrow wins or ties from k=16 up, standalone AND
+# end-to-end (dedup_embedding_ann k=16: 7.7 s expr-assign vs 5.8 s
+# arrow-assign; scaled k=25: 6.7 vs 5.5 — the r3 note "Arrow 2× slower"
+# measured a different formulation that shipped both full vectors per
+# PAIR; assignment ships each vector once and multiplies against the
+# broadcast-sized centroid matrix). Threshold kept at the smallest
+# deployed k so every current config rides the matmul; the expression
+# path remains the k<16 fallback and the oracle-documenting twin.
+# Measurements in SCALE.md "Centroid-assignment crossover".
+ARROW_ASSIGN_MIN_K = 16
+
+
+def _assign_lists_arrow(
+    base: DataFrame, cents: DataFrame, assign: int
+) -> DataFrame:
+    """Arrow twin of the expression-path multi-assignment: one numpy
+    int64 matmul per batch against the collected k×DIM centroid matrix
+    (k rows — steering-sized, the same table the expression path
+    broadcasts), then a per-row top-``assign`` argsort.
+
+    Bit-exactness contract (same as ``_verify_pairs_arrow``): the dot is
+    exact int64; the cosine performs the identical IEEE-754 sequence
+    (d*1e6, na*nb, sqrt, divide, floor) on identical operands, with
+    non-finite (zero-norm) cosines mapped to 0 like ``vectors.sim_e6``;
+    the ranking key ``sim_e6 * 2^21 - centroid_id`` is exact in float64
+    (|sim_e6| ≤ 1e6 so the product ≤ 2.1e12 < 2^53) and strictly unique
+    per row, reproducing row_number's (desc csim, asc centroid_id) order
+    deterministically. The driver's oracle hash-gate on
+    sim_ivf_trained / dedup_embedding_ann checks the equivalence."""
+    import numpy as np
+
+    rows = cents.select("centroid_id", "cq", "cn2").collect()  # k rows
+    cid = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    if cid.size == 0 or np.abs(cid).max() >= 2**21:
+        raise ValueError("centroid ids must be in [0, 2^21) for the exact key")
+    C = np.array([r["cq"] for r in rows], dtype=np.int64)  # (k, DIM)
+    cn2 = np.array([r["cn2"] for r in rows], dtype=np.float64)
+    take = min(int(assign), cid.size)
+
+    def body(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.vstack(pdf["q"].to_numpy()).astype(np.int64, copy=False)
+            d = Q @ C.T  # exact int64, (n, k)
+            n2 = pdf["n2"].to_numpy().astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.floor(
+                    d.astype(np.float64)
+                    * 1_000_000.0
+                    / np.sqrt(n2[:, None] * cn2[None, :])
+                )
+            s = np.where(np.isfinite(s), s, 0.0)
+            key = s * (2.0**21) - cid[None, :].astype(np.float64)
+            idx = np.argsort(-key, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), idx.shape[1]
+                    ),
+                    "centroid_id": cid[idx].reshape(-1),
+                }
+            )
+
+    return base.select("vec_id", "q", "n2").mapInPandas(
+        body, schema="vec_id long, centroid_id long"
+    )
+
+
+def _assign_lists(
+    base: DataFrame, cents: DataFrame, assign: int, k: int | None = None
+) -> DataFrame:
     """(vec_id, centroid_id) multi-assignment: each vector's ``assign``
     nearest centroids by exact integer cosine, deterministic tie-break.
-    The centroid table is broadcast — one narrow pass over the corpus."""
+
+    Two bit-identical physical strategies, picked per-k (the measured
+    crossover is documented at ``ARROW_ASSIGN_MIN_K``): small k stays on
+    the JVM expression path (broadcast centroid table, n×k rows through
+    a row_number window); large k goes through ``_assign_lists_arrow``
+    (one numpy matmul per batch — flat-IVF assignment is O(n·k·DIM)
+    either way, but the matmul does it at memory bandwidth instead of
+    interpreted-expression rates). ``k`` is a dispatch hint; when the
+    caller doesn't know it (index reload paths) the k-row centroid
+    table is counted — steering-sized."""
+    if k is None:
+        k = cents.count()
+    if k >= ARROW_ASSIGN_MIN_K:
+        return _assign_lists_arrow(base, cents, assign)
     csim = vectors.sim_e6(
         vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
     )
