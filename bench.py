@@ -287,7 +287,20 @@ SLOPE_QUERIES = [
 
 
 def scale_slope() -> None:
-    sf_dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    # SPARK_GRAFT_SLOPE_DIRS / _QUERIES extend the probe beyond the
+    # default decade — e.g. a tools/gen_scaledata.py sf0.5 dir for a
+    # second decade on the heaviest entries (VERDICT r4 item 5).
+    sf_dirs = os.environ.get(
+        "SPARK_GRAFT_SLOPE_DIRS",
+        "/root/testdata/sf0.01,/root/testdata/sf0.1",
+    ).split(",")
+    slope_queries = [
+        q
+        for q in os.environ.get(
+            "SPARK_GRAFT_SLOPE_QUERIES", ",".join(SLOPE_QUERIES)
+        ).split(",")
+        if q
+    ]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench-slope", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -307,7 +320,7 @@ def scale_slope() -> None:
             ).save()
 
     out: dict[str, dict[str, float]] = {}
-    for name in SLOPE_QUERIES:
+    for name in slope_queries:
         per_sf: dict[str, float] = {}
         for sf_dir in sf_dirs:
             run(name, sf_dir)  # warm the IO caches / plans; second run timed
@@ -323,8 +336,14 @@ def scale_slope() -> None:
             )
             print(f"# {name} @ {sf_dir}: {per_sf[sf_dir.rsplit('sf', 1)[-1]]}s",
                   file=sys.stderr, flush=True)
-        ratio = round(per_sf["0.1"] / per_sf["0.01"], 2)
-        out[name] = {**per_sf, "ratio_10x_data": ratio}
+        sfs = list(per_sf)
+        ratios = {
+            f"ratio_{sfs[i]}_to_{sfs[i + 1]}": round(
+                per_sf[sfs[i + 1]] / per_sf[sfs[i]], 2
+            )
+            for i in range(len(sfs) - 1)
+        }
+        out[name] = {**per_sf, **ratios}
     print(json.dumps({"metric": "scale_slope", "unit": "sec", "queries": out}))
     spark.stop()
 

@@ -79,12 +79,17 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ minhash LSH
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle-hash x) — distinct 3-token shingles, uint32 domain.
+    """(doc_id, shingle-hash x) — distinct 3-token shingles, uint32 domain."""
+    return _shingle_hashes_of(_docs(spark, sf_dir))
+
+
+def _shingle_hashes_of(d: DataFrame) -> DataFrame:
+    """Shingle-hash frame over an arbitrary (doc_id, text) frame — shared
+    by the sf_dir path and the sampled recall audit.
 
     Tokenizes into a materialized column first so the shingle lambda
     references a cheap attribute, not a re-evaluated ``split`` (interpreted
     higher-order lambdas re-run embedded expressions per element)."""
-    d = _docs(spark, sf_dir)
     return (
         d.select("doc_id", texts.tokens(F.col("text")).alias("_t"))
         .select(
@@ -1036,7 +1041,10 @@ RECALL_TAU_E6 = 100_000  # ground-truth near-dup threshold: jaccard ≥ 0.1
 
 
 def dedup_recall_report(
-    spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    allow_quadratic: bool = False,
+    sample_ppm: int | None = None,
 ) -> DataFrame:
     """Sketch-quality audit: measure the MinHash-LSH candidate
     generator's recall and precision against the EXACT near-duplicate
@@ -1059,13 +1067,27 @@ def dedup_recall_report(
     dedup_ngram_jaccard); at 100 TB you run it on a sampled slice to
     audit the production sketch parameters, and the sketch side reuses
     the exact same signature/band plan that dedup_minhash_lsh serves.
+    ``sample_ppm`` IS that sampled-slice path: it keeps each doc iff its
+    md5 bucket falls under the rate (deterministic, retry-safe — never
+    ``rand()``, same key discipline as ``corpus.sample_split``), applied
+    BEFORE the guard count, so a sample that fits under the guard runs
+    without the ``allow_quadratic`` override. Recall/precision over an
+    id-hash sample are unbiased estimates of the corpus numbers because
+    membership is independent of content.
     """
+    docs = _docs(spark, sf_dir)
+    if sample_ppm is not None:
+        docs = docs.where(
+            texts.hash32(F.col("doc_id").cast("string")) % F.lit(1_000_000)
+            < F.lit(sample_ppm)
+        )
     _guard_quadratic(
-        _docs(spark, sf_dir), "dedup_recall_report",
-        "dedup_minhash_lsh (candidates only; audit recall on a sample)",
+        docs, "dedup_recall_report",
+        "dedup_minhash_lsh (candidates only), or pass sample_ppm to audit "
+        "on a deterministic sampled slice",
         allow_quadratic,
     )
-    sh = _shingle_hashes(spark, sf_dir).distinct().persist()
+    sh = _shingle_hashes_of(docs).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     truth = (
         sh.alias("a")

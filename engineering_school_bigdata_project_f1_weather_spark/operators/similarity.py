@@ -1812,7 +1812,10 @@ SELECT label, vec_id, dist2, rank FROM (
 
 
 def sim_recall_report(
-    spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    allow_quadratic: bool = False,
+    sample_ppm: int | None = None,
 ) -> DataFrame:
     """Embedding-sketch quality audit — the ANN twin of
     ``dedup.dedup_recall_report``: measure the banded-LSH candidate
@@ -1828,14 +1831,27 @@ def sim_recall_report(
     operator MEASURES it on the corpus.
     """
     from .dedup import _guard_quadratic
+    from ..functions import texts
 
-    base = _quantized(spark, sf_dir).persist()
+    base = _quantized(spark, sf_dir)
+    if sample_ppm is not None:
+        # Deterministic md5-bucket sample of the vector ids — the
+        # documented at-scale audit path, same contract as
+        # dedup_recall_report's sample_ppm (retry-safe, content-blind so
+        # recall/precision stay unbiased estimates). Applied BEFORE the
+        # guard count.
+        base = base.where(
+            texts.hash32(F.col("vec_id").cast("string")) % F.lit(1_000_000)
+            < F.lit(sample_ppm)
+        )
+    base = base.persist()
     # same opt-in contract as dedup_recall_report / dedup_embedding: the
     # truth side is O(n²) BY DEFINITION — refuse past the guard size
     # unless the caller explicitly samples or accepts the cost.
     _guard_quadratic(
         base, "sim_recall_report",
-        "sim_lsh_banded (candidates only; audit recall on a sample)",
+        "sim_lsh_banded (candidates only), or pass sample_ppm to audit "
+        "on a deterministic sampled slice",
         allow_quadratic,
     )
     a = base.select(

@@ -283,6 +283,46 @@ def test_quadratic_guard_refuses_large_inputs(spark, sf_dir, monkeypatch):
     assert dedup.dedup_ngram_jaccard(spark, sf_dir, allow_quadratic=True).count() >= 0
 
 
+def test_quadratic_guard_recall_reports_and_sampling_fallback(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r4 item 6: the two recall-audit entries trip the guard
+    end-to-end at an input just past the threshold, and the documented
+    at-scale fallback — a deterministic md5-bucket ``sample_ppm`` slice —
+    runs WITHOUT the allow_quadratic override once the sample fits under
+    the guard, returning the same one-row report schema."""
+    import pytest
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        dedup,
+        similarity,
+    )
+
+    # threshold just below the corpus (500 docs / 500 vectors at sf0.01)
+    monkeypatch.setattr(dedup, "QUADRATIC_GUARD_MAX_ROWS", 499)
+    with pytest.raises(ValueError, match="dedup_recall_report"):
+        dedup.dedup_recall_report(spark, sf_dir)
+    with pytest.raises(ValueError, match="sim_recall_report"):
+        similarity.sim_recall_report(spark, sf_dir)
+
+    # the sampled slice fits under the guard -> runs without the override
+    row = dedup.dedup_recall_report(spark, sf_dir, sample_ppm=500_000).head()
+    assert {"n_true", "n_cand", "n_hit"} <= set(row.asDict())
+    assert 0 < row["n_cand"] < dedup.dedup_recall_report(
+        spark, sf_dir, allow_quadratic=True
+    ).head()["n_cand"]
+
+    srow = similarity.sim_recall_report(
+        spark, sf_dir, sample_ppm=500_000
+    ).head()
+    assert srow["n_cand"] >= srow["n_hit"] >= 0
+
+    # a sample that still exceeds the guard must still refuse
+    monkeypatch.setattr(dedup, "QUADRATIC_GUARD_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="sample_ppm"):
+        dedup.dedup_recall_report(spark, sf_dir, sample_ppm=500_000)
+
+
 def test_pii_redaction_is_complete_and_counted(spark, sf_dir):
     """After redaction no pattern matches remain; counts equal the
     deterministic decoration cardinality (every 7th/11th/13th doc)."""

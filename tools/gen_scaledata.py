@@ -1,0 +1,121 @@
+"""Generate the sf0.5 scale-probe tables under .scaledata/sf0.5/.
+
+The driver ships sf0.001/0.01/0.1; the scale-slope probe (SCALE.md) wants
+a SECOND decade for its three heaviest entries (graph_triangles,
+text_sparse_sim, dedup_components) so the 100x claims carry two decades
+of evidence (VERDICT r4 item 5). No network and no DuckDB tpch extension
+in the container, so this produces a 5x-of-sf0.1 dataset that mirrors
+how the DRIVER's own generator scales (measured on sf0.01 vs sf0.1):
+
+- documents: vocabulary FIXED (31 words, shared across langs), word
+  length ~ Uniform[10, 100], words uniform over the vocab, lang
+  proportions (en .41, de/es/fr/zh ~.15), sources exactly uniform over
+  src0..src19. 25,000 FRESHLY-SAMPLED docs (seed 425) — replication
+  would make every doc a 5-way exact clone and inflate near-dup density
+  25x, which is NOT how the driver scales (uniq_texts/docs stays ~1.0
+  at each sf); fresh sampling preserves the chance-collision near-dup
+  rate the tiny vocabulary induces.
+- lineitem: 5 copies of sf0.1 with disjoint l_orderkey / l_partkey
+  offsets. The driver's own scaling holds orders-per-part density
+  constant (60k lineitems / 2k parts at sf0.01, 600k / 20k at sf0.1 —
+  30 each), and key-offset replication preserves exactly that density
+  while growing both universes 5x. Other columns are carried through
+  unchanged (the probed entry reads only orderkey/partkey; the full
+  schema keeps load_table_spread happy).
+
+Deterministic: fixed seeds, no wall-clock. Output is ~60 MB and
+.gitignored; re-run this script to regenerate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, ".scaledata", "sf0.5")
+SRC = "/root/testdata/sf0.1"
+
+# The exact 31-word vocabulary of the driver's documents tables
+# (SELECT DISTINCT unnest(string_split(text,' ')) over sf0.1).
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+N_DOCS = 25_000
+REPLICAS = 5
+
+
+def gen_documents(rng: np.random.Generator) -> pa.Table:
+    assert len(VOCAB) == 31, len(VOCAB)
+    lengths = rng.integers(10, 101, size=N_DOCS)
+    langs = rng.choice(len(LANGS), size=N_DOCS, p=LANG_P)
+    texts = []
+    for n in lengths:
+        idx = rng.integers(0, len(VOCAB), size=int(n))
+        texts.append(" ".join(VOCAB[i] for i in idx))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([LANGS[i] for i in langs]),
+            "source": pa.array([f"src{i % 20}" for i in range(N_DOCS)]),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+
+
+def gen_lineitem(con: duckdb.DuckDBPyConnection) -> None:
+    cols = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/lineitem.parquet'"
+        ).fetchall()
+    ]
+    carried = ", ".join(
+        c for c in cols if c not in ("l_orderkey", "l_partkey")
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT l_orderkey + {r * 10_000_000} AS l_orderkey, "
+        f"l_partkey + {r * 1_000_000} AS l_partkey, {carried} "
+        f"FROM '{SRC}/lineitem.parquet'"
+        for r in range(REPLICAS)
+    )
+    con.execute(
+        f"COPY ({union}) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    rng = np.random.default_rng(425)
+    pq.write_table(gen_documents(rng), f"{OUT}/documents.parquet")
+    gen_lineitem(duckdb.connect())
+    con = duckdb.connect()
+    docs, uniq = con.execute(
+        f"SELECT count(*), count(DISTINCT md5(text)) "
+        f"FROM '{OUT}/documents.parquet'"
+    ).fetchone()
+    li, ords, parts = con.execute(
+        f"SELECT count(*), count(DISTINCT l_orderkey), "
+        f"count(DISTINCT l_partkey) FROM '{OUT}/lineitem.parquet'"
+    ).fetchone()
+    print(
+        f"documents: {docs} rows ({uniq} distinct texts); "
+        f"lineitem: {li} rows, {ords} orders, {parts} parts "
+        f"({li / parts:.1f} lineitems/part)",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
