@@ -67,6 +67,46 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     assert spark_merges == py_merges
 
 
+def test_bpe_train_220_merges_deterministic_and_early_stop(spark):
+    """VERDICT r4 item 7: pin determinism at production-like merge depth
+    (≥200 rounds) and the early-stop rule beyond the small default counts.
+    The 31-word driver corpus dries out after a handful of merges, so this
+    builds a deterministic 1,500-word vocabulary with enough pair
+    diversity to sustain 200+ rounds, then checks the Spark loop emits the
+    EXACT same ordered merge table as the pure-Python reference — 220
+    rounds of argmax + lexicographic tie-break + greedy rewrite, any
+    divergence compounds — and that both stop at the same round if the
+    corpus dries out first."""
+    alpha = "abcdefghij"
+    counts = {}
+    x = 1
+    for i in range(1500):
+        x = (x * 48271) % 2147483647  # Lehmer PRNG: deterministic, no seed file
+        w = ""
+        y = x
+        for _ in range(5 + x % 9):
+            w += alpha[y % 10]
+            y //= 10
+        counts[w] = counts.get(w, 0) + 1 + i % 47
+
+    py_merges, _ = _py_train(counts, 220)
+    assert len(py_merges) >= 200, "fixture must sustain 200+ merges"
+
+    words = spark.createDataFrame(
+        [(w, n) for w, n in counts.items()], "word string, n long"
+    )
+    spark_merges = bpe.train_bpe_from_words(spark, words, 220)
+    assert spark_merges == py_merges
+
+    # early-stop parity: a tiny vocabulary dries out (< 220 merges) and
+    # both implementations must stop at the same round
+    tiny = {"aaab": 3, "aab": 2, "b": 5}
+    py_tiny, _ = _py_train(tiny, 220)
+    assert len(py_tiny) < 220
+    tiny_df = spark.createDataFrame(list(tiny.items()), "word string, n long")
+    assert bpe.train_bpe_from_words(spark, tiny_df, 220) == py_tiny
+
+
 def test_bpe_apply_matches_python_reference(spark, sf_dir):
     counts = _py_word_counts(sf_dir)
     merges, segs = _py_train(counts, bpe.N_MERGES)

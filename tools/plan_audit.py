@@ -4,7 +4,13 @@ query with the operator tree (no per-node detail), plus quick red-flag
 counts (row-at-a-time Python evals, cartesian products, unexpected
 global sorts).
 
-Usage: python tools/plan_audit.py [sf_dir] [out_md]
+Usage: python tools/plan_audit.py [--summary] [sf_dir] [out_md]
+
+``--summary`` writes a one-line-per-entry verdict table (~150 lines:
+name, top-level operator count, join/exchange/Python-boundary counts,
+flag status) instead of the ~6,000-line full trees — the diffable
+per-round artifact (VERDICT r4 item 8); run without the flag when a
+specific plan needs reading.
 
 Note: iterative operators (dedup_components, sim_clusters, corpus_curate,
 sim_ivf_trained) EXECUTE their driver-steered loops while the plan is
@@ -60,9 +66,32 @@ def tree_of(df) -> str:
     return head.replace("== Physical Plan ==\n", "").rstrip()
 
 
+def _summary_row(name: str, tree: str, hits: list, allowed: list) -> str:
+    """One diffable line per entry: structural counts from the plan tree.
+    Counts shift only when the plan SHAPE changes, so a round-over-round
+    diff of the summary surfaces exactly the entries worth re-reading."""
+    nodes = len(re.findall(r"^\s*[+:]?-", tree, re.M)) or len(tree.splitlines())
+    joins = len(re.findall(r"Join", tree))
+    exchanges = len(re.findall(r"Exchange", tree))
+    arrow = len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", tree))
+    verdict = (
+        "RED:" + "+".join(hits)
+        if hits
+        else ("by-design:" + "+".join(allowed) if allowed else "clean")
+    )
+    return (
+        f"| {name} | {nodes} | {joins} | {exchanges} | {arrow} | {verdict} |"
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out_md = sys.argv[2] if len(sys.argv) > 2 else "PLANS.md"
+    argv = [a for a in sys.argv[1:]]
+    summary = "--summary" in argv
+    argv = [a for a in argv if a != "--summary"]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    out_md = argv[1] if len(argv) > 1 else (
+        "PLANS_SUMMARY.md" if summary else "PLANS.md"
+    )
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -72,6 +101,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     sections = []
+    rows = []
     flags_summary = {}
     for name, fn in entrymod.queries().items():
         try:
@@ -83,6 +113,7 @@ def main() -> int:
         hits = [h for h in hits if h not in ALLOWED.get(name, ())]
         if hits:
             flags_summary[name] = hits
+        rows.append(_summary_row(name, tree, hits, allowed))
         flag_line = f"\n\n**RED FLAGS: {', '.join(hits)}**" if hits else ""
         if allowed:
             flag_line += (
@@ -91,23 +122,38 @@ def main() -> int:
             )
         sections.append(f"### {name}\n\n```\n{tree}\n```{flag_line}\n")
 
-    header = (
-        "# PLANS — physical-plan audit\n\n"
-        f"Generated by `tools/plan_audit.py` at `{sf_dir}`. One operator tree per\n"
-        "`queries()` entry (final plan; AQE may still re-plan at runtime).\n"
-        "Red-flag scan: row-at-a-time Python evals, cartesian products,\n"
-        "inner nested-loop joins — none expected.\n\n"
-        + (
-            "**RED FLAGS FOUND:** "
-            + "; ".join(f"{k}: {v}" for k, v in flags_summary.items())
-            if flags_summary
-            else "**Red flags: none.**"
-        )
-        + "\n\n"
+    flag_head = (
+        "**RED FLAGS FOUND:** "
+        + "; ".join(f"{k}: {v}" for k, v in flags_summary.items())
+        if flags_summary
+        else "**Red flags: none.**"
     )
+    if summary:
+        body = (
+            "# PLANS SUMMARY — per-entry plan verdicts\n\n"
+            f"Generated by `tools/plan_audit.py --summary` at `{sf_dir}`.\n"
+            "Structural counts per `queries()` plan — diff this artifact\n"
+            "round-over-round; re-run without `--summary` for full trees.\n\n"
+            + flag_head
+            + "\n\n| entry | nodes | joins | exchanges | arrow-boundaries | verdict |\n"
+            "|---|---|---|---|---|---|\n"
+            + "\n".join(rows)
+            + "\n"
+        )
+    else:
+        body = (
+            "# PLANS — physical-plan audit\n\n"
+            f"Generated by `tools/plan_audit.py` at `{sf_dir}`. One operator tree per\n"
+            "`queries()` entry (final plan; AQE may still re-plan at runtime).\n"
+            "Red-flag scan: row-at-a-time Python evals, cartesian products,\n"
+            "inner nested-loop joins — none expected.\n\n"
+            + flag_head
+            + "\n\n"
+            + "\n".join(sections)
+        )
     with open(out_md, "w") as f:
-        f.write(header + "\n".join(sections))
-    print(f"wrote {out_md}: {len(sections)} plans, red-flags={flags_summary or 'none'}")
+        f.write(body)
+    print(f"wrote {out_md}: {len(rows)} plans, red-flags={flags_summary or 'none'}")
     spark.stop()
     return 1 if flags_summary else 0
 
