@@ -109,7 +109,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Cache contract: a few entries persist() a shared subframe in-plan
+    (see ``engineering_school_bigdata_project_f1_weather_spark/operators/
+    __init__.py``); a long-lived session invoking entries repeatedly
+    should ``spark.catalog.clearCache()`` between invocations, as
+    tools/selfcheck.py and bench.py both do."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
         out.update(m.QUERIES)

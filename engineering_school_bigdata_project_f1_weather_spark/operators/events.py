@@ -447,7 +447,15 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AB_CONVERT_TYPE = "purchase"
 AB_CONVERT_MIN_CENTS = 15_000  # a qualifying purchase is ≥ $150
-AB_CHI2_95_E6 = 3_841_459  # floor(3.841458820… · 1e6), χ²₁ at α=0.05
+# ceil(3.841458820… · 1e6), χ²₁ at α=0.05 (floor is 3_841_458). Using the
+# CEILING means a chi² statistic landing in [3.8414588, 3.841459) — a
+# 1e-6-wide band at the critical value — reports non-significant: the
+# conservative direction for a significance test. Both engines share the
+# constant, so oracle parity holds either way; the 1e-6 boundary
+# convention is: significance requires chi2_e6 (itself a floor) to reach
+# the ceiling of the critical value. (ADVICE r4: comment previously
+# mis-stated this as a floor.)
+AB_CHI2_95_E6 = 3_841_459
 
 
 def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:

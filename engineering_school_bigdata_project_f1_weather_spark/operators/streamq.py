@@ -216,6 +216,25 @@ FROM events
 """
 
 
+# Covers any (user, day) recurrence in the fixtures (30-day event span)
+# with margin; see the exactness contract in stream_dau's docstring.
+DAU_DEDUP_WATERMARK = "90 days"
+
+
+def dau_pipeline(ev: DataFrame) -> DataFrame:
+    """The dedup→count DAU rewrite over an arbitrary event stream —
+    shared by the registry entry and the multi-micro-batch exactness
+    test (tests/test_streaming.py), so the contract the test enforces is
+    the plan the entry runs."""
+    return (
+        ev.withWatermark("event_time", DAU_DEDUP_WATERMARK)
+        .withColumn("day", F.date_trunc("DAY", F.col("event_time")))
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+
+
 def stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming daily-active-users: CHAINED stateful operators —
     ``dropDuplicatesWithinWatermark`` on (user, day) followed by a
@@ -225,23 +244,20 @@ def stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compared against the exact batch DAU (the batch twin is
     ``events.events_dau_mau``'s day grain).
 
-    Honesty note on exactness: within-watermark dedup holds a key only
-    for the watermark delay past its event time, so a (user, day) pair
-    re-appearing more than the delay later in EVENT time would recount.
-    Here the availableNow drain delivers the immutable file in one
-    micro-batch (watermark still at origin while it processes), so the
-    dedup state covers the whole day and the result is exact — and a
-    production deployment sizes the delay to the day span (or merges
-    idempotently downstream).  State is bounded at |users × days inside
-    the delay| either way.
+    Exactness contract (ENFORCED, ADVICE r4): within-watermark dedup
+    holds a key only for the watermark delay past its event time, so a
+    (user, day) pair re-appearing more than the delay later in EVENT
+    time would recount once the stream splits into multiple micro-batches
+    (multi-file source, maxFilesPerTrigger). The delay for THIS entry is
+    therefore sized to cover the whole (user, day) recurrence horizon —
+    DAU_DEDUP_WATERMARK, greater than the fixture's full event-time span
+    — rather than assuming the single-batch availableNow property. A
+    production deployment does exactly this: delay = the maximum
+    out-of-orderness a key can recur across (one day + allowed lateness
+    for daily ingest), trading state size |users × days inside the
+    delay| for exactness, or merges idempotently downstream.
     """
-    ev = events_stream.stream_events(spark, sf_dir)
-    dd = (
-        ev.withWatermark("event_time", events_stream.WATERMARK)
-        .withColumn("day", F.date_trunc("DAY", F.col("event_time")))
-        .dropDuplicatesWithinWatermark(["user_id", "day"])
-    )
-    agg = dd.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    agg = dau_pipeline(events_stream.stream_events(spark, sf_dir))
     out = _drain(agg, "stream_dau", spark)
     return out.select(
         F.unix_micros(F.col("day")).alias("day_us"), "dau"

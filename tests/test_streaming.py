@@ -589,6 +589,83 @@ def test_stream_dau_matches_batch_distinct(spark, sf_dir):
     assert got == want
 
 
+def test_stream_dau_exact_across_microbatches(spark, sf_dir, tmp_path):
+    """ADVICE r4: stream_dau's exactness must not depend on the fixture
+    arriving in ONE micro-batch. Split the events into two time halves
+    (the boundary lands mid-day, so (user, day) pairs straddle it),
+    replay with maxFilesPerTrigger=1, and the DAU must still equal the
+    batch COUNT(DISTINCT) — which holds only because the dedup watermark
+    (DAU_DEDUP_WATERMARK) covers the full recurrence horizon instead of
+    assuming the single-batch drain."""
+    import glob
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+        events_stream,
+    )
+
+    src = ev.load_events(spark, sf_dir)
+    mid = src.agg(
+        F.expr("percentile_approx(ts_us, 0.5, 10000)")
+    ).collect()[0][0]
+    half_dir = str(tmp_path / "dau_halves")
+    base = src.drop("ts_us")
+    base.where(F.unix_micros("ts") < mid).coalesce(1).write.parquet(
+        half_dir, mode="overwrite"
+    )
+    base.where(F.unix_micros("ts") >= mid).coalesce(1).write.parquet(
+        half_dir, mode="append"
+    )
+    parts = glob.glob(f"{half_dir}/part-*.parquet")
+    assert len(parts) == 2, parts
+
+    def _max_ts(p):
+        return spark.read.parquet(p).agg(
+            F.max(F.unix_micros("ts"))
+        ).collect()[0][0]
+
+    early, late = sorted(parts, key=_max_ts)
+    os.utime(early, (1_000_000_000, 1_000_000_000))
+    os.utime(late, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+        .withColumn("event_time", F.col("ts"))
+    )
+    out_dir = str(tmp_path / "dau_out")
+    got_df = events_stream.run_available_now_to_parquet(
+        streamq.dau_pipeline(stream), out_dir, spark
+    )
+    got = {
+        r.day_us: r.dau
+        for r in got_df.select(
+            F.unix_micros(F.col("day")).alias("day_us"), "dau"
+        ).collect()
+    }
+    want = {
+        r.day_us: r.dau
+        for r in (
+            src.groupBy(
+                (F.col("ts_us") - F.col("ts_us") % (24 * ev.HOUR_US)).alias(
+                    "day_us"
+                )
+            )
+            .agg(F.count_distinct("user_id").alias("dau"))
+            .collect()
+        )
+    }
+    assert got == want
+
+
 def test_stream_transitions_state_bridges_microbatches(spark, sf_dir, tmp_path):
     """applyInPandasWithState transitions: drain the events TIME-SPLIT
     into two parquet halves (maxFilesPerTrigger=1, event-time order
@@ -614,6 +691,25 @@ def test_stream_transitions_state_bridges_microbatches(spark, sf_dir, tmp_path):
     base.where(F.unix_micros("ts") >= mid).coalesce(1).write.parquet(
         half_dir, mode="append"
     )
+    # FileStreamSource orders files by MODIFICATION TIME — the two write
+    # jobs usually finish far enough apart, but coarse mtime granularity
+    # or a fast filesystem could tie (or invert) them and silently test
+    # the no-bridge path (ADVICE r4). Pin the replay order explicitly:
+    # the first-half part file gets a strictly older mtime.
+    import glob
+    import os
+
+    parts = glob.glob(f"{half_dir}/part-*.parquet")
+    assert len(parts) == 2, parts
+    # identify the halves by CONTENT (mtime may already be tied/inverted)
+    def _max_ts(p):
+        return spark.read.parquet(p).agg(
+            F.max(F.unix_micros("ts"))
+        ).collect()[0][0]
+
+    early, late = sorted(parts, key=_max_ts)
+    os.utime(early, (1_000_000_000, 1_000_000_000))
+    os.utime(late, (1_000_000_100, 1_000_000_100))
     # file order must follow time order for the replay; glob lists both
     stream = (
         spark.readStream.schema(TESTDATA_SCHEMAS["events"])
