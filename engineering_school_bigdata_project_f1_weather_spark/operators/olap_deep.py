@@ -1047,6 +1047,284 @@ ORDER BY p_brand
 """
 
 
+# --- Q6: forecast revenue change (round 5) ------------------------------
+
+FORECAST_DATE_LO = "1996-01-01"
+FORECAST_DATE_HI = "1997-01-01"
+FORECAST_DISC_LO = 0.04
+FORECAST_DISC_HI = 0.07
+FORECAST_QTY_LT = 24.0
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the revenue that WOULD be recovered by dropping a
+    discount band — one conditional aggregate over a single scan, the
+    simplest possible plan and the purest pushdown check: all three
+    predicates (ship-year, discount band, quantity cap) must reach the
+    parquet scan as PushedFilters, and the whole query is a scan +
+    partial agg + 1-row exchange.  The summand quantizes
+    ``l_extendedprice * l_discount`` per row to integer cents (the same
+    double multiply then floor in both engines — bit-identical), so the
+    BIGINT sum hashes exactly.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= FORECAST_DATE_LO)
+        & (F.col("l_shipdate") < FORECAST_DATE_HI)
+        & (F.col("l_discount") >= FORECAST_DISC_LO)
+        & (F.col("l_discount") <= FORECAST_DISC_HI)
+        & (F.col("l_quantity") < FORECAST_QTY_LT)
+    )
+    return l.agg(
+        F.coalesce(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * F.col("l_discount") * 100.0
+                    + F.lit(0.5)
+                ).cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("forecast_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_FORECAST_ORACLE = f"""
+SELECT COALESCE(CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0
+                                    + 0.5) AS BIGINT)) AS BIGINT),
+                0) AS forecast_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '{FORECAST_DATE_LO}'
+  AND l_shipdate < DATE '{FORECAST_DATE_HI}'
+  AND l_discount >= {FORECAST_DISC_LO}
+  AND l_discount <= {FORECAST_DISC_HI}
+  AND l_quantity < {FORECAST_QTY_LT}
+"""
+
+# --- Q7: volume shipping between two nations (round 5) ------------------
+
+VOLUME_NATION_A = "NATION_1"
+VOLUME_NATION_B = "NATION_2"
+VOLUME_DATE_LO = "1996-01-01"
+VOLUME_DATE_HI = "1998-01-01"
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue shipped between
+    two specific nations, in either direction, by ship year.  The
+    double-role nation dim (supplier's nation AND customer's nation in
+    one query) is the shape's point: two broadcast joins against the
+    same tiny table under different aliases, an OR-of-two-AND-pairs
+    predicate that Catalyst cannot push below the joins (it spans both),
+    and a fact-fact shuffle on orderkey underneath.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= VOLUME_DATE_LO)
+        & (F.col("l_shipdate") < VOLUME_DATE_HI)
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == VOLUME_NATION_A)
+        & (F.col("cust_nation") == VOLUME_NATION_B)
+    ) | (
+        (F.col("supp_nation") == VOLUME_NATION_B)
+        & (F.col("cust_nation") == VOLUME_NATION_A)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(_rev_cents_sum())
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def _rev_cents_sum() -> F.Column:
+    return F.sum(_rev_cents()).alias("rev_cents")
+
+
+_VOLUME_ORACLE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM({_REV}) AS BIGINT) AS rev_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= DATE '{VOLUME_DATE_LO}'
+  AND l.l_shipdate < DATE '{VOLUME_DATE_HI}'
+  AND ((sn.n_name = '{VOLUME_NATION_A}' AND cn.n_name = '{VOLUME_NATION_B}')
+    OR (sn.n_name = '{VOLUME_NATION_B}' AND cn.n_name = '{VOLUME_NATION_A}'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+# --- Q18: large-volume orders (round 5) ---------------------------------
+
+LARGE_QTY_GT_E2 = 80_00  # total order quantity > 80 units (e2 fixed point)
+LARGE_TOP_K = 100
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose TOTAL quantity exceeds a threshold,
+    with their customers — the aggregate-then-semi-join shape (the
+    spec's ``o_orderkey IN (SELECT … GROUP BY … HAVING)``).
+
+    Decorrelated Spark form: one partial-agg shuffle computes per-order
+    quantity totals, the HAVING filter cuts it to the (rare) big orders,
+    and that small set joins orders ⨝ customer — at 100 TB the
+    aggregated-and-filtered side is small enough for AQE to broadcast,
+    turning the spec's IN-subquery into a broadcast semi-join, which is
+    exactly how an optimizer should execute Q18.  Quantities quantize to
+    e2 fixed point per row and sum in BIGINT (exact, order-independent).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    totals = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("qty_e2")
+        )
+        .where(F.col("qty_e2") > LARGE_QTY_GT_E2)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        totals.join(o, totals.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate")).alias("orderdate_us"),
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("totalprice_cents"),
+            "qty_e2",
+        )
+        .orderBy(F.desc("totalprice_cents"), F.asc("l_orderkey"))
+        .limit(LARGE_TOP_K)
+    )
+
+
+_LARGE_ORACLE = f"""
+WITH totals AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS qty_e2
+    FROM lineitem GROUP BY 1
+    HAVING qty_e2 > {LARGE_QTY_GT_E2}
+)
+SELECT c.c_custkey, c.c_name, t.l_orderkey,
+       epoch_us(o.o_orderdate) AS orderdate_us,
+       CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+           AS totalprice_cents,
+       t.qty_e2
+FROM totals t
+JOIN orders o ON t.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice_cents DESC, l_orderkey ASC
+LIMIT {LARGE_TOP_K}
+"""
+
+# --- Q21: suppliers who kept orders waiting (round 5) -------------------
+
+WAIT_LATE_DAYS = 90  # adapted lateness: shipped > 90 days after the order
+WAIT_TOP_K = 20
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — the canonical double-correlated EXISTS /
+    NOT-EXISTS query, decorrelated.  (The lake has no commit/receipt
+    dates; lateness adapts to ``l_shipdate > o_orderdate + 90 days``,
+    applied identically in the oracle.)
+
+    Decorrelated Spark form: ONE aggregation over the order's lineitems
+    computes (distinct suppliers, distinct LATE suppliers, the late
+    supplier's key via a conditional min/max pair) — both EXISTS
+    conditions become HAVING predicates on that single pass
+    (n_supp ≥ 2 ∧ n_late_supp = 1), and the sole-late-supplier key
+    falls out of the same aggregate (min = max when exactly one).  No
+    correlated re-scans, no self-joins: the spec's two subqueries cost
+    one partial-agg shuffle on orderkey.  The DuckDB oracle is written
+    INDEPENDENTLY in the spec's EXISTS / NOT EXISTS form, so the hash
+    gate validates the decorrelation, not a shared rewrite (same
+    verification pattern as orders_skyline).
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # timestamp + interval on both engines (date_add would truncate the
+    # timestamp to a date on the Spark side only)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {WAIT_LATE_DAYS} DAYS"
+    )
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(F.broadcast(s), per_order.late_supp == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
+        .orderBy(F.desc("n_waiting_orders"), F.asc("s_suppkey"))
+        .limit(WAIT_TOP_K)
+    )
+
+
+_WAITING_ORACLE = f"""
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_waiting_orders
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL {WAIT_LATE_DAYS} DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o.o_orderdate + INTERVAL {WAIT_LATE_DAYS} DAY)
+GROUP BY 1, 2
+ORDER BY n_waiting_orders DESC, s_suppkey ASC
+LIMIT {WAIT_TOP_K}
+"""
+
+
 QUERIES = {
     "tpch_returned_revenue": returned_revenue,
     "tpch_top_supplier": top_supplier,
@@ -1064,6 +1342,10 @@ QUERIES = {
     "tpch_supplier_counts": supplier_counts,
     "tpch_special_revenue": special_revenue,
     "tpch_idle_customers": idle_customers,
+    "tpch_forecast_revenue": forecast_revenue,
+    "tpch_volume_shipping": volume_shipping,
+    "tpch_large_orders": large_orders,
+    "tpch_waiting_suppliers": waiting_suppliers,
 }
 
 ORACLE_SQL = {
@@ -1083,4 +1365,8 @@ ORACLE_SQL = {
     "tpch_supplier_counts": _SUPPCNT_ORACLE,
     "tpch_special_revenue": _special_oracle(),
     "tpch_idle_customers": _IDLE_ORACLE,
+    "tpch_forecast_revenue": _FORECAST_ORACLE,
+    "tpch_volume_shipping": _VOLUME_ORACLE,
+    "tpch_large_orders": _LARGE_ORACLE,
+    "tpch_waiting_suppliers": _WAITING_ORACLE,
 }

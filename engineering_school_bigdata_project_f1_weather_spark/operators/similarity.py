@@ -731,7 +731,13 @@ def _assign_lists_arrow(
 
     rows = cents.select("centroid_id", "cq", "cn2").collect()  # k rows
     cid = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
-    if cid.size == 0 or np.abs(cid).max() >= 2**21:
+    if cid.size == 0:
+        # empty quantizer (empty corpus): no lists to assign — same empty
+        # (vec_id, centroid_id) frame the expression path produces
+        return base.select(
+            "vec_id", F.col("vec_id").alias("centroid_id")
+        ).where(F.lit(False))
+    if np.abs(cid).max() >= 2**21:
         raise ValueError("centroid ids must be in [0, 2^21) for the exact key")
     C = np.array([r["cq"] for r in rows], dtype=np.int64)  # (k, DIM)
     cn2 = np.array([r["cn2"] for r in rows], dtype=np.float64)

@@ -44,6 +44,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import texts
 from .events import load_events
 
 MG_CAPACITY = 128  # C: summary size; guarantee threshold is N/(C+1)
@@ -116,10 +117,135 @@ ORDER BY n_events DESC, user_id ASC
 """
 
 
+# --------------------------------------------------- HyperLogLog (round 5)
+
+HLL_P = 9  # register-index bits
+HLL_M = 1 << HLL_P  # 512 registers
+HLL_W_BITS = 32 - HLL_P  # 23-bit rank field; max rho = 24
+# alpha_m · m² for m=512 (Flajolet et al. 2007: alpha_m =
+# 0.7213/(1 + 1.079/m) = 0.719783…), pre-rounded to ONE integer literal
+# so both engines divide the identical numerator: round(0.719783… · 512²)
+# = round(188675.27). The ~1.4e-6 relative truncation is far below the
+# sketch's own 1.04/√m ≈ 4.6% standard error.
+HLL_ALPHA_M2 = 188_675
+# numerator of the raw estimator with the 2^24 register scaling folded in
+HLL_RAW_NUM = HLL_ALPHA_M2 * (1 << (HLL_W_BITS + 1))
+
+
+def events_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HyperLogLog registers + raw estimator for distinct users —
+    the mergeable-sketch answer to COUNT(DISTINCT) at 100 TB, where the
+    exact per-day distinct (``events_dau_mau`` / ``stream_dau``) costs a
+    shuffle of every (user, day) pair and this costs a shuffle of ≤ m=512
+    register rows per day, mergeable across partitions/days/clusters by
+    register-wise MAX (tests/test_sketch.py pins the merge law).
+
+    Register pipeline (Flajolet-Fuss-Gandouet-Meunier 2007), all
+    exact-integer so the DuckDB oracle hashes identically: h = 32-bit
+    md5 hash of the user id; register index = h mod m (low p bits); the
+    remaining w = h div m is a 23-bit rank field with
+    rho = 24 − bitlength(w) (rho = 24 when w = 0 — ``bin()`` string
+    length is the cross-engine bitlength; both engines render minimal
+    binary). Per (day, register): M = max(rho). The indicator sum
+    Z = Σ_j 2^(−M_j) is held scaled by 2^24 (every term integer, total
+    < 2^33 — exact), absent registers contributing the full 2^24; the
+    raw estimate is one integer division
+    ``div(alpha_m·m²·2^24, Z_scaled)`` with the numerator a precomputed
+    literal. The small-range flag marks days where the standard
+    linear-counting correction applies (raw ≤ 5m/2 and empty registers
+    exist); the correction itself (m·ln(m/V)) is a driver-side scalar
+    postprocess on the day-grain result — ln is TRANSCENDENTAL and not
+    bit-reproducible across engines, so it stays OUT of the hash-checked
+    surface (the pytest twin applies it in Python and pins the corrected
+    estimate within tolerance of the exact DAU).
+    """
+    e = load_events(spark, sf_dir).select(
+        (
+            F.col("ts_us") - F.col("ts_us") % (24 * 3600 * 1_000_000)
+        ).alias("day_us"),
+        texts.hash32(F.col("user_id").cast("string")).alias("h"),
+    )
+    w = F.expr(f"div(h, {HLL_M})")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        e.select(
+            "day_us", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("day_us", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    per_day = regs.groupBy("day_us").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"cast(pow(2, {HLL_W_BITS + 1} - m_reg) as long)")
+        ).alias("z_present"),
+    )
+    z_scaled = (
+        F.col("z_present")
+        + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << (HLL_W_BITS + 1))
+    )
+    raw = F.expr(f"div({HLL_RAW_NUM}, z_scaled)")
+    return (
+        per_day.select(
+            "day_us",
+            (F.lit(HLL_M) - F.col("n_present")).alias("n_zero_regs"),
+            z_scaled.alias("z_scaled"),
+        )
+        .select(
+            "day_us",
+            "n_zero_regs",
+            "z_scaled",
+            raw.alias("hll_raw"),
+            (
+                (raw * 2 <= F.lit(5 * HLL_M)) & (F.col("n_zero_regs") > 0)
+            ).alias("small_range"),
+        )
+        .orderBy("day_us")
+    )
+
+
+_HLL_ORACLE = f"""
+WITH h AS (
+    SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+               AS h
+    FROM events
+),
+regs AS (
+    SELECT day_us, h % {HLL_M} AS reg,
+           MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_W_BITS + 1}
+                    ELSE {HLL_W_BITS + 1} - LENGTH(bin(h // {HLL_M}))
+               END) AS m_reg
+    FROM h GROUP BY 1, 2
+),
+per_day AS (
+    SELECT day_us, COUNT(*) AS n_present,
+           CAST(SUM(CAST(POW(2, {HLL_W_BITS + 1} - m_reg) AS BIGINT))
+                AS BIGINT) AS z_present
+    FROM regs GROUP BY 1
+)
+SELECT day_us,
+       CAST({HLL_M} - n_present AS BIGINT) AS n_zero_regs,
+       CAST(z_present + ({HLL_M} - n_present) * {1 << (HLL_W_BITS + 1)}
+            AS BIGINT) AS z_scaled,
+       CAST({HLL_RAW_NUM} // (z_present + ({HLL_M} - n_present)
+            * {1 << (HLL_W_BITS + 1)}) AS BIGINT) AS hll_raw,
+       ({HLL_RAW_NUM} // (z_present + ({HLL_M} - n_present)
+            * {1 << (HLL_W_BITS + 1)})) * 2 <= {5 * HLL_M}
+           AND ({HLL_M} - n_present) > 0 AS small_range
+FROM per_day
+ORDER BY day_us
+"""
+
+
 QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
+    "events_dau_hll": events_dau_hll,
 }
 
 ORACLE_SQL = {
     "events_heavy_hitters": _HH_ORACLE,
+    "events_dau_hll": _HLL_ORACLE,
 }

@@ -310,8 +310,106 @@ def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Generous both-side watermark so a multi-micro-batch replay (multi-file
+# source) cannot expire buffered join state mid-stream — the same
+# exactness-by-construction move as DAU_DEDUP_WATERMARK; production sizes
+# this to the real out-of-orderness bound + the join window.
+JOIN_WATERMARK = "90 days"
+VIEW_PURCHASE_WINDOW = "1 hour"
+
+
+def view_purchase_pipeline(ev: DataFrame) -> DataFrame:
+    """The stream-stream interval join over an arbitrary event stream —
+    shared by the registry entry and the multi-micro-batch test, so the
+    cross-batch buffering the test proves is the plan the entry runs."""
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", JOIN_WATERMARK)
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("buy_user"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", JOIN_WATERMARK)
+    )
+    return (
+        views.join(
+            buys,
+            (F.col("user_id") == F.col("buy_user"))
+            & (F.col("purchase_time") > F.col("view_time"))
+            & (
+                F.col("purchase_time")
+                <= F.col("view_time")
+                + F.expr(f"INTERVAL {VIEW_PURCHASE_WINDOW}")
+            ),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (
+                F.unix_micros(F.col("purchase_time"))
+                - F.unix_micros(F.col("view_time"))
+            ).alias("delay_us"),
+        )
+    )
+
+
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — the Structured Streaming surface the
+    other drains don't exercise (they are stream-static or single-input
+    stateful): views joined to the same user's purchases within the next
+    hour, both sides watermarked, the attribution primitive of every
+    clickstream pipeline.
+
+    Engine mechanics this entry pins: both input legs buffer rows in join
+    state keyed by (user, event-time range); the range condition
+    (purchase_time in (view_time, view_time + 1h]) is what lets the state
+    store evict a row once the OTHER side's watermark passes its window —
+    without the range bound a stream-stream join must hold both streams
+    forever. Inner joins emit in append mode, so the drain appends each
+    match exactly once.  The oracle is the batch interval self-join with
+    the identical predicate; timestamps subtract in exact micros.
+    """
+    joined = view_purchase_pipeline(
+        events_stream.stream_events(spark, sf_dir)
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_drain_{spark.sparkContext.applicationId}_stream_vp_join",
+    )
+    out = events_stream.run_available_now_append_to_parquet(
+        joined, path, spark
+    )
+    return out.orderBy("user_id", "view_id", "purchase_id")
+
+
+_VP_JOIN_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY v.user_id, view_id, purchase_id
+"""
+
+
 QUERIES = {
     "stream_transitions": stream_transitions,
+    "stream_view_purchase_join": stream_view_purchase_join,
     "stream_dau": stream_dau,
     "stream_hourly": stream_hourly,
     "stream_sessions": stream_sessions,
@@ -328,6 +426,7 @@ _TRANSITIONS_ORACLE = _EVENTS_ORACLE_SQL["events_transitions"]
 
 ORACLE_SQL = {
     "stream_transitions": _TRANSITIONS_ORACLE,
+    "stream_view_purchase_join": _VP_JOIN_ORACLE,
     "stream_dau": _DAU_ORACLE,
     "stream_hourly": _HOURLY_ORACLE,
     "stream_sessions": _SESSIONS_ORACLE,

@@ -90,3 +90,80 @@ def test_events_heavy_hitters_matches_exact(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+
+
+def test_hll_corrected_estimate_tracks_exact_dau(spark, sf_dir):
+    """The ln small-range correction lives OUTSIDE the hash-checked
+    surface (transcendental): apply it here in Python per day and pin
+    the corrected estimate within 10% of the exact per-day distinct —
+    the fidelity claim the sketch exists to make. (At ~150 users/day
+    against m=512 registers every day is in the linear-counting regime,
+    where the expected error is a few percent.)"""
+    import math
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    rows = sketch.events_dau_hll(spark, sf_dir).collect()
+    exact = {
+        r.day_us: r.dau
+        for r in ev.load_events(spark, sf_dir)
+        .groupBy(
+            (F.col("ts_us") - F.col("ts_us") % (24 * ev.HOUR_US)).alias(
+                "day_us"
+            )
+        )
+        .agg(F.count_distinct("user_id").alias("dau"))
+        .collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        if r.small_range and r.n_zero_regs > 0:
+            est = sketch.HLL_M * math.log(sketch.HLL_M / r.n_zero_regs)
+        else:
+            est = r.hll_raw
+        want = exact[r.day_us]
+        assert abs(est - want) <= 0.10 * want, (r.day_us, est, want)
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """Mergeability — the property that makes HLL the 100 TB answer:
+    registers computed over two disjoint halves of the events and merged
+    register-wise by MAX must equal the registers computed over the
+    whole. (Days here act as the 'partition' axis is not enough — split
+    WITHIN days by user parity so the merge actually combines.)"""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        texts,
+    )
+
+    e = ev.load_events(spark, sf_dir).select(
+        (F.col("ts_us") - F.col("ts_us") % (24 * ev.HOUR_US)).alias("day_us"),
+        texts.hash32(F.col("user_id").cast("string")).alias("h"),
+    )
+
+    def regs_of(df):
+        w = F.expr(f"div(h, {sketch.HLL_M})")
+        rho = F.when(w == 0, F.lit(sketch.HLL_W_BITS + 1)).otherwise(
+            F.lit(sketch.HLL_W_BITS + 1) - F.length(F.bin(w))
+        )
+        return (
+            df.select(
+                "day_us", (F.col("h") % sketch.HLL_M).alias("reg"), rho.alias("rho")
+            )
+            .groupBy("day_us", "reg")
+            .agg(F.max("rho").alias("m_reg"))
+        )
+
+    whole = {
+        (r.day_us, r.reg): r.m_reg for r in regs_of(e).collect()
+    }
+    merged: dict = {}
+    for half in (e.where(F.col("h") % 2 == 0), e.where(F.col("h") % 2 == 1)):
+        for r in regs_of(half).collect():
+            k = (r.day_us, r.reg)
+            merged[k] = max(merged.get(k, 0), r.m_reg)
+    assert merged == whole

@@ -666,6 +666,118 @@ def test_stream_dau_exact_across_microbatches(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_stream_join_bridges_microbatches(spark, sf_dir, tmp_path):
+    """Stream-stream interval join: split the events mid-stream into two
+    time-half files and replay one file per micro-batch — every (view →
+    purchase within 1h) pair that STRADDLES the boundary can only match
+    if the join state buffers the first half's views until the second
+    half's purchases arrive. Result must equal the batch interval
+    self-join exactly."""
+    import glob
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+        events_stream,
+    )
+
+    src = ev.load_events(spark, sf_dir)
+    # choose the split point INSIDE a matched pair's (view, purchase)
+    # interval so at least one match is guaranteed to straddle the
+    # micro-batch boundary (a median split may land between all pairs at
+    # small SF)
+    v0 = src.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts_us").alias("v_us"),
+    )
+    p0 = src.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts_us").alias("p_us"),
+    )
+    a_pair = (
+        v0.join(p0, "user_id")
+        .where(
+            (F.col("p_us") > F.col("v_us"))
+            & (F.col("p_us") <= F.col("v_us") + 3600 * 1_000_000)
+        )
+        .orderBy("v_us")
+        .limit(1)
+        .collect()
+    )
+    assert a_pair, "fixture must contain at least one view->purchase match"
+    mid = a_pair[0]["p_us"]  # view lands in half 1, purchase in half 2
+    half_dir = str(tmp_path / "vp_halves")
+    base = src.drop("ts_us")
+    base.where(F.unix_micros("ts") < mid).coalesce(1).write.parquet(
+        half_dir, mode="overwrite"
+    )
+    base.where(F.unix_micros("ts") >= mid).coalesce(1).write.parquet(
+        half_dir, mode="append"
+    )
+    parts = glob.glob(f"{half_dir}/part-*.parquet")
+    assert len(parts) == 2, parts
+
+    def _max_ts(p):
+        return spark.read.parquet(p).agg(
+            F.max(F.unix_micros("ts"))
+        ).collect()[0][0]
+
+    early, late = sorted(parts, key=_max_ts)
+    os.utime(early, (1_000_000_000, 1_000_000_000))
+    os.utime(late, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+        .withColumn("event_time", F.col("ts"))
+    )
+    out_dir = str(tmp_path / "vp_out")
+    got_df = events_stream.run_available_now_append_to_parquet(
+        streamq.view_purchase_pipeline(stream), out_dir, spark
+    )
+    got = {
+        (r.view_id, r.purchase_id): r.delay_us for r in got_df.collect()
+    }
+
+    v = src.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts_us").alias("v_us"),
+    )
+    p = src.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts_us").alias("p_us"),
+    )
+    want_rows = (
+        v.join(p, "user_id")
+        .where(
+            (F.col("p_us") > F.col("v_us"))
+            & (F.col("p_us") <= F.col("v_us") + 3600 * 1_000_000)
+        )
+        .collect()
+    )
+    want = {
+        (r.view_id, r.purchase_id): r.p_us - r.v_us for r in want_rows
+    }
+    assert got == want
+    # and at least one pair genuinely straddles the boundary, otherwise
+    # the test isn't exercising cross-batch buffering
+    straddle = [
+        r for r in want_rows if r.v_us < mid <= r.p_us
+    ]
+    assert straddle, "fixture must produce at least one cross-batch match"
+
+
 def test_stream_transitions_state_bridges_microbatches(spark, sf_dir, tmp_path):
     """applyInPandasWithState transitions: drain the events TIME-SPLIT
     into two parquet halves (maxFilesPerTrigger=1, event-time order
