@@ -90,9 +90,14 @@ _WINDOW_R5 = [
     "corpus_card", "sample_balanced", "sample_quality_weighted",
     "text_sparse_sim", "documents_zipf", "text_keywords",
     "text_collocations",
-    # fillers: r3-green, not r4 (5)
-    "events_hourly", "events_hourly_incremental", "events_sessionize",
-    "events_json", "events_anomaly",
+    # round-5 additions (never witnessed by construction): the hard
+    # decorrelation (Q21), the aggregate-semi-join (Q18), the dual-role
+    # dim join (Q7), the HLL sketch, and the stream-stream join fill the
+    # last 5 window slots; tpch_forecast_revenue (trivial single-scan
+    # shape) sits first AFTER the window, covered by selfcheck.
+    "tpch_waiting_suppliers", "tpch_large_orders", "tpch_volume_shipping",
+    "events_dau_hll", "stream_view_purchase_join",
+    "tpch_forecast_revenue",
 ]
 
 
