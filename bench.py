@@ -131,6 +131,16 @@ BENCH_QUERIES = [
     "stream_dau",
     # the combined IVF-PQ production index (encode + probe + ADC + re-rank)
     "sim_ivf_pq",
+    # round-5 additions: the Q21 one-pass decorrelation, the Q18
+    # aggregate-semi-join, the HLL register pipeline, and the
+    # stream-stream interval-join drain
+    "tpch_waiting_suppliers",
+    "tpch_large_orders",
+    "events_dau_hll",
+    "stream_view_purchase_join",
+    # exact-Jaccard prefix-filter join (the unguarded scale path of the
+    # quadratic dedup_ngram_jaccard baseline)
+    "dedup_prefix_join",
 ]
 
 

@@ -25,7 +25,7 @@ oracle reproduces it bit-for-bit.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import texts, vectors
 from ..sources.tables import load_table, load_table_spread
@@ -350,7 +350,11 @@ def dedup_ngram_jaccard(
     )
 
 
-def _ngram_oracle_sql() -> str:
+def _ngram_oracle_sql(min_e6: int = NGRAM_JACCARD_MIN_E6) -> str:
+    """Exact pairwise-Jaccard oracle at an arbitrary threshold — shared
+    by the quadratic baseline (NGRAM_JACCARD_MIN_E6) and the
+    prefix-filter scale path (PREFIX_TAU_E6): both operators must
+    produce the identical pair set, the oracle only changes the cut."""
     sh = texts.shingles_sql("text")
     x = texts.hash32_sql("g")
     return f"""
@@ -367,8 +371,105 @@ SELECT doc_a, doc_b, inter,
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
-WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= {NGRAM_JACCARD_MIN_E6}
+WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= {min_e6}
 """
+
+
+# ------------------------------------------- prefix-filter join (round 5)
+# Exact set-similarity join at a REALISTIC near-dup threshold: the
+# operator's semantics are "all pairs with shingle-Jaccard >= tau", same
+# as dedup_ngram_jaccard, but the candidate generation SCALES.
+PREFIX_TAU_E6 = 300_000  # tau = 3/10 — kept as an exact rational below
+
+
+def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-threshold join via PREFIX FILTERING (the
+    PPJoin/AllPairs family — Chaudhuri-Ganti-Kaushik ICDE'06, Xiao et
+    al. WWW'08): the UNGUARDED exact-similarity scale path, where
+    dedup_ngram_jaccard (share-ANY-shingle candidates) stays a guarded
+    verification baseline.
+
+    Why it scales where share-any doesn't: order every doc's shingles by
+    global rarity (ascending df, then hash); a pair with Jaccard ≥ τ
+    MUST share a token inside each side's first |s| − ⌈τ·|s|⌉ + 1 tokens
+    (if the prefixes were disjoint, the overlap is confined to the
+    suffixes, too small to reach τ). So candidates come from joining on
+    PREFIX tokens only — and because the canonical order puts the RAREST
+    tokens in the prefix, the join keys are precisely the tokens with
+    the smallest df: candidate volume is Σ_prefix-tokens df², dominated
+    by rare tokens, while share-any pays Σ_all-tokens df² dominated by
+    stopword-like shingles. The length filter (τ·|larger| ≤ |smaller|,
+    kept as the exact rational 3·max ≤ 10·min) prunes size-mismatched
+    pairs before verification. Verification is exact: per-doc sorted
+    shingle arrays (bounded by doc length) meet per candidate pair in a
+    JVM ``array_intersect`` — no sketch, no false negatives (the hash
+    gate against the SAME oracle formula as the quadratic baseline, cut
+    at τ, proves completeness every round).
+
+    100 TB shape: one df count (partial-agg), one per-doc window to rank
+    tokens (shuffle on doc_id), the candidate self-join shuffles on the
+    prefix token, and the verify joins are id-keyed. ⌈τ·n⌉ is computed
+    as the exact integer ``(3n + 9) div 10`` — no float boundary.
+    """
+    sh = _shingle_hashes(spark, sf_dir).distinct()
+    dfreq = sh.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        sh.join(dfreq, "x")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.asc("df"), F.asc("x")
+                )
+            ),
+        )
+        .join(sizes, "doc_id")
+        # prefix length = n - ceil(tau*n) + 1, ceil(3n/10) = (3n+9) div 10
+        .where(F.col("rk") <= F.col("n") - F.expr("div(3*n + 9, 10)") + 1)
+        .select("doc_id", "x", "n")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "x")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: tau*max <= min, exact rational
+            & (
+                F.greatest(F.col("a.n"), F.col("b.n")) * 3
+                <= F.least(F.col("a.n"), F.col("b.n")) * 10
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("x")).alias("xs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("xs").alias("xs_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("xs").alias("xs_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("xs_a", "xs_b")).cast("long")
+        )
+        .withColumn("jaccard_e6", F.expr("div(inter * 1000000, na + nb - inter)"))
+        .where(F.col("jaccard_e6") >= PREFIX_TAU_E6)
+        .select("doc_a", "doc_b", "inter", "jaccard_e6")
+    )
 
 
 # ----------------------------------------------------- winnowing (MOSS)
@@ -1247,6 +1348,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_prefix_join": dedup_prefix_join,
     "dedup_winnow": dedup_winnow,
     "winnow_matches": winnow_matches,
     "doc_pagerank": doc_pagerank,
@@ -1272,6 +1374,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_ngram_jaccard": _ngram_oracle_sql(),
+    "dedup_prefix_join": _ngram_oracle_sql(PREFIX_TAU_E6),
     "dedup_winnow": _winnow_oracle_sql(),
     "winnow_matches": _winnow_matches_oracle_sql(),
     "doc_pagerank": _pagerank_oracle_sql(),

@@ -542,3 +542,68 @@ def test_corpus_card_accounting(spark, sf_dir):
     assert r.min_doc_tokens <= r.mean_doc_tokens <= r.max_doc_tokens
     assert r.dup_ppm == r.n_exact_dups * 1_000_000 // r.n_docs
     assert r.n_langs >= 1 and r.n_sources >= 1
+
+
+def test_prefix_join_complete_and_pruning(spark, sf_dir):
+    """dedup_prefix_join (round 5): (a) COMPLETENESS — the prefix-filter
+    join returns exactly the pairs the share-any-shingle baseline finds
+    at the same threshold (prefix filtering must have no false
+    negatives); (b) PRUNING — its candidate pair volume is a small
+    fraction of the share-any candidate volume, which is the reason the
+    operator exists."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    got = {
+        (r.doc_a, r.doc_b, r.inter, r.jaccard_e6)
+        for r in dedup.dedup_prefix_join(spark, sf_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.inter, r.jaccard_e6)
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir)
+        .where(F.col("jaccard_e6") >= dedup.PREFIX_TAU_E6)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # candidate-volume comparison: prefix-token join vs any-token join
+    sh = dedup._shingle_hashes(spark, sf_dir).distinct()
+    any_cand = (
+        sh.alias("a")
+        .join(sh.alias("b"), "x")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    dfreq = sh.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    ranked = (
+        sh.join(dfreq, "x")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("x"))
+            ),
+        )
+        .join(sizes, "doc_id")
+        .where(F.col("rk") <= F.col("n") - F.expr("div(3*n + 9, 10)") + 1)
+    )
+    prefix_cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "x")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.greatest(F.col("a.n"), F.col("b.n")) * 3
+                <= F.least(F.col("a.n"), F.col("b.n")) * 10
+            )
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert prefix_cand < 0.7 * any_cand, (prefix_cand, any_cand)
