@@ -411,7 +411,14 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix token, and the verify joins are id-keyed. ⌈τ·n⌉ is computed
     as the exact integer ``(3n + 9) div 10`` — no float boundary.
     """
-    sh = _shingle_hashes(spark, sf_dir).distinct()
+    # The shingle frame feeds FIVE consumers (df count, sizes, the ranked
+    # prefix, and the per-doc verify arrays) and the ranked prefix feeds
+    # both sides of the candidate self-join — without materialization
+    # Spark re-derives the explode+distinct subtree per reference (31
+    # exchanges measured vs 12 with the persists). Same plan-reuse
+    # contract as graph_triangles / text_sparse_sim (SCALE.md); callers
+    # clear the cache between repeated invocations (operators/__init__).
+    sh = _shingle_hashes(spark, sf_dir).distinct().persist()
     dfreq = sh.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ranked = (
@@ -428,6 +435,7 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # prefix length = n - ceil(tau*n) + 1, ceil(3n/10) = (3n+9) div 10
         .where(F.col("rk") <= F.col("n") - F.expr("div(3*n + 9, 10)") + 1)
         .select("doc_id", "x", "n")
+        .persist()
     )
     cand = (
         ranked.alias("a")
