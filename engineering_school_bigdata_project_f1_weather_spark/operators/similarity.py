@@ -216,14 +216,22 @@ def sim_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qb"),
         F.col("n2").alias("nb"),
     )
-    sim = vectors.sim_e6(
-        vectors.dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
-    )
+    # Verify on the Arrow batch path (round 5): the candidate set grows
+    # with the corpus's cluster density (378k pairs on the r5 sf0.1
+    # data — 19% of all pairs), and the interpreted per-pair dot was the
+    # regression the r4 verdict flagged on this entry. Bit-identical by
+    # the `_verify_pairs_arrow` contract; n_bands rides through.
+    import functools
+
     return (
         cand.join(av, "vec_a")
         .join(bv, "vec_b")
-        .select("vec_a", "vec_b", "n_bands", sim.alias("sim_e6"))
-        .where(F.col("sim_e6") >= LSH_VERIFY_MIN_E6)
+        .mapInPandas(
+            functools.partial(
+                _verify_pairs_arrow_nbands, min_e6=LSH_VERIFY_MIN_E6
+            ),
+            schema="vec_a long, vec_b long, n_bands int, sim_e6 long",
+        )
     )
 
 
@@ -581,6 +589,43 @@ def _ivf_trained_oracle_sql() -> str:
 # wall-clock than the old assign=4 configuration did.
 ASSIGN_LISTS = 6
 TARGET_LIST_SIZE = 80  # deployment sizing: k ≈ n / TARGET_LIST_SIZE
+
+
+def _verify_pairs_arrow_nbands(batches, min_e6: int):
+    """`_verify_pairs_arrow` twin that carries the band-collision count
+    through: (vec_a, vec_b, n_bands, qa, qb, na, nb) → (vec_a, vec_b,
+    n_bands, sim_e6). Same bit-exactness contract; used by the banded-LSH
+    verify stage (round 5 — the r3→r5 wall-time drift on sim_lsh_banded
+    isolated to candidate-volume growth in the regenerated corpus, 378k
+    pairs × ~10 µs/pair interpreted dot; the batch matmul removes the
+    per-pair interpreter cost)."""
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        A = np.vstack(pdf["qa"].to_numpy()).astype(np.int64, copy=False)
+        B = np.vstack(pdf["qb"].to_numpy()).astype(np.int64, copy=False)
+        d = np.einsum("ij,ij->i", A, B)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.floor(
+                d.astype(np.float64)
+                * 1_000_000.0
+                / np.sqrt(
+                    pdf["na"].to_numpy().astype(np.float64)
+                    * pdf["nb"].to_numpy().astype(np.float64)
+                )
+            )
+        s = np.where(np.isfinite(s), s, 0.0)
+        keep = s >= min_e6
+        yield pd.DataFrame(
+            {
+                "vec_a": pdf["vec_a"].to_numpy()[keep],
+                "vec_b": pdf["vec_b"].to_numpy()[keep],
+                "n_bands": pdf["n_bands"].to_numpy()[keep],
+                "sim_e6": s[keep].astype(np.int64),
+            }
+        )
 
 
 def _verify_pairs_arrow(batches, min_e6: int | None = None):
