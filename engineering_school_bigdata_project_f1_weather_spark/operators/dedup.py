@@ -323,12 +323,14 @@ def dedup_ngram_jaccard(
 ) -> DataFrame:
     """Exact pairwise Jaccard over 3-token shingles for pairs sharing ≥1
     shingle. This is the *verify* path — candidate generation by shared
-    shingle is quadratic in the worst case; at scale use dedup_minhash_lsh
-    for candidates first (guarded: refuses > QUADRATIC_GUARD_MAX_ROWS docs
-    unless ``allow_quadratic``)."""
+    shingle is quadratic in the worst case; at scale use
+    dedup_prefix_join (exact, prefix-filter candidates) or
+    dedup_minhash_lsh (approximate) first (guarded: refuses >
+    QUADRATIC_GUARD_MAX_ROWS docs unless ``allow_quadratic``)."""
     _guard_quadratic(
         _docs(spark, sf_dir), "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", allow_quadratic,
+        "dedup_prefix_join (exact) or dedup_minhash_lsh (approximate)",
+        allow_quadratic,
     )
     sh = _shingle_hashes(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
