@@ -375,10 +375,17 @@ def compare(prior_path: str, current: dict[str, float], factor: float = 1.5) -> 
         # reported so an empty comparison is visible).
         import re as _re
 
+        # Anchor the extraction to the queries object (ADVICE r5): a tail
+        # may carry other numeric non-query keys (future ratio fields),
+        # which an unanchored name:number scan would treat as timings.
+        tail = prior["tail"]
+        qpos = tail.rfind('"queries"')
+        if qpos >= 0:
+            tail = tail[qpos:]
         prior_q = {
             m.group(1): float(m.group(2))
-            for m in _re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', prior["tail"])
-            if m.group(1) not in ("value", "sf")
+            for m in _re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+            if m.group(1) not in ("value", "sf", "queries")
         }
     regressed = []
     matched = 0

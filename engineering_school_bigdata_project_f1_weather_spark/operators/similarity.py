@@ -278,6 +278,14 @@ WHERE {sim} >= {LSH_VERIFY_MIN_E6}
 
 K_CENTROIDS = 16  # coarse-quantizer size; centroid seeds are vec_id 1..16
 NPROBE = 4
+# Injective argmax tie-break multiplier for the `sim*ORD_MULT - centroid_id`
+# ordering key: the key is order-equivalent to (sim DESC, centroid_id ASC)
+# iff the multiplier exceeds the largest centroid id, so the old literal
+# 128 silently capped k at 128 (ADVICE r5: scaled_ann_params' k = n//80
+# passes that around 10k vectors). 2**21 matches _assign_lists_arrow's id
+# guard; sim is integer e6 (|sim| <= 1e6), so the key tops out near 2**41 —
+# exact in BIGINT on both engines and far below DOUBLE's 2**53 mantissa.
+ORD_MULT = 2**21
 
 
 def _seed_centroids(base: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
@@ -333,9 +341,10 @@ def _kmeans_iterations(base, cents, k: int, iters: int):
     for _ in range(iters):
         # Per-round assignment is the shared `_assign_lists` with
         # assign=1 — its (desc csim, asc centroid_id) ranking is the
-        # same total order the previous in-line `max_by(centroid_id,
-        # csim*128 - centroid_id)` encoded (csim is integer e6, so the
-        # composite could only tie on identical (csim, id)), and the
+        # same total order the `max_by(centroid_id, csim*ORD_MULT -
+        # centroid_id)` key encodes for any k < ORD_MULT (csim is
+        # integer e6, so the composite only ties on identical
+        # (csim, id); the kmeans oracle uses the same key), and the
         # helper's per-k dispatch gives training iterations the numpy
         # matmul path above ARROW_ASSIGN_MIN_K (r5: measured faster from
         # k=16 up — the r3 "Arrow 2× slower" note measured a pairwise
@@ -403,14 +412,14 @@ def sim_ivf(
     cents = centroids if centroids is not None else _seed_centroids(base)
 
     # Assignment: argmax_c sim(v, c), deterministic tie-break on the lower
-    # centroid id via an injective integer ordering key (centroid_id < 128).
+    # centroid id via an injective integer ordering key (k < ORD_MULT).
     csim = vectors.sim_e6(
         vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
     )
     scored = base.join(F.broadcast(cents), F.lit(True)).select(
         "vec_id",
         "centroid_id",
-        (csim * F.lit(128) - F.col("centroid_id")).alias("ord"),
+        (csim * F.lit(ORD_MULT) - F.col("centroid_id")).alias("ord"),
     )
     assign = scored.groupBy("vec_id").agg(
         F.max_by("centroid_id", "ord").alias("cluster")
@@ -433,7 +442,7 @@ def sim_ivf(
             "qq",
             "qn2",
             "centroid_id",
-            (qsim * F.lit(128) - F.col("centroid_id")).alias("ord"),
+            (qsim * F.lit(ORD_MULT) - F.col("centroid_id")).alias("ord"),
         )
         .withColumn("pr", F.row_number().over(pw))
         .where(F.col("pr") <= NPROBE)
@@ -488,7 +497,7 @@ en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
 ),
 assign AS (
     SELECT v.vec_id,
-           arg_max(c.centroid_id, {csim} * 128 - c.centroid_id) AS cluster
+           arg_max(c.centroid_id, {csim} * {ORD_MULT} - c.centroid_id) AS cluster
     FROM en v CROSS JOIN (SELECT centroid_id, q, n2 FROM cents) c
     GROUP BY v.vec_id
 ),
@@ -498,7 +507,7 @@ probes AS (
                c.centroid_id AS cluster,
                ROW_NUMBER() OVER (
                    PARTITION BY qs.vec_id
-                   ORDER BY ({qsim} * 128 - c.centroid_id) DESC
+                   ORDER BY ({qsim} * {ORD_MULT} - c.centroid_id) DESC
                ) AS pr
         FROM en qs CROSS JOIN (SELECT centroid_id, q, n2 FROM cents) c
         WHERE qs.vec_id % {QUERY_STRIDE} = 0
@@ -525,7 +534,7 @@ def _kmeans_cents_ctes(iters: int = 3, k: int = K_CENTROIDS) -> str:
     iteration — recursive CTEs cannot aggregate in the recursive term,
     same move as dedup's pagerank oracle). Every step is the identical
     exact-integer arithmetic the Spark loop runs: cosine-argmax assignment
-    with the injective ``sim*128 - centroid_id`` ordering key, per-(cluster,
+    with the injective ``sim*ORD_MULT - centroid_id`` ordering key, per-(cluster,
     pos) integer sums, the ``floor(s/c + 1/2) = (2s+c - pmod(2s+c,2c))//(2c)``
     rounded mean, and empty clusters keeping their previous centroid — so
     the trained centroids, and therefore the served top-k, match
@@ -541,7 +550,7 @@ def _kmeans_cents_ctes(iters: int = 3, k: int = K_CENTROIDS) -> str:
     for i in range(1, iters + 1):
         parts.append(f"""asg{i} AS (
     SELECT v.vec_id,
-           arg_max(c.centroid_id, {sim} * 128 - c.centroid_id) AS cluster
+           arg_max(c.centroid_id, {sim} * {ORD_MULT} - c.centroid_id) AS cluster
     FROM en v CROSS JOIN kc{i - 1} c
     GROUP BY v.vec_id
 ),
@@ -870,7 +879,7 @@ def _ann_verified_pairs(
     base = _quantized(spark, sf_dir)
     cents = kmeans_centroids(spark, sf_dir, k=k)
     ranked = (
-        _assign_lists(base, cents, assign)
+        _assign_lists(base, cents, assign, k=k)
         # n×assign tiny rows, but referenced on BOTH sides of the
         # candidate self-join — materialize once instead of re-running
         # the cross-join + window per side.
@@ -1051,9 +1060,9 @@ def ann_index_init(
     cents = _train_centroids(spark, base)
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     base.write.mode("overwrite").parquet(f"{index_path}/vectors")
-    _assign_lists(base, cents, ASSIGN_LISTS).write.mode("overwrite").parquet(
-        f"{index_path}/assign"
-    )
+    _assign_lists(base, cents, ASSIGN_LISTS, k=K_CENTROIDS).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/assign")
 
 
 def ann_index_update(

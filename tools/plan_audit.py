@@ -74,11 +74,16 @@ def _summary_row(name: str, tree: str, hits: list, allowed: list) -> str:
     joins = len(re.findall(r"Join", tree))
     exchanges = len(re.findall(r"Exchange", tree))
     arrow = len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", tree))
-    verdict = (
-        "RED:" + "+".join(hits)
-        if hits
-        else ("by-design:" + "+".join(allowed) if allowed else "clean")
-    )
+    if tree.startswith("<error:"):
+        # A failed plan build matches no red-flag regex and would render
+        # as "clean" — surface it as its own verdict instead (ADVICE r5).
+        verdict = "ERROR"
+    elif hits:
+        verdict = "RED:" + "+".join(hits)
+    elif allowed:
+        verdict = "by-design:" + "+".join(allowed)
+    else:
+        verdict = "clean"
     return (
         f"| {name} | {nodes} | {joins} | {exchanges} | {arrow} | {verdict} |"
     )
@@ -111,6 +116,10 @@ def main() -> int:
         hits = [k for k, rx in RED_FLAGS.items() if rx.search(tree)]
         allowed = [h for h in hits if h in ALLOWED.get(name, ())]
         hits = [h for h in hits if h not in ALLOWED.get(name, ())]
+        if tree.startswith("<error:"):
+            # broken plan build: count it like a red flag so the exit
+            # code (and the header line) reflects it (ADVICE r5)
+            hits = ["plan_error"]
         if hits:
             flags_summary[name] = hits
         rows.append(_summary_row(name, tree, hits, allowed))
