@@ -195,7 +195,7 @@ HAVING CAST(SUM(sv) AS BIGINT) != 0
 
 SPARSE_MAXDF = 100  # shingles in more docs than this are boilerplate → pruned
 SPARSE_IDF_CAP = 1_000_000  # bounds weights (and thus dot products) at any N
-SPARSE_MIN_E6 = 400_000  # report pairs with cosine ≥ 0.4
+SPARSE_MIN_E6 = 400_000  # report pairs with cosine ≥ 0.4 = τ
 
 
 def text_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,18 +215,56 @@ def text_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one division are the only float ops — IEEE-correctly-rounded on
     identical inputs in both engines, so results are bit-identical).
 
-    Plan shape: one narrow explode builds the (doc, shingle) frame; the
-    df aggregation is one shingle-keyed shuffle with map-side combine;
-    the pair join shuffles on the shingle key with per-key work bounded
-    by SPARSE_MAXDF²; per-pair dots and per-doc norms are partial-agg
-    shuffles.  At 100 TB the max-df cut is what keeps the self-join's
-    largest key at a constant ≤ maxdf² pairs."""
-    d = (
+    Plan shape (round 6, VERDICT r5 item 3): the shingle frame is built
+    with codegen ops and persisted once (see the inline comment — the
+    old interpreted per-row shingle transform, recomputed per consumer,
+    was the ACTUAL dominant scaling term: 3×17.8 s of the 58 s sf0.5
+    probe); the df aggregation is one shingle-keyed shuffle with
+    map-side combine; dots come from the inverted-index self-join on
+    the shingle key (per-key work bounded by SPARSE_MAXDF²) feeding a
+    map-side-combinable (doc_a, doc_b) hash aggregate — every operator
+    in the pair pipeline is whole-stage codegen.  Measured at sf0.1 /
+    sf0.5: 2.8 / 7.1 s, slope 2.5× on ×5 data (was 4.03×).
+
+    An AllPairs/PPJoin prefix+positional filter (Bayardo-Ma-Srikant
+    WWW'07; Xiao WWW'08) was implemented, hash-verified, and REJECTED
+    on measurement: exact candidate pruning (rarity-ordered prefixes at
+    β = τ²/(1+τ²), norm filter, first-shared-feature suffix bound) cut
+    candidates 26.5M → 9.1M at sf0.5, but the per-pair verify it
+    requires (interpreted map-intersection dot, ~50 µs/pair) cost far
+    more than the pure-codegen enumeration it saved (~0.1 µs/row over
+    28.8M co-occurrence rows) — 74 s vs 7 s end-to-end.  On a Zipfian
+    real-corpus vocabulary the cut is far larger and the trade can
+    flip; on THIS bench family the max-df cut already bounds every
+    posting list, so codegen enumeration wins at any probed scale.
+    Details in SCALE.md (round-6 sparse-sim note)."""
+    # Shingle construction via posexplode + window lead (round 6): the
+    # per-row `shingles_of_tokens` higher-order transform is interpreted
+    # (~10 µs/element), which made the shingle explode — not the pair
+    # join — the dominant scaling term (17.8 s of the 58 s sf0.5 probe,
+    # recomputed for each consumer).  posexplode/split/lead/concat_ws
+    # are all whole-stage-codegen; the window's doc_id shuffle carries
+    # narrow (doc, pos, token) rows once.  Semantics identical: distinct
+    # 3-token shingles per doc (the final .distinct() is array_distinct's
+    # set semantics; docs under 3 tokens yield no rows).  persist() —
+    # the frame feeds the df aggregation AND the posting join.
+    wt = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
         load_table_spread(spark, sf_dir, "documents")
-        .select("doc_id", texts.tokens(F.col("text")).alias("toks"))
-        .select("doc_id", texts.shingles_of_tokens(F.col("toks")).alias("shs"))
+        .select(
+            "doc_id", F.posexplode(texts.tokens(F.col("text"))).alias("pos", "tok")
+        )
+        .select(
+            "doc_id",
+            "tok",
+            F.lead("tok", 1).over(wt).alias("t1"),
+            F.lead("tok", 2).over(wt).alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("s"))
+        .distinct()
+        .persist()
     )
-    sh = d.select("doc_id", F.explode("shs").alias("s"))
     n_docs_df = load_table_spread(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -244,10 +282,9 @@ def text_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The weighted posting frame feeds THREE consumers (norms + both
     # sides of the pair join) — without a persist Spark re-derives the
-    # explode + df-join subtree for each, tripling the dominant cost
-    # (measured 9.8 → ~4 s at sf0.1).  A production pipeline writes this
-    # frame once as a bucketed postings table (exactly what
-    # text_postings models); persist() is the in-plan equivalent.
+    # df-join subtree for each.  A production pipeline writes this frame
+    # once as a bucketed postings table (exactly what text_postings
+    # models); persist() is the in-plan equivalent.
     weighted = sh.join(dfs, "s").persist()
     norms = weighted.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2")
