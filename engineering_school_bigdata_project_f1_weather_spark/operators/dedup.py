@@ -436,7 +436,7 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "doc_id")
         # prefix length = n - ceil(tau*n) + 1, ceil(3n/10) = (3n+9) div 10
         .where(F.col("rk") <= F.col("n") - F.expr("div(3*n + 9, 10)") + 1)
-        .select("doc_id", "x", "n")
+        .select("doc_id", "x", "n", "rk")
         .persist()
     )
     cand = (
@@ -448,6 +448,28 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.greatest(F.col("a.n"), F.col("b.n")) * 3
                 <= F.least(F.col("a.n"), F.col("b.n")) * 10
+            )
+            # Positional filter (PPJoin, round 6 — VERDICT r5 item 7):
+            # J ≥ 3/10 needs overlap I ≥ 3(na+nb)/13 (I/(na+nb−I) ≥ τ
+            # ⟺ I ≥ τ(na+nb)/(1+τ)); both docs sort shared tokens in
+            # the same global (df, x) order, so at the pair's FIRST
+            # shared token — positions (rk_a, rk_b), and it provably IS
+            # the first shared token overall (an earlier shared token
+            # would sit below both ranks, hence inside both prefixes) —
+            # overlap ≤ 1 + min(na−rk_a, nb−rk_b).  A row for a later
+            # shared token may fail the bound, but the pair survives
+            # through its first-shared-token row, where the bound is
+            # valid; integer form 13·ubound ≥ 3·(na+nb) is exact.
+            & (
+                13
+                * (
+                    1
+                    + F.least(
+                        F.col("a.n") - F.col("a.rk"),
+                        F.col("b.n") - F.col("b.rk"),
+                    )
+                )
+                >= 3 * (F.col("a.n") + F.col("b.n"))
             )
         )
         .select(

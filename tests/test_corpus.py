@@ -592,7 +592,7 @@ def test_prefix_join_complete_and_pruning(spark, sf_dir):
         .join(sizes, "doc_id")
         .where(F.col("rk") <= F.col("n") - F.expr("div(3*n + 9, 10)") + 1)
     )
-    prefix_cand = (
+    base = (
         ranked.alias("a")
         .join(ranked.alias("b"), "x")
         .where(
@@ -602,8 +602,28 @@ def test_prefix_join_complete_and_pruning(spark, sf_dir):
                 <= F.least(F.col("a.n"), F.col("b.n")) * 10
             )
         )
+    )
+    prefix_cand = base.select("a.doc_id", "b.doc_id").distinct().count()
+    assert prefix_cand < 0.7 * any_cand, (prefix_cand, any_cand)
+    # (c) POSITIONAL filter (round 6): the first-shared-token overlap
+    # bound must prune further on top of prefix+length — this is the
+    # candidate set the operator actually verifies.
+    pos_cand = (
+        base.where(
+            13
+            * (
+                1
+                + F.least(
+                    F.col("a.n") - F.col("a.rk"),
+                    F.col("b.n") - F.col("b.rk"),
+                )
+            )
+            >= 3 * (F.col("a.n") + F.col("b.n"))
+        )
         .select("a.doc_id", "b.doc_id")
         .distinct()
         .count()
     )
-    assert prefix_cand < 0.7 * any_cand, (prefix_cand, any_cand)
+    assert pos_cand < prefix_cand, (pos_cand, prefix_cand)
+    # completeness of the positionally-filtered set is already pinned by
+    # `got == want` above (the operator applies all three filters).
