@@ -159,6 +159,16 @@ def events_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (the pytest twin applies it in Python and pins the corrected
     estimate within tolerance of the exact DAU).
     """
+    return (
+        _hll_estimate(_daily_registers(spark, sf_dir), "day_us")
+        .orderBy("day_us")
+    )
+
+
+def _daily_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain HLL register frame (day_us, reg, m_reg) — the persisted
+    sketch a production pipeline stores; both the day entry and the
+    month merge derive from it."""
     e = load_events(spark, sf_dir).select(
         (
             F.col("ts_us") - F.col("ts_us") % (24 * 3600 * 1_000_000)
@@ -169,14 +179,19 @@ def events_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
         F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         e.select(
             "day_us", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho")
         )
         .groupBy("day_us", "reg")
         .agg(F.max("rho").alias("m_reg"))
     )
-    per_day = regs.groupBy("day_us").agg(
+
+
+def _hll_estimate(regs: DataFrame, grain: str) -> DataFrame:
+    """(grain, reg, m_reg) → (grain, n_zero_regs, z_scaled, hll_raw,
+    small_range): the FFGM raw estimator over any register frame."""
+    per = regs.groupBy(grain).agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(
             F.expr(f"cast(pow(2, {HLL_W_BITS + 1} - m_reg) as long)")
@@ -187,23 +202,49 @@ def events_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << (HLL_W_BITS + 1))
     )
     raw = F.expr(f"div({HLL_RAW_NUM}, z_scaled)")
-    return (
-        per_day.select(
-            "day_us",
-            (F.lit(HLL_M) - F.col("n_present")).alias("n_zero_regs"),
-            z_scaled.alias("z_scaled"),
-        )
-        .select(
-            "day_us",
-            "n_zero_regs",
-            "z_scaled",
-            raw.alias("hll_raw"),
-            (
-                (raw * 2 <= F.lit(5 * HLL_M)) & (F.col("n_zero_regs") > 0)
-            ).alias("small_range"),
-        )
-        .orderBy("day_us")
+    return per.select(
+        grain,
+        (F.lit(HLL_M) - F.col("n_present")).alias("n_zero_regs"),
+        z_scaled.alias("z_scaled"),
+    ).select(
+        grain,
+        "n_zero_regs",
+        "z_scaled",
+        raw.alias("hll_raw"),
+        (
+            (raw * 2 <= F.lit(5 * HLL_M)) & (F.col("n_zero_regs") > 0)
+        ).alias("small_range"),
     )
+
+
+def events_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain distinct users by MERGING the daily HLL register
+    frames (round 6, VERDICT r5 item 5) — the registry proof of the
+    property that makes sketches the 100 TB answer: the month sketch is
+    the register-wise MAX of its days' sketches, so stored daily
+    register tables (512 rows/day) roll up to ANY coarser grain without
+    touching raw events again.  The Spark side composes day → month
+    explicitly (the same `_daily_registers` frame ``events_dau_hll``
+    serves, merged by ``MAX(m_reg)`` per (month, register)); the ORACLE
+    sketches the month grain DIRECTLY from events — the hash gate
+    therefore validates the merge law itself, in-engine, not just the
+    pytest register-level pin (test_sketch.py).  Month = the same fixed
+    30-day calendar-free grid as events_dau_mau (MONTH_DAYS_US).
+    Day keys lie inside their month-grid bucket by construction
+    (86 400 s divides the 30-day grid), so day-grain → month-grid
+    assignment is exact."""
+    from .events import MONTH_DAYS_US
+
+    month_regs = (
+        _daily_registers(spark, sf_dir)
+        .withColumn(
+            "month_us",
+            F.col("day_us") - F.col("day_us") % F.lit(MONTH_DAYS_US),
+        )
+        .groupBy("month_us", "reg")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    return _hll_estimate(month_regs, "month_us").orderBy("month_us")
 
 
 _HLL_ORACLE = f"""
@@ -240,12 +281,52 @@ ORDER BY day_us
 """
 
 
+# Direct month-grain sketch over raw events: identical result to the
+# Spark side's day→month register merge IFF max-merge composes — the
+# hash equality IS the merge-law proof (see events_mau_hll docstring).
+_MAU_HLL_ORACLE = f"""
+WITH h AS (
+    SELECT epoch_us(ts) - epoch_us(ts) % {30 * 24 * 3_600_000_000}
+               AS month_us,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+               AS h
+    FROM events
+),
+regs AS (
+    SELECT month_us, h % {HLL_M} AS reg,
+           MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_W_BITS + 1}
+                    ELSE {HLL_W_BITS + 1} - LENGTH(bin(h // {HLL_M}))
+               END) AS m_reg
+    FROM h GROUP BY 1, 2
+),
+per_month AS (
+    SELECT month_us, COUNT(*) AS n_present,
+           CAST(SUM(CAST(POW(2, {HLL_W_BITS + 1} - m_reg) AS BIGINT))
+                AS BIGINT) AS z_present
+    FROM regs GROUP BY 1
+)
+SELECT month_us,
+       CAST({HLL_M} - n_present AS BIGINT) AS n_zero_regs,
+       CAST(z_present + ({HLL_M} - n_present) * {1 << (HLL_W_BITS + 1)}
+            AS BIGINT) AS z_scaled,
+       CAST({HLL_RAW_NUM} // (z_present + ({HLL_M} - n_present)
+            * {1 << (HLL_W_BITS + 1)}) AS BIGINT) AS hll_raw,
+       ({HLL_RAW_NUM} // (z_present + ({HLL_M} - n_present)
+            * {1 << (HLL_W_BITS + 1)})) * 2 <= {5 * HLL_M}
+           AND ({HLL_M} - n_present) > 0 AS small_range
+FROM per_month
+ORDER BY month_us
+"""
+
+
 QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_dau_hll": events_dau_hll,
+    "events_mau_hll": events_mau_hll,
 }
 
 ORACLE_SQL = {
     "events_heavy_hitters": _HH_ORACLE,
     "events_dau_hll": _HLL_ORACLE,
+    "events_mau_hll": _MAU_HLL_ORACLE,
 }

@@ -167,3 +167,38 @@ def test_hll_registers_merge_by_max(spark, sf_dir):
             k = (r.day_us, r.reg)
             merged[k] = max(merged.get(k, 0), r.m_reg)
     assert merged == whole
+
+
+def test_mau_hll_merged_estimate_tracks_exact_mau(spark, sf_dir):
+    """events_mau_hll (round 6): the month estimate produced by MERGING
+    daily register frames (register-wise MAX) must track the exact
+    month-grain distinct within the same 10% envelope as the day entry —
+    merging must cost no accuracy, because the merged registers are
+    identical to sketching the month directly (the registry oracle pins
+    that identity bit-for-bit; this test pins fidelity)."""
+    import math
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    rows = sketch.events_mau_hll(spark, sf_dir).collect()
+    exact = {
+        r.month_us: r.mau
+        for r in ev.load_events(spark, sf_dir)
+        .groupBy(
+            (F.col("ts_us") - F.col("ts_us") % ev.MONTH_DAYS_US).alias(
+                "month_us"
+            )
+        )
+        .agg(F.count_distinct("user_id").alias("mau"))
+        .collect()
+    }
+    assert len(rows) == len(exact) and len(rows) > 0
+    for r in rows:
+        if r.small_range and r.n_zero_regs > 0:
+            est = sketch.HLL_M * math.log(sketch.HLL_M / r.n_zero_regs)
+        else:
+            est = r.hll_raw
+        want = exact[r.month_us]
+        assert abs(est - want) <= 0.10 * want, (r.month_us, est, want)

@@ -851,3 +851,98 @@ def test_stream_transitions_state_bridges_microbatches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_vp_outer_null_emits_exactly_once(spark, tmp_path):
+    """Left-outer stream-stream join (round 6): an unmatched view must be
+    emitted with null purchase columns EXACTLY ONCE, and only after the
+    global watermark passes its match window — driven across two
+    micro-batches (mtime-pinned replay, maxFilesPerTrigger=1) so the
+    null row's full state lifecycle is exercised: buffered in batch 1,
+    closed and emitted by batch 2's watermark advance.  A trailing
+    unmatched view whose window the final watermark does NOT pass must
+    not emit at all (that is the semantic difference from a batch left
+    join, and exactly what the registry oracle's wm CTE replicates)."""
+    import datetime as dt
+    import glob
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, user, etype):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype, 1.0, "{}")
+
+    # file 1: user 1 converts in 30 min; user 2's view never converts
+    half1 = [
+        ev(1, 0, 1, "view"),
+        ev(2, 30, 1, "purchase"),
+        ev(3, 10, 2, "view"),
+    ]
+    # file 2: ~6 h later — advances both legs' watermarks (1 h delay)
+    # far past user 2's window [t+10m, t+70m]; user 3's trailing view is
+    # unmatched but its window is NOT closed by the final watermark
+    # (view at 360 m, window ends 420 m, final wm = 400 - 60 = 340 m
+    # on the view leg / purchase leg max 370 - 60 = 310 m -> global wm
+    # 310 m < 420 m), so it must NOT emit.
+    half2 = [
+        ev(4, 360, 3, "view"),
+        ev(5, 370, 3, "purchase"),  # 10 min later: matches user 3's view
+        ev(6, 400, 4, "view"),
+    ]
+    half_dir = str(tmp_path / "vp_outer_halves")
+    schema = TESTDATA_SCHEMAS["events"]
+    spark.createDataFrame(half1, schema).coalesce(1).write.parquet(
+        half_dir, mode="overwrite"
+    )
+    spark.createDataFrame(half2, schema).coalesce(1).write.parquet(
+        half_dir, mode="append"
+    )
+    parts = glob.glob(f"{half_dir}/part-*.parquet")
+    assert len(parts) == 2, parts
+
+    def _max_ts(p):
+        return spark.read.parquet(p).agg(
+            F.max(F.unix_micros("ts"))
+        ).collect()[0][0]
+
+    early, late = sorted(parts, key=_max_ts)
+    os.utime(early, (1_000_000_000, 1_000_000_000))
+    os.utime(late, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+        .withColumn("event_time", F.col("ts"))
+    )
+    out_dir = str(tmp_path / "vp_outer_out")
+    got_df = events_stream.run_available_now_append_to_parquet(
+        streamq.view_purchase_pipeline(
+            stream, how="left_outer", watermark=streamq.OUTER_WATERMARK
+        ),
+        out_dir,
+        spark,
+    )
+    rows = got_df.collect()
+    # user 1: matched pair, exactly once, exact delay
+    matched = [r for r in rows if r.view_id == 1]
+    assert len(matched) == 1 and matched[0].purchase_id == 2
+    assert matched[0].delay_us == 30 * 60 * 1_000_000
+    # user 2: the null row, EXACTLY once (not once per micro-batch)
+    nulls = [r for r in rows if r.view_id == 3]
+    assert len(nulls) == 1, rows
+    assert nulls[0].purchase_id is None and nulls[0].delay_us is None
+    # user 3: matched within file 2
+    m3 = [r for r in rows if r.view_id == 4]
+    assert len(m3) == 1 and m3[0].purchase_id == 5
+    # user 4: unmatched but window NOT closed by the final watermark:
+    # must be absent entirely
+    assert not [r for r in rows if r.view_id == 6], rows
+    assert len(rows) == 3, rows
