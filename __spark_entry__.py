@@ -62,48 +62,48 @@ _MODULES = [
     sketch, graph, olap_deep,
 ]
 
-# First-50 driver window for round 5: 45 never-driver-witnessed entries
-# (computed from CORRECTNESS_r01..r04 key union) + 5 least-recently
-# witnessed fillers.  Entries not listed keep their module order after
-# the window.
-_WINDOW_R5 = [
-    # olap_deep (16) — never driver-witnessed (selfcheck-green r4)
-    "tpch_returned_revenue", "tpch_top_supplier", "part_affinity_rules",
-    "tpch_small_qty_revenue", "tpch_priority_late_orders",
-    "customer_cohort_ltv", "supplier_concentration", "discount_elasticity",
-    "customer_rfm", "lineitem_benford", "tpch_cust_distribution",
-    "tpch_promo_share", "tpch_market_share", "tpch_supplier_counts",
-    "tpch_special_revenue", "tpch_idle_customers",
-    # graph (2) + sketch (1)
-    "graph_triangles", "graph_link_predict", "events_heavy_hitters",
-    # streamq round-4 additions (4)
-    "stream_transitions", "stream_dau", "stream_enriched", "stream_dedup",
-    # similarity round-4 additions (6)
-    "sim_ivf_pq", "sim_recall_report", "embedding_outliers",
-    "sim_pq", "sim_pq_trained", "sim_knn_graph",
-    # events wave-3 (5) + temporal scd2 (2)
-    "events_ewma", "events_dau_mau", "events_transitions", "events_ab_test",
-    "events_scd2", "events_scd2_lookup",
-    # multimodal tail (3)
-    "multimodal_dedup", "multimodal_fingerprint", "multimodal_segments",
-    # corpus tail (3) + search tail (3) + text tail (1)
-    "corpus_card", "sample_balanced", "sample_quality_weighted",
-    "text_sparse_sim", "documents_zipf", "text_keywords",
-    "text_collocations",
-    # round-5 additions (never witnessed by construction): the hard
-    # decorrelation (Q21), the aggregate-semi-join (Q18), the dual-role
-    # dim join (Q7), the HLL sketch, and the stream-stream join fill the
-    # last 5 window slots; tpch_forecast_revenue (trivial single-scan
-    # shape) sits first AFTER the window, covered by selfcheck.
-    "tpch_waiting_suppliers", "tpch_large_orders", "tpch_volume_shipping",
-    "events_dau_hll", "stream_view_purchase_join",
-    "tpch_forecast_revenue",
+# First-50 driver window for round 6 (VERDICT r5 item 1): slots 1-2 are
+# the only two entries never driver-witnessed across r1-r5
+# (dedup_prefix_join, tpch_forecast_revenue — both landed after the r5
+# window was fixed); slots 3-4 are the round-6 additions (never
+# witnessed by construction); the remaining 46 slots are exactly the 46
+# least-recently-witnessed entries (last green in CORRECTNESS_r03).
+# With this window green, the cross-round driver-witnessed union covers
+# the ENTIRE registry. Entries not listed keep module order after the
+# window; the full registry is additionally re-verified on current data
+# via tools/selfcheck.py → SELFCHECK_r06.json.
+_WINDOW_R6 = [
+    # never driver-witnessed (r5 additions that missed the window)
+    "dedup_prefix_join", "tpch_forecast_revenue",
+    # round-6 additions: left-outer stream-stream join, HLL month merge
+    "stream_view_purchase_outer", "events_mau_hll",
+    # r3-vintage (46): events waves 1-2
+    "events_hourly", "events_hourly_incremental", "events_sessionize",
+    "events_json", "events_anomaly", "events_funnel", "events_retention",
+    "events_resample", "events_user_spend_salted", "events_concurrency",
+    "events_asof_purchase", "events_value_bands", "events_multigrain",
+    # multimodal head
+    "multimodal_features", "multimodal_frames", "multimodal_energy",
+    # corpus / curate / text prep
+    "corpus_curate", "text_chunk", "text_contamination", "sample_split",
+    "text_repetition", "text_pii", "corpus_pack", "corpus_shuffle",
+    "sample_stratified", "corpus_mix", "corpus_forget",
+    # reshape / quality / temporal
+    "events_pivot", "weather_melt", "segment_overlap", "dq_lineitem",
+    "events_json_variant", "quality_score", "lineitem_snapshot_diff",
+    # search head
+    "text_postings", "text_search", "text_hash_embed",
+    # streaming wave-1
+    "stream_hourly", "stream_sessions",
+    # similarity wave-1
+    "sim_topk", "sim_lsh", "sim_lsh_banded", "sim_ivf", "sim_ivf_trained",
+    "dedup_embedding_ann", "sim_clusters",
 ]
 
 
 def _ordered(merged: dict) -> dict:
-    """Reorder a merged registry dict: _WINDOW_R5 first, rest in module order."""
-    out = {k: merged[k] for k in _WINDOW_R5 if k in merged}
+    """Reorder a merged registry dict: _WINDOW_R6 first, rest in module order."""
+    out = {k: merged[k] for k in _WINDOW_R6 if k in merged}
     out.update({k: v for k, v in merged.items() if k not in out})
     return out
 

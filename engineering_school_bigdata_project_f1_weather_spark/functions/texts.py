@@ -12,7 +12,7 @@ exact DuckDB twin so operator outputs hash-match the oracle:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 
 # English-ish stopword list used by langid / quality scoring. Shared with
 # the generated oracle SQL — single source of truth.
@@ -50,6 +50,37 @@ def shingles_of_tokens(t: Column, k: int = 3) -> Column:
         ),
     )
     return F.array_distinct(sh)
+
+
+def shingle_frame(
+    d: DataFrame, k: int = 3, doc_col: str = "doc_id", out: str = "g"
+) -> DataFrame:
+    """(doc_col, out): DISTINCT k-token shingles of a (doc_col, text)
+    frame — the FRAME-level twin of :func:`shingles_of_tokens`, built
+    entirely from whole-stage-codegen operators (posexplode + window
+    ``lead`` + concat_ws + distinct).
+
+    Why it exists (round 6): higher-order array lambdas are interpreted
+    (~10 µs/element), and the per-row transform was measured as the
+    DOMINANT scaling term of every shingle consumer (17.8 s of
+    text_sparse_sim's 58 s sf0.5 probe — SCALE.md).  This form pays one
+    narrow (doc, pos, token) shuffle for the window and keeps every
+    expression in codegen; identical shingle set (docs under k tokens
+    yield no rows, duplicates collapse)."""
+    wt = Window.partitionBy(doc_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(wt).alias(f"_t{j}") for j in range(1, k)]
+    return (
+        d.select(doc_col, F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+        .select(doc_col, "tok", *leads)
+        .where(F.col(f"_t{k - 1}").isNotNull())
+        .select(
+            doc_col,
+            F.concat_ws(
+                " ", "tok", *[f"_t{j}" for j in range(1, k)]
+            ).alias(out),
+        )
+        .distinct()
+    )
 
 
 def shingles_sql(text_expr: str, k: int = 3) -> str:

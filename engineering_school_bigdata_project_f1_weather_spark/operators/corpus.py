@@ -122,13 +122,11 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never shuffles — contamination at 100 TB is a broadcast
     semi-join + one per-doc count, not an all-pairs comparison.
     """
-    d = load_table_spread(spark, sf_dir, "documents").select(
-        "doc_id", texts.tokens(F.col("text")).alias("_t")
+    d = load_table_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    # codegen shingle frame (round 6) — see texts.shingle_frame
+    sh = texts.shingle_frame(d).select(
+        "doc_id", texts.hash32(F.col("g")).alias("x")
     )
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(texts.shingles_of_tokens(F.col("_t")))).alias("g"),
-    ).select("doc_id", texts.hash32(F.col("g")).alias("x"))
     eval_x = (
         sh.where(F.col("doc_id") % EVAL_STRIDE == 0).select("x").distinct()
     )

@@ -87,16 +87,12 @@ def _shingle_hashes_of(d: DataFrame) -> DataFrame:
     """Shingle-hash frame over an arbitrary (doc_id, text) frame — shared
     by the sf_dir path and the sampled recall audit.
 
-    Tokenizes into a materialized column first so the shingle lambda
-    references a cheap attribute, not a re-evaluated ``split`` (interpreted
-    higher-order lambdas re-run embedded expressions per element)."""
-    return (
-        d.select("doc_id", texts.tokens(F.col("text")).alias("_t"))
-        .select(
-            "doc_id",
-            F.explode(texts.shingles_of_tokens(F.col("_t"))).alias("g"),
-        )
-        .select("doc_id", texts.hash32(F.col("g")).alias("x"))
+    Round 6: built on :func:`texts.shingle_frame` (posexplode + window
+    lead — all codegen) instead of the interpreted per-row shingle
+    transform, which was measured as the dominant cost of every shingle
+    consumer (SCALE.md round-6 sparse-sim note). Identical shingle set."""
+    return texts.shingle_frame(d).select(
+        "doc_id", texts.hash32(F.col("g")).alias("x")
     )
 
 
@@ -692,13 +688,8 @@ WHERE (shared_fps * 1000000) // least(sa.nf, sb.nf) >= {WINNOW_MATCH_MIN_E6}
 def minhash_signatures(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """(doc_id, n, xs, mh0..mhH-1) signature rows for ``docs`` (doc_id,
     text) — the persisted state of the incremental dedup index."""
-    sh = (
-        docs.select("doc_id", texts.tokens(F.col("text")).alias("_t"))
-        .select(
-            "doc_id",
-            F.explode(texts.shingles_of_tokens(F.col("_t"))).alias("g"),
-        )
-        .select("doc_id", texts.hash32(F.col("g")).alias("x"))
+    sh = texts.shingle_frame(docs).select(
+        "doc_id", texts.hash32(F.col("g")).alias("x")
     )
     # n = size of the shingle SET (matches dedup_minhash_lsh's set-domain
     # verify arithmetic under hash collisions; see note there).

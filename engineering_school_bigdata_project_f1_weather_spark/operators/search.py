@@ -238,31 +238,15 @@ def text_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip; on THIS bench family the max-df cut already bounds every
     posting list, so codegen enumeration wins at any probed scale.
     Details in SCALE.md (round-6 sparse-sim note)."""
-    # Shingle construction via posexplode + window lead (round 6): the
-    # per-row `shingles_of_tokens` higher-order transform is interpreted
-    # (~10 µs/element), which made the shingle explode — not the pair
-    # join — the dominant scaling term (17.8 s of the 58 s sf0.5 probe,
-    # recomputed for each consumer).  posexplode/split/lead/concat_ws
-    # are all whole-stage-codegen; the window's doc_id shuffle carries
-    # narrow (doc, pos, token) rows once.  Semantics identical: distinct
-    # 3-token shingles per doc (the final .distinct() is array_distinct's
-    # set semantics; docs under 3 tokens yield no rows).  persist() —
-    # the frame feeds the df aggregation AND the posting join.
-    wt = Window.partitionBy("doc_id").orderBy("pos")
+    # Codegen shingle frame (round 6): the per-row shingle transform is
+    # interpreted (~10 µs/element) and was the dominant scaling term
+    # (17.8 s of the 58 s sf0.5 probe, recomputed per consumer) — see
+    # texts.shingle_frame and the SCALE.md round-6 note.  persist(): the
+    # frame feeds the df aggregation AND the posting join.
     sh = (
-        load_table_spread(spark, sf_dir, "documents")
-        .select(
-            "doc_id", F.posexplode(texts.tokens(F.col("text"))).alias("pos", "tok")
+        texts.shingle_frame(
+            load_table_spread(spark, sf_dir, "documents"), out="s"
         )
-        .select(
-            "doc_id",
-            "tok",
-            F.lead("tok", 1).over(wt).alias("t1"),
-            F.lead("tok", 2).over(wt).alias("t2"),
-        )
-        .where(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("s"))
-        .distinct()
         .persist()
     )
     n_docs_df = load_table_spread(spark, sf_dir, "documents").agg(

@@ -960,7 +960,12 @@ WHERE {sim} >= {EMBED_DUP_MIN_E6}
 KNN_GRAPH_DEGREE = 8  # neighbors kept per vector
 
 
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CENTROIDS,
+    assign: int = ASSIGN_LISTS,
+) -> DataFrame:
     """Approximate kNN GRAPH construction — each vector's top
     KNN_GRAPH_DEGREE neighbors (by exact integer cosine) among its IVF
     multi-assignment candidates: the standard input artifact for
@@ -980,9 +985,11 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists is missed, and the pinned ≥0.95 pair recall bounds that loss.
     """
     # -2e6 < floor(cosine*1e6) min (-1e6): keep every candidate's sim.
-    pairs = _ann_verified_pairs(
-        spark, sf_dir, K_CENTROIDS, ASSIGN_LISTS, -2_000_000
-    )
+    # The registry entry pins k=K_CENTROIDS for the exact unrolled-CTE
+    # oracle; a deployment passes scaled_ann_params' k so per-list pair
+    # enumeration stays bounded as the corpus grows (the sf0.5 probe
+    # times that path — SCALE.md round-6 second-decade table).
+    pairs = _ann_verified_pairs(spark, sf_dir, k, assign, -2_000_000)
     # Mirror via ONE narrow explode, not a self-union: a union would
     # re-run the whole candidate+verify subtree per branch (two
     # MapInPandas stages — pinned against in test_plans.py).
@@ -1049,18 +1056,32 @@ def _quantize_vectors(vectors_df: DataFrame) -> DataFrame:
 
 
 def ann_index_init(
-    spark: SparkSession, vectors_df: DataFrame, index_path: str
+    spark: SparkSession,
+    vectors_df: DataFrame,
+    index_path: str,
+    k: int | None = None,
 ) -> None:
     """Materialize the IVF near-dup index for an initial corpus: train the
     coarse quantizer on it (deterministic Lloyd's), then persist
     ``centroids/`` (k rows), ``vectors/`` (one row per vector — q, n2),
     and ``assign/`` (vec_id → its ASSIGN_LISTS lists). The embedding
-    twin of :func:`dedup.minhash_index_init`."""
+    twin of :func:`dedup.minhash_index_init`.
+
+    ``k`` defaults to the deployment sizing (``scaled_ann_params``:
+    k ≈ n/TARGET_LIST_SIZE, floored at K_CENTROIDS — identical to the
+    old fixed default on every test-sized corpus). A fixed k=16
+    quantizer under a growing corpus makes every update batch pay
+    quadratically growing per-list candidate enumeration (measured
+    ×7.6 wall on ×2.6 vectors at sf0.5 — SCALE.md round-6 note);
+    scaling k with n is what holds the list size, and therefore the
+    steady-state batch cost, roughly constant."""
     base = _quantize_vectors(vectors_df).cache()
-    cents = _train_centroids(spark, base)
+    if k is None:
+        k, _ = scaled_ann_params(base.count())
+    cents = _train_centroids(spark, base, k=k)
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     base.write.mode("overwrite").parquet(f"{index_path}/vectors")
-    _assign_lists(base, cents, ASSIGN_LISTS, k=K_CENTROIDS).write.mode(
+    _assign_lists(base, cents, ASSIGN_LISTS, k=k).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/assign")
 

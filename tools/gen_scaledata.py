@@ -22,8 +22,21 @@ how the DRIVER's own generator scales (measured on sf0.01 vs sf0.1):
   while growing both universes 5x. Other columns are carried through
   unchanged (the probed entry reads only orderkey/partkey; the full
   schema keeps load_table_spread happy).
+- events (round 6, for the stream-join probes): the driver scales rows
+  AND users 10x per decade over a FIXED Jan 1-30 span (10k/150 at
+  sf0.01, 100k/1500 at sf0.1), ts uniform over the span, event_type
+  uniform over 5 types, value ~ Exp(mean 50) rounded to cents (measured
+  median 34.7 = 50·ln2, max ≈ 50·ln n), props = {"k": Uniform[0,99]}.
+  sf0.5 = 500k rows / 7500 users, same span (per-user event density
+  thereby constant — the property the stream joins' state size depends
+  on).
+- embeddings (round 6, for the ANN probes): unit-norm 64-dim gaussian
+  vectors (measured: per-dim std = 1/8 = normalized N(0,1)^64, mean
+  pairwise cos 0.0, no structure), label ~ Uniform[0,9]. The driver's
+  row count scales x4 per x10 data (500 → 2000), i.e. n ∝ sf^0.602, so
+  sf0.5 gets round(2000·5^0.602) = 5263 vectors.
 
-Deterministic: fixed seeds, no wall-clock. Output is ~60 MB and
+Deterministic: fixed seeds, no wall-clock. Output is ~70 MB and
 .gitignored; re-run this script to regenerate.
 """
 
@@ -95,10 +108,57 @@ def gen_lineitem(con: duckdb.DuckDBPyConnection) -> None:
     )
 
 
+N_EVENTS = 500_000
+N_USERS = 7_500
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+SPAN_LO_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+SPAN_US = 30 * 24 * 3_600_000_000  # the driver's fixed 30-day span
+N_VECS = 5_263  # 2000 · 5^0.602 (the driver's ×4-per-decade law)
+EMBED_DIM = 64
+
+
+def gen_events(rng: np.random.Generator) -> pa.Table:
+    ts_us = np.sort(
+        rng.integers(SPAN_LO_US, SPAN_LO_US + SPAN_US, size=N_EVENTS)
+    )
+    value = np.round(rng.exponential(50.0, size=N_EVENTS), 2)
+    ks = rng.integers(0, 100, size=N_EVENTS)
+    return pa.table(
+        {
+            "event_id": pa.array(range(N_EVENTS), type=pa.int64()),
+            "ts": pa.array(ts_us, type=pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, N_USERS, size=N_EVENTS), type=pa.int64()
+            ),
+            "event_type": pa.array(
+                [EVENT_TYPES[i] for i in rng.integers(0, 5, size=N_EVENTS)]
+            ),
+            "value": pa.array(value, type=pa.float64()),
+            "props": pa.array([f'{{"k": {k}}}' for k in ks]),
+        }
+    )
+
+
+def gen_embeddings(rng: np.random.Generator) -> pa.Table:
+    v = rng.standard_normal((N_VECS, EMBED_DIM))
+    v = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), type=pa.int64()),
+            "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
+            "label": pa.array(
+                rng.integers(0, 10, size=N_VECS), type=pa.int32()
+            ),
+        }
+    )
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(425)
     pq.write_table(gen_documents(rng), f"{OUT}/documents.parquet")
+    pq.write_table(gen_events(rng), f"{OUT}/events.parquet")
+    pq.write_table(gen_embeddings(rng), f"{OUT}/embeddings.parquet")
     gen_lineitem(duckdb.connect())
     con = duckdb.connect()
     docs, uniq = con.execute(
