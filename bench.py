@@ -142,9 +142,11 @@ BENCH_QUERIES = [
     # quadratic dedup_ngram_jaccard baseline)
     "dedup_prefix_join",
     # round-6 additions: watermark-driven null emission (left-outer
-    # stream-stream drain) and the day→month HLL register merge
+    # stream-stream drain), the day→month HLL register merge, and the
+    # Count-Min point-frequency sketch
     "stream_view_purchase_outer",
     "events_mau_hll",
+    "events_user_cms",
 ]
 
 

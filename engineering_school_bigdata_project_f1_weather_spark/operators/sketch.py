@@ -281,6 +281,103 @@ ORDER BY day_us
 """
 
 
+# ------------------------------------------- Count-Min Sketch (round 6)
+# The third canonical mergeable summary (Cormode-Muthukrishnan 2005),
+# completing the family: Misra-Gries (exact heavy hitters, merge by
+# truncating union), HyperLogLog (distinct, merge by register MAX), CMS
+# (point frequency, merge by counter SUM). At 100 TB the counter table
+# is d·w rows REGARDLESS of key cardinality — per-partition partial
+# counts combine map-side and the merged table answers any point query
+# with est ≥ true and est ≤ true + εN (ε = e/w) w.h.p.
+CMS_D = 3  # hash rows
+CMS_W = 512  # buckets per row
+CMS_QUERY_STRIDE = 10  # queried keys: user_id % 10 == 0
+
+
+def events_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch over event user_ids + point-queried estimates —
+    EXACT-integer end to end so the DuckDB oracle (the identical sketch
+    formula) hashes bit-for-bit: bucket_r(u) = md5-hash32 of
+    ``'cms' || r || ':' || u`` mod w; counters = one (r, bucket) count
+    aggregate (map-side combinable, ≤ d·w = 1536 rows shuffled
+    regardless of user cardinality); the estimate for a queried key is
+    ``min_r counters[r, bucket_r(u)]``, joined against the BROADCAST
+    counter table. Output carries the exact count next to the estimate,
+    so the CMS overestimate guarantee (est ≥ true, pytest-pinned along
+    with the counter-SUM merge law) is visible in the result itself.
+    The query set (user_id % stride == 0) models the serving pattern —
+    point lookups against a tiny materialized summary, never a scan of
+    the raw events."""
+    e = load_events(spark, sf_dir).select("user_id")
+    rows = e.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r"),
+    ).select(
+        "user_id",
+        "r",
+        (
+            texts.hash32(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % CMS_W
+        ).alias("bucket"),
+    )
+    counters = rows.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    q = rows.where(F.col("user_id") % CMS_QUERY_STRIDE == 0).distinct()
+    est = (
+        q.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    true = (
+        e.where(F.col("user_id") % CMS_QUERY_STRIDE == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return (
+        est.join(true, "user_id")
+        .select("user_id", "n_true", "cms_est")
+        .orderBy("user_id")
+    )
+
+
+_CMS_ORACLE = f"""
+WITH rows AS (
+    SELECT user_id, r,
+           {texts.hash32_sql(
+               "'cms' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+           )} % {CMS_W} AS bucket
+    FROM events, (SELECT unnest([{', '.join(str(r) for r in range(CMS_D))}]) AS r)
+),
+counters AS (
+    SELECT r, bucket, COUNT(*) AS cnt FROM rows GROUP BY 1, 2
+),
+q AS (
+    SELECT DISTINCT user_id, r, bucket FROM rows
+    WHERE user_id % {CMS_QUERY_STRIDE} = 0
+),
+est AS (
+    SELECT q.user_id, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+    FROM q JOIN counters c ON c.r = q.r AND c.bucket = q.bucket
+    GROUP BY 1
+)
+SELECT e.user_id, CAST(t.n_true AS BIGINT) AS n_true, e.cms_est
+FROM est e
+JOIN (
+    SELECT user_id, COUNT(*) AS n_true FROM events
+    WHERE user_id % {CMS_QUERY_STRIDE} = 0 GROUP BY 1
+) t ON t.user_id = e.user_id
+ORDER BY e.user_id
+"""
+
+
 # Direct month-grain sketch over raw events: identical result to the
 # Spark side's day→month register merge IFF max-merge composes — the
 # hash equality IS the merge-law proof (see events_mau_hll docstring).
@@ -323,10 +420,12 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_dau_hll": events_dau_hll,
     "events_mau_hll": events_mau_hll,
+    "events_user_cms": events_user_cms,
 }
 
 ORACLE_SQL = {
     "events_heavy_hitters": _HH_ORACLE,
     "events_dau_hll": _HLL_ORACLE,
     "events_mau_hll": _MAU_HLL_ORACLE,
+    "events_user_cms": _CMS_ORACLE,
 }

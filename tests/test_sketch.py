@@ -202,3 +202,66 @@ def test_mau_hll_merged_estimate_tracks_exact_mau(spark, sf_dir):
             est = r.hll_raw
         want = exact[r.month_us]
         assert abs(est - want) <= 0.10 * want, (r.month_us, est, want)
+
+
+def test_cms_overestimates_and_merges_by_sum(spark, sf_dir):
+    """events_user_cms (round 6): (a) every estimate ≥ the exact count
+    (the CMS one-sided guarantee), with error bounded by εN (ε = e/w —
+    loose but non-vacuous at bench scale); (b) the merge law: counters
+    built on two disjoint halves of the events and merged by per-cell
+    SUM equal the whole-corpus counters — the property that lets
+    per-partition/per-day counter tables roll up without re-scanning."""
+    import math
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        texts,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    rows = sketch.events_user_cms(spark, sf_dir).collect()
+    assert rows
+    n_total = ev.load_events(spark, sf_dir).count()
+    eps_n = math.e / sketch.CMS_W * n_total
+    for r in rows:
+        assert r.cms_est >= r.n_true, r
+        assert r.cms_est <= r.n_true + eps_n * sketch.CMS_D, r
+
+    e = ev.load_events(spark, sf_dir).select("user_id")
+    buck = (
+        texts.hash32(
+            F.concat(
+                F.lit("cms"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % sketch.CMS_W
+    ).alias("bucket")
+
+    def counters_of(df):
+        return {
+            (r.r, r.bucket): r.cnt
+            for r in df.select(
+                "user_id",
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(sketch.CMS_D)])
+                ).alias("r"),
+            )
+            .select("r", buck)
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    whole = counters_of(e)
+    merged: dict = {}
+    for half in (
+        e.where(F.col("user_id") % 2 == 0),
+        e.where(F.col("user_id") % 2 == 1),
+    ):
+        for k, v in counters_of(half).items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
