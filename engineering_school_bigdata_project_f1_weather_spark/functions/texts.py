@@ -63,10 +63,14 @@ def shingle_frame(
     Why it exists (round 6): higher-order array lambdas are interpreted
     (~10 µs/element), and the per-row transform was measured as the
     DOMINANT scaling term of every shingle consumer (17.8 s of
-    text_sparse_sim's 58 s sf0.5 probe — SCALE.md).  This form pays one
+    text_sparse_sim's 58 s sf0.5 probe — SCALE.md).  This form pays ONE
     narrow (doc, pos, token) shuffle for the window and keeps every
     expression in codegen; identical shingle set (docs under k tokens
-    yield no rows, duplicates collapse)."""
+    yield no rows, duplicates collapse).  The per-doc dedup reuses the
+    window's doc_id hash partitioning (collect_set + explode instead of
+    a global DISTINCT — the groupBy's requirement is satisfied by the
+    window child, so no second exchange; the round-6 bench gate caught
+    the two-shuffle version regressing the loop-shaped consumers)."""
     wt = Window.partitionBy(doc_col).orderBy("pos")
     leads = [F.lead("tok", j).over(wt).alias(f"_t{j}") for j in range(1, k)]
     return (
@@ -79,7 +83,9 @@ def shingle_frame(
                 " ", "tok", *[f"_t{j}" for j in range(1, k)]
             ).alias(out),
         )
-        .distinct()
+        .groupBy(doc_col)
+        .agg(F.collect_set(out).alias("_shset"))
+        .select(doc_col, F.explode("_shset").alias(out))
     )
 
 
