@@ -53,12 +53,23 @@ def shingles_of_tokens(t: Column, k: int = 3) -> Column:
 
 
 def shingle_frame(
-    d: DataFrame, k: int = 3, doc_col: str = "doc_id", out: str = "g"
+    d: DataFrame,
+    k: int = 3,
+    doc_col: str = "doc_id",
+    out: str = "g",
+    dedup: bool = True,
 ) -> DataFrame:
     """(doc_col, out): DISTINCT k-token shingles of a (doc_col, text)
     frame — the FRAME-level twin of :func:`shingles_of_tokens`, built
     entirely from whole-stage-codegen operators (posexplode + window
     ``lead`` + concat_ws + distinct).
+
+    ``dedup=False`` skips the per-doc set dedup and returns raw shingle
+    OCCURRENCE rows (positional duplicates included) — for consumers
+    whose downstream aggregates absorb duplicates anyway (min-hash
+    signatures: MIN over rows and collect_set both ignore repeats), the
+    extra aggregation is pure per-batch latency (~0.4 s measured on the
+    incremental-index batch, the round-6 bench-gate finding).
 
     Why it exists (round 6): higher-order array lambdas are interpreted
     (~10 µs/element), and the per-row transform was measured as the
@@ -73,7 +84,7 @@ def shingle_frame(
     the two-shuffle version regressing the loop-shaped consumers)."""
     wt = Window.partitionBy(doc_col).orderBy("pos")
     leads = [F.lead("tok", j).over(wt).alias(f"_t{j}") for j in range(1, k)]
-    return (
+    rows = (
         d.select(doc_col, F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
         .select(doc_col, "tok", *leads)
         .where(F.col(f"_t{k - 1}").isNotNull())
@@ -83,7 +94,11 @@ def shingle_frame(
                 " ", "tok", *[f"_t{j}" for j in range(1, k)]
             ).alias(out),
         )
-        .groupBy(doc_col)
+    )
+    if not dedup:
+        return rows
+    return (
+        rows.groupBy(doc_col)
         .agg(F.collect_set(out).alias("_shset"))
         .select(doc_col, F.explode("_shset").alias(out))
     )

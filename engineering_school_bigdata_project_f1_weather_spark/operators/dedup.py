@@ -121,7 +121,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          shape touches the big table once, not three times).
     Output: (doc_a, doc_b, inter, un, jaccard_e6) for verified candidates.
     """
-    sh = _shingle_hashes(spark, sf_dir)
+    # dedup=False (round 6): mins' collect_set and MIN aggregates absorb
+    # duplicate shingle occurrences, so the per-doc dedup pass inside
+    # shingle_frame would only add a stage before an aggregation that
+    # deduplicates anyway.
+    sh = texts.shingle_frame(_docs(spark, sf_dir), dedup=False).select(
+        "doc_id", texts.hash32(F.col("g")).alias("x")
+    )
 
     # One pass over the shingle table yields the signature, the set size,
     # AND the set itself.  ``n`` is derived from the collected SET (not a
@@ -688,8 +694,22 @@ WHERE (shared_fps * 1000000) // least(sa.nf, sb.nf) >= {WINNOW_MATCH_MIN_E6}
 def minhash_signatures(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """(doc_id, n, xs, mh0..mhH-1) signature rows for ``docs`` (doc_id,
     text) — the persisted state of the incremental dedup index."""
-    sh = texts.shingle_frame(docs).select(
-        "doc_id", texts.hash32(F.col("g")).alias("x")
+    # Physical-strategy dispatch by regime (round 6, same philosophy as
+    # the per-k Arrow assignment crossover): this is the INCREMENTAL
+    # path, whose unit of work is a steering-sized batch — the window
+    # form of texts.shingle_frame pays a fixed exchange+sort+window
+    # ~0.3 s that dominates at batch scale (measured 0.65 → 0.95 s on
+    # the 2.5k-doc bench batch), while the interpreted per-row
+    # transform's cost is bounded by the SAME small batch. Corpus-scale
+    # scans (dedup_minhash_lsh, _shingle_hashes consumers) keep the
+    # codegen window form, which wins 3-10× there (SCALE.md).
+    sh = (
+        docs.select("doc_id", texts.tokens(F.col("text")).alias("_t"))
+        .select(
+            "doc_id",
+            F.explode(texts.shingles_of_tokens(F.col("_t"))).alias("g"),
+        )
+        .select("doc_id", texts.hash32(F.col("g")).alias("x"))
     )
     # n = size of the shingle SET (matches dedup_minhash_lsh's set-domain
     # verify arithmetic under hash collisions; see note there).
