@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     # stream-stream interval-join drain
     "tpch_waiting_suppliers",
     "tpch_large_orders",
+    # round-6: the reordered Q7 bilateral-trade join (VERDICT r5 item 2)
+    "tpch_volume_shipping",
     "events_dau_hll",
     "stream_view_purchase_join",
     # exact-Jaccard prefix-filter join (the unguarded scale path of the
