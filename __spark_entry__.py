@@ -78,8 +78,9 @@ _WINDOW_R6 = [
     # never driver-witnessed (r5 additions that missed the window)
     "dedup_prefix_join", "tpch_forecast_revenue",
     # round-6 additions: left-outer stream-stream join, HLL month merge,
-    # Count-Min point-frequency sketch
+    # Count-Min point-frequency sketch, Z-order layout maintenance
     "stream_view_purchase_outer", "events_mau_hll", "events_user_cms",
+    "lineitem_zorder_layout",
     # r3-vintage (46): events waves 1-2
     "events_hourly", "events_hourly_incremental", "events_sessionize",
     "events_json", "events_anomaly", "events_funnel", "events_retention",
@@ -98,9 +99,11 @@ _WINDOW_R6 = [
     "text_postings", "text_search", "text_hash_embed",
     # streaming wave-1
     "stream_hourly", "stream_sessions",
-    # similarity wave-1 (sim_clusters yields its slot to events_user_cms;
-    # it keeps its r3 driver row and the per-round selfcheck)
-    "sim_topk", "sim_lsh", "sim_lsh_banded", "sim_ivf", "sim_ivf_trained",
+    # similarity wave-1 (sim_clusters and sim_ivf yield their slots to
+    # the round-6 additions; both keep their r3 driver rows and the
+    # per-round selfcheck — sim_ivf_trained exercises the same serving
+    # plan with the trained quantizer)
+    "sim_topk", "sim_lsh", "sim_lsh_banded", "sim_ivf_trained",
     "dedup_embedding_ann",
 ]
 

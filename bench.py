@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "stream_view_purchase_outer",
     "events_mau_hll",
     "events_user_cms",
+    "lineitem_zorder_layout",
 ]
 
 

@@ -392,11 +392,120 @@ FROM s
 """
 
 
+# ------------------------------------------- Z-order layout (round 6)
+ZORDER_BITS = 16  # per-dimension resolution of the Z-curve
+ZORDER_FILES = 64  # target file count for the layout
+
+
+def _zorder_interleave(bp: str, bs: str, div) -> str:
+    """Bit-interleave two ZORDER_BITS-wide non-negative ints into one
+    Z-value, as pure integer arithmetic (no engine-specific bit ops):
+    bit i of ``bp`` lands at position 2i, of ``bs`` at 2i+1.  ``div``
+    formats integer division for the target engine."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"({div(bp, 1 << i)} % 2) * {1 << (2 * i)}")
+        terms.append(f"({div(bs, 1 << i)} % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout optimization (the lakehouse ``OPTIMIZE ZORDER BY``
+    primitive): cluster lineitem on the interleaved-bit Morton code of
+    (l_partkey, l_suppkey) and emit the per-file min/max pruning stats a
+    data-skipping scan would consult.  Output: one row per target file —
+    (file_id, n_rows, p_min, p_max, s_min, s_max), the footer/manifest
+    stats; tight per-file ranges on BOTH columns simultaneously is what
+    Z-ordering buys (a single-column sort gives tight ranges on one
+    column and full-domain ranges on the other — the clustering-gain
+    pytest pins the comparison).
+
+    Mechanics, identical in the oracle: each key is min-max normalized
+    to ZORDER_BITS bits (exact integer ``div((k−min)·(2^b−1), max−min)``
+    against a broadcast one-row range aggregate), the Z-value
+    interleaves the bit planes via pure integer arithmetic (generated
+    once, rendered for each engine's division operator — no engine
+    bit-op intrinsics), and rows land in ZORDER_FILES equal-height
+    buckets by ``ntile`` over the total (zval, l_orderkey,
+    l_linenumber) order.
+
+    Scale note: the exact global ntile is the ORACLE-reproducible
+    stand-in for what a 100 TB writer does with
+    ``repartitionByRange(ZORDER_FILES, zval).sortWithinPartitions`` —
+    sampled range boundaries instead of a single-partition window, same
+    layout up to boundary sampling error; the stats aggregation and the
+    skipping contract are unchanged.  Cited shape: Delta/Iceberg
+    OPTIMIZE ZORDER; the reference pipeline has no layout maintenance
+    at all (its marts are coalesce(1) parquet — SURVEY §2 S6)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    rng = li.agg(
+        F.min("l_partkey").alias("p_lo"),
+        F.max("l_partkey").alias("p_hi"),
+        F.min("l_suppkey").alias("s_lo"),
+        F.max("l_suppkey").alias("s_hi"),
+    )
+    top = (1 << ZORDER_BITS) - 1
+    bp = f"div((l_partkey - p_lo) * {top}, p_hi - p_lo)"
+    bs = f"div((l_suppkey - s_lo) * {top}, s_hi - s_lo)"
+    zexpr = _zorder_interleave(
+        bp, bs, lambda a, b: f"div({a}, {b})"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("zval", "l_orderkey", "l_linenumber")
+    return (
+        li.join(F.broadcast(rng))
+        .withColumn("zval", F.expr(zexpr))
+        .withColumn("file_id", F.ntile(ZORDER_FILES).over(w).cast("long"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("p_min"),
+            F.max("l_partkey").alias("p_max"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    top = (1 << ZORDER_BITS) - 1
+    bp = f"((l_partkey - p_lo) * {top} // (p_hi - p_lo))"
+    bs = f"((l_suppkey - s_lo) * {top} // (s_hi - s_lo))"
+    zexpr = _zorder_interleave(bp, bs, lambda a, b: f"({a} // {b})")
+    return f"""
+WITH rng AS (
+    SELECT MIN(l_partkey) AS p_lo, MAX(l_partkey) AS p_hi,
+           MIN(l_suppkey) AS s_lo, MAX(l_suppkey) AS s_hi
+    FROM lineitem
+),
+z AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {zexpr} AS zval
+    FROM lineitem, rng
+),
+f AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(NTILE({ZORDER_FILES}) OVER (
+               ORDER BY zval, l_orderkey, l_linenumber) AS BIGINT) AS file_id
+    FROM z
+)
+SELECT file_id, COUNT(*) AS n_rows,
+       MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+       MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+FROM f GROUP BY file_id ORDER BY file_id
+"""
+
+
 QUERIES = {
     "dq_lineitem": dq_lineitem,
     "events_json_variant": events_json_variant,
     "quality_score": quality_score,
     "lineitem_snapshot_diff": lineitem_snapshot_diff,
+    "lineitem_zorder_layout": lineitem_zorder_layout,
 }
 
 ORACLE_SQL = {
@@ -411,4 +520,5 @@ ORACLE_SQL = {
     """,
     "quality_score": _quality_score_oracle_sql(),
     "lineitem_snapshot_diff": _snapshot_diff_oracle_sql(),
+    "lineitem_zorder_layout": _zorder_oracle_sql(),
 }

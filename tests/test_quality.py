@@ -71,3 +71,71 @@ def test_events_concurrency_matches_bruteforce(spark, sf_dir):
                     instants.add(t)
         expect = max(active(t) for t in instants)
         assert peak == expect, (day, peak, expect)
+
+
+def test_zorder_files_prune_better_than_single_column_sort(spark, sf_dir):
+    """lineitem_zorder_layout (round 6): the point of Z-ordering is that
+    per-file min/max ranges are tight on BOTH clustered columns at once.
+    Compare against the same ntile layout ordered by l_partkey alone:
+    (a) the partkey-sorted layout is near-optimal on partkey but its
+    per-file suppkey ranges span ~the whole domain; the Z-order layout's
+    COMBINED normalized span must beat it; (b) a point-range predicate
+    on (partkey, suppkey) must prune more Z-order files than
+    single-sort files."""
+    import pyspark.sql.functions as F  # noqa: F811
+    from pyspark.sql import Window
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import quality
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    zfiles = quality.lineitem_zorder_layout(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    w = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    sfiles = (
+        li.withColumn("file_id", F.ntile(quality.ZORDER_FILES).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.min("l_partkey").alias("p_min"),
+            F.max("l_partkey").alias("p_max"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+        )
+        .collect()
+    )
+    rng = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("p_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("s_span"),
+    ).collect()[0]
+
+    def combined_span(files):
+        return sum(
+            (r.p_max - r.p_min) / rng.p_span + (r.s_max - r.s_min) / rng.s_span
+            for r in files
+        ) / len(files)
+
+    z_span, s_span = combined_span(zfiles), combined_span(sfiles)
+    assert z_span < s_span, (z_span, s_span)
+
+    # (b) pruning for a 10%x10% point-range predicate: count files whose
+    # stats intersect the box (those a skipping scan must read)
+    p_lo = min(r.p_min for r in zfiles)
+    s_lo = min(r.s_min for r in zfiles)
+    box_p = (p_lo, p_lo + rng.p_span // 10)
+    box_s = (s_lo, s_lo + rng.s_span // 10)
+
+    def files_read(files):
+        return sum(
+            1
+            for r in files
+            if not (r.p_max < box_p[0] or r.p_min > box_p[1])
+            and not (r.s_max < box_s[0] or r.s_min > box_s[1])
+        )
+
+    assert files_read(zfiles) < files_read(sfiles), (
+        files_read(zfiles),
+        files_read(sfiles),
+    )
