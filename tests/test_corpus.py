@@ -627,3 +627,57 @@ def test_prefix_join_complete_and_pruning(spark, sf_dir):
     assert pos_cand < prefix_cand, (pos_cand, prefix_cand)
     # completeness of the positionally-filtered set is already pinned by
     # `got == want` above (the operator applies all three filters).
+
+
+def test_shingle_frame_matches_per_row_transform(spark):
+    """texts.shingle_frame (round 6, the codegen window form) must
+    produce exactly the per-row `shingles_of_tokens` set for every doc —
+    including <k-token docs (no rows), exact-k docs (one shingle), and
+    repeated shingles (collapsed when dedup=True, positional occurrences
+    kept when dedup=False)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import texts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # 2 shingles
+            (2, "a b"),              # < k tokens: none
+            (3, "x y z"),            # exactly k: one
+            (4, "a b a b a b a"),    # repeats: dup shingles collapse
+            (5, ""),                 # empty text
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.g)
+        for r in texts.shingle_frame(docs).collect()
+    }
+    want = {
+        (r.doc_id, r.g)
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                texts.shingles_of_tokens(texts.tokens(F.col("text")))
+            ).alias("g"),
+        ).collect()
+    }
+    assert got == want and (2, "a b") not in {(d, g) for d, g in got}
+    assert (3, "x y z") in got
+    # dedup=False keeps positional occurrences: doc 4 has 5 shingle
+    # positions but only 2 distinct shingles
+    raw = [
+        r.g
+        for r in texts.shingle_frame(docs, dedup=False)
+        .where(F.col("doc_id") == 4)
+        .collect()
+    ]
+    assert len(raw) == 5 and len(set(raw)) == 2
+    # k parameter: bigrams of doc 1
+    bi = {
+        r.g
+        for r in texts.shingle_frame(docs, k=2)
+        .where(F.col("doc_id") == 1)
+        .collect()
+    }
+    assert bi == {"a b", "b c", "c d"}
