@@ -49,6 +49,9 @@ ALLOWED = {
     # Q22's scalar threshold: a ONE-ROW aggregate broadcast-cross-joined
     # onto customers — the textbook decorrelated scalar subquery.
     "tpch_idle_customers": {"nested_loop_inner"},
+    # the ONE-ROW min/max range aggregate broadcast onto lineitem for
+    # Z-value normalization — same decorrelated-scalar shape as Q22.
+    "lineitem_zorder_layout": {"nested_loop_inner"},
     # the same K=16 broadcast-centroid fan-out as sim_ivf / sim_ivf_trained
     # (coarse assignment scores every row against the tiny centroid table).
     "sim_ivf_pq": {"nested_loop_inner"},
