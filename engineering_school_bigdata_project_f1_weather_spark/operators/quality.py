@@ -454,7 +454,16 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("zval", "l_orderkey", "l_linenumber")
+    # The tie-break must make the order TOTAL over every column the
+    # stats aggregate: (l_orderkey, l_linenumber) is NOT unique in this
+    # lake (see ROW_KEY), and two equal-zval rows with different keys
+    # could otherwise swap files between engines. With (zval, orderkey,
+    # linenumber, partkey, suppkey), any remaining ties are rows
+    # identical in all aggregated columns — interchangeable for the
+    # per-file min/max/count output, so ntile stays deterministic.
+    w = Window.orderBy(
+        "zval", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
     return (
         li.join(F.broadcast(rng))
         .withColumn("zval", F.expr(zexpr))
@@ -490,7 +499,8 @@ z AS (
 f AS (
     SELECT l_partkey, l_suppkey,
            CAST(NTILE({ZORDER_FILES}) OVER (
-               ORDER BY zval, l_orderkey, l_linenumber) AS BIGINT) AS file_id
+               ORDER BY zval, l_orderkey, l_linenumber, l_partkey, l_suppkey
+           ) AS BIGINT) AS file_id
     FROM z
 )
 SELECT file_id, COUNT(*) AS n_rows,
