@@ -447,8 +447,10 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_suppkey").alias("s_hi"),
     )
     top = (1 << ZORDER_BITS) - 1
-    bp = f"div((l_partkey - p_lo) * {top}, p_hi - p_lo)"
-    bs = f"div((l_suppkey - s_lo) * {top}, s_hi - s_lo)"
+    # greatest(span, 1): a degenerate single-value column maps everything
+    # to bit-plane 0 instead of dividing by zero (ANSI throws on div/0)
+    bp = f"div((l_partkey - p_lo) * {top}, greatest(p_hi - p_lo, 1))"
+    bs = f"div((l_suppkey - s_lo) * {top}, greatest(s_hi - s_lo, 1))"
     zexpr = _zorder_interleave(
         bp, bs, lambda a, b: f"div({a}, {b})"
     )
@@ -482,8 +484,8 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _zorder_oracle_sql() -> str:
     top = (1 << ZORDER_BITS) - 1
-    bp = f"((l_partkey - p_lo) * {top} // (p_hi - p_lo))"
-    bs = f"((l_suppkey - s_lo) * {top} // (s_hi - s_lo))"
+    bp = f"((l_partkey - p_lo) * {top} // GREATEST(p_hi - p_lo, 1))"
+    bs = f"((l_suppkey - s_lo) * {top} // GREATEST(s_hi - s_lo, 1))"
     zexpr = _zorder_interleave(bp, bs, lambda a, b: f"({a} // {b})")
     return f"""
 WITH rng AS (

@@ -190,6 +190,15 @@ def test_operators_handle_empty_corpus(spark, tmp_path):
         events.events_hourly_incremental,
         similarity.dedup_embedding_ann,
     ]
+    # round-6 additions: prefix-filter join, sparse cosine, sketches,
+    # Z-order layout — all empty-in/empty-out
+    from engineering_school_bigdata_project_f1_weather_spark.operators import sketch
+
+    checks += [
+        dedup.dedup_prefix_join, search.text_sparse_sim,
+        sketch.events_dau_hll, sketch.events_mau_hll,
+        sketch.events_user_cms, quality.lineitem_zorder_layout,
+    ]
     for fn in checks:
         assert fn(spark, sf).count() == 0, fn.__name__
 
