@@ -65,11 +65,11 @@ _MODULES = [
 # First-50 driver window for round 6 (VERDICT r5 item 1): slots 1-2 are
 # the only two entries never driver-witnessed across r1-r5
 # (dedup_prefix_join, tpch_forecast_revenue — both landed after the r5
-# window was fixed); slots 3-5 are the round-6 additions (never
-# witnessed by construction); the remaining 45 slots are the
+# window was fixed); slots 3-6 are the four round-6 additions (never
+# witnessed by construction); the remaining 44 slots are the
 # least-recently-witnessed entries (last green in CORRECTNESS_r03 —
-# sim_clusters yields its slot to the third r6 addition and keeps its
-# r3 driver row).
+# sim_clusters and sim_ivf yield their slots to the r6 additions and
+# keep their r3 driver rows).
 # With this window green, the cross-round driver-witnessed union covers
 # the ENTIRE registry. Entries not listed keep module order after the
 # window; the full registry is additionally re-verified on current data
