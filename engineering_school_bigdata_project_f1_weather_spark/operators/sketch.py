@@ -167,25 +167,9 @@ def events_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _daily_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-grain HLL register frame (day_us, reg, m_reg) — the persisted
-    sketch a production pipeline stores; both the day entry and the
-    month merge derive from it."""
-    e = load_events(spark, sf_dir).select(
-        (
-            F.col("ts_us") - F.col("ts_us") % (24 * 3600 * 1_000_000)
-        ).alias("day_us"),
-        texts.hash32(F.col("user_id").cast("string")).alias("h"),
-    )
-    w = F.expr(f"div(h, {HLL_M})")
-    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
-    )
-    return (
-        e.select(
-            "day_us", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho")
-        )
-        .groupBy("day_us", "reg")
-        .agg(F.max("rho").alias("m_reg"))
-    )
+    sketch a production pipeline stores; the day entry, the month merge,
+    and the incremental index twins all derive from `_registers_of`."""
+    return _registers_of(load_events(spark, sf_dir))
 
 
 def _hll_estimate(regs: DataFrame, grain: str) -> DataFrame:
@@ -376,6 +360,59 @@ JOIN (
 ) t ON t.user_id = e.user_id
 ORDER BY e.user_id
 """
+
+
+# ------------------------------------- incremental HLL register table
+def hll_index_init(spark: SparkSession, events_df: DataFrame, path: str) -> None:
+    """Materialize the per-day HLL register table for an initial event
+    corpus — the persisted-sketch twin of dedup.minhash_index_init /
+    similarity.ann_index_init, for the continuous-ingest distinct-count
+    pipeline: the lake keeps ≤ m rows per day FOREVER and answers any
+    day/month/arbitrary-window distinct-user question by register-MAX
+    merge, never re-reading raw events."""
+    _registers_of(events_df).write.mode("overwrite").parquet(f"{path}/registers")
+
+
+def hll_index_update(
+    spark: SparkSession, new_events: DataFrame, path: str
+) -> DataFrame:
+    """Merge a new event batch into the register table: sketch the batch,
+    register-wise MAX against the stored frame, overwrite.  IDEMPOTENT —
+    re-delivering the same batch is absorbed because max(a, a) = a, so
+    an orchestrator retry is a no-op (the same contract as the minhash /
+    ANN index updates, via the merge law instead of an anti-join).
+    Returns the post-merge register frame; per-batch work is
+    O(|batch| + m·days-touched), never corpus-sized."""
+    old = spark.read.parquet(f"{path}/registers")
+    merged = (
+        old.unionByName(_registers_of(new_events))
+        .groupBy("day_us", "reg")
+        .agg(F.max("m_reg").alias("m_reg"))
+        .localCheckpoint()  # sever lineage from the file being overwritten
+    )
+    merged.write.mode("overwrite").parquet(f"{path}/registers")
+    return spark.read.parquet(f"{path}/registers")
+
+
+def _registers_of(events_df: DataFrame) -> DataFrame:
+    """(day_us, reg, m_reg) registers over an arbitrary (ts, user_id)
+    frame — the same pipeline `_daily_registers` runs on the sf_dir
+    path, factored for the index twins."""
+    e = events_df.select(
+        (
+            F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+        ).alias("day_us"),
+        texts.hash32(F.col("user_id").cast("string")).alias("h"),
+    )
+    w = F.expr(f"div(h, {HLL_M})")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        e.select("day_us", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho"))
+        .groupBy("day_us", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
 
 
 # Direct month-grain sketch over raw events: identical result to the

@@ -265,3 +265,34 @@ def test_cms_overestimates_and_merges_by_sum(spark, sf_dir):
         for k, v in counters_of(half).items():
             merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+def test_hll_index_update_merges_and_is_idempotent(spark, sf_dir, tmp_path):
+    """Continuous distinct-count shape (round 6): init the register table
+    on the first half of the time range, update with the second half —
+    the merged table must BIT-EQUAL the full-corpus registers (the
+    max-merge law as persisted state, the twin of the minhash/ANN index
+    tests); re-delivering the same batch must be a no-op (max(a,a)=a —
+    the orchestrator-retry contract)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    src = ev.load_events(spark, sf_dir)
+    mid = src.agg(F.expr("percentile_approx(ts_us, 0.5, 10000)")).collect()[0][0]
+    first = src.where(F.col("ts_us") < mid)
+    second = src.where(F.col("ts_us") >= mid)
+    idx = str(tmp_path / "hll_index")
+
+    sketch.hll_index_init(spark, first, idx)
+    merged = sketch.hll_index_update(spark, second, idx)
+    got = {(r.day_us, r.reg): r.m_reg for r in merged.collect()}
+    want = {
+        (r.day_us, r.reg): r.m_reg
+        for r in sketch._daily_registers(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    again = sketch.hll_index_update(spark, second, idx)
+    got2 = {(r.day_us, r.reg): r.m_reg for r in again.collect()}
+    assert got2 == want
