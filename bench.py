@@ -264,6 +264,37 @@ def _bench_ann_index_update(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_hll_index_update(spark, sf_dir: str) -> float:
+    """Incremental distinct-count batch cost (round 6): the register
+    table is built on the first half of the time range OUTSIDE the
+    measured span; timed is one register-MAX merge batch — the
+    steady-state cost of continuous sketch maintenance."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import sketch
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        load_events,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_hll_index_")
+    try:
+        src = load_events(spark, sf_dir)
+        mid = src.agg(
+            F.expr("percentile_approx(ts_us, 0.5, 10000)")
+        ).collect()[0][0]
+        sketch.hll_index_init(spark, src.where(F.col("ts_us") < mid), tmp)
+        t0 = time.perf_counter()
+        sketch.hll_index_update(
+            spark, src.where(F.col("ts_us") >= mid), tmp
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_bpe_train(spark, sf_dir: str) -> None:
     """BPE tokenizer training (round 4): one corpus-scale word-count pass
     + N_MERGES vocab-frame merge rounds; pytest-parity verified against a
@@ -282,6 +313,7 @@ EXTRA_BENCH = {
     "stream_stateful_drain": _bench_stream_stateful_drain,
     "dedup_embedding_ann": _bench_embedding_ann_scaled_k,
     "ann_index_update": _bench_ann_index_update,
+    "hll_index_update": _bench_hll_index_update,
     "text_bpe_train": _bench_bpe_train,
 }
 
