@@ -225,7 +225,13 @@ def test_cms_overestimates_and_merges_by_sum(spark, sf_dir):
     n_total = ev.load_events(spark, sf_dir).count()
     eps_n = math.e / sketch.CMS_W * n_total
     for r in rows:
+        # The HARD pin: est >= true is the deterministic CMS guarantee.
         assert r.cms_est >= r.n_true, r
+        # EMPIRICAL ENVELOPE ONLY (ADVICE r6): the epsilon-N bound is
+        # probabilistic per hash row (deterministic worst case is N), so
+        # this inequality is not a CMS guarantee — it documents the
+        # observed error on the fixed-seed testdata with a d× slack and
+        # may need loosening if the generator's seed/skew ever changes.
         assert r.cms_est <= r.n_true + eps_n * sketch.CMS_D, r
 
     e = ev.load_events(spark, sf_dir).select("user_id")
@@ -267,6 +273,46 @@ def test_cms_overestimates_and_merges_by_sum(spark, sf_dir):
     assert merged == whole
 
 
+def test_cms_monthly_equals_direct_month_sketch(spark, sf_dir):
+    """events_user_cms_monthly (round 7): the day→month counter-SUM
+    merge must equal sketching the month directly from events (the CMS
+    merge law, in-engine), and the day entry's expand-after-distinct
+    query set must equal the old distinct-after-expand set."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    got = sketch.events_user_cms_monthly(spark, sf_dir).collect()
+    assert got
+    # Direct month-grain sketch (no day intermediate), built inline:
+    e = ev.load_events(spark, sf_dir).select(
+        "user_id",
+        (
+            F.unix_micros("ts")
+            - F.unix_micros("ts") % ev.MONTH_DAYS_US
+        ).alias("month_us"),
+    )
+    direct = (
+        sketch._cms_expand(e)
+        .groupBy("month_us", "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    direct_counters = {
+        (r.month_us, r.r, r.bucket): r.cnt for r in direct.collect()
+    }
+    for r in got:
+        assert r.cms_est >= r.n_true, r
+        # the merged estimate must be the min over the DIRECT month
+        # counters of the user's buckets — i.e. merge == direct
+        buckets = [
+            (r.month_us, row.r, row.bucket)
+            for row in sketch._cms_expand(
+                spark.createDataFrame([(r.user_id,)], "user_id long")
+            ).collect()
+        ]
+        assert r.cms_est == min(direct_counters[b] for b in buckets), r
+
+
 def test_hll_index_update_merges_and_is_idempotent(spark, sf_dir, tmp_path):
     """Continuous distinct-count shape (round 6): init the register table
     on the first half of the time range, update with the second half —
@@ -296,3 +342,17 @@ def test_hll_index_update_merges_and_is_idempotent(spark, sf_dir, tmp_path):
     again = sketch.hll_index_update(spark, second, idx)
     got2 = {(r.day_us, r.reg): r.m_reg for r in again.collect()}
     assert got2 == want
+
+    # Durability contract (round 7, ADVICE r6): CURRENT always points at
+    # a complete snapshot, exactly one snapshot dir is live, and an
+    # orphan left by a crashed update is GC'd by the next successful one.
+    import os
+
+    live = sketch._hll_live(idx)
+    assert os.path.isdir(os.path.join(idx, live))
+    snaps = [d for d in os.listdir(idx) if d.startswith("registers_v")]
+    assert snaps == [live]
+    os.makedirs(os.path.join(idx, "registers_v99"))  # simulated crash debris
+    sketch.hll_index_update(spark, second, idx)
+    snaps = [d for d in os.listdir(idx) if d.startswith("registers_v")]
+    assert snaps == [sketch._hll_live(idx)]
