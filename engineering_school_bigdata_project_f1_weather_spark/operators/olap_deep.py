@@ -1350,6 +1350,466 @@ LIMIT {WAIT_TOP_K}
 """
 
 
+# --- Q2: min-cost supplier per part in a region (round 7) ----------------
+#
+# The lake has no partsupp/ps_supplycost; the observed (l_partkey,
+# l_suppkey) pairs stand in for partsupp (module docstring) and the
+# pair's supply cost is its MIN observed line price in cents — exact
+# integer, so the per-part minimum is engine-neutral.
+
+MINCOST_REGION = "EUROPE"
+MINCOST_SIZE = 15
+MINCOST_TYPE = "STANDARD"
+MINCOST_TOP_K = 100
+
+_PRICE_CENTS = "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one type under a size cap, the region's
+    minimum-cost supplier(s) — the canonical CORRELATED SCALAR SUBQUERY
+    on a different table (cost = the per-(part, region) minimum over
+    partsupp), decorrelated.
+
+    Decorrelated Spark form: the pair-cost table is cut to the region's
+    suppliers and the filtered parts FIRST (both broadcast-sized dims
+    applied below the pair aggregate, so the groupBy shuffles only the
+    surviving pairs), then the per-part minimum comes from a window MIN
+    over the already-aggregated pair frame — one extra exchange on
+    partkey over a pairs-sized input, never a re-scan per part.  The
+    ORACLE keeps the spec's correlated form (``cost = (SELECT MIN …
+    WHERE ps2.partkey = p.partkey AND …region)``), so the hash gate
+    validates the decorrelation itself, like tpch_waiting_suppliers.
+    Ties on the minimum cost emit ALL minimal suppliers (spec
+    semantics).  At 100 TB: part/supplier/nation/region broadcast; the
+    only fact-sized shuffle is the pair aggregate on (partkey,
+    suppkey)."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_size") <= MINCOST_SIZE)
+            & (F.col("p_type") == MINCOST_TYPE)
+        )
+        .select("p_partkey", "p_name")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == MINCOST_REGION
+    )
+    s_region = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r), n.n_regionkey == r.r_regionkey
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.floor(F.col("s_acctbal") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("acctbal_cents"),
+            "n_name",
+        )
+    )
+    pair_cost = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s_region), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            "acctbal_cents", "n_name",
+        )
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("cost_cents")
+        )
+    )
+    min_cost = F.min("cost_cents").over(Window.partitionBy("p_partkey"))
+    return (
+        pair_cost.withColumn("min_cost", min_cost)
+        .where(F.col("cost_cents") == F.col("min_cost"))
+        .select(
+            "acctbal_cents", "s_name", "n_name", "p_partkey", "p_name",
+            "cost_cents",
+        )
+        .orderBy(
+            F.desc("acctbal_cents"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(MINCOST_TOP_K)
+    )
+
+
+_MINCOST_ORACLE = f"""
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN({_PRICE_CENTS}) AS cost_cents
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT CAST(FLOOR(s.s_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents,
+       s.s_name, n.n_name, p.p_partkey, p.p_name, ps.cost_cents
+FROM part p, ps, supplier s, nation n, region r
+WHERE p.p_partkey = ps.ps_partkey
+  AND s.s_suppkey = ps.ps_suppkey
+  AND p.p_size <= {MINCOST_SIZE}
+  AND p.p_type = '{MINCOST_TYPE}'
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = '{MINCOST_REGION}'
+  AND ps.cost_cents = (
+      SELECT MIN(ps2.cost_cents)
+      FROM ps ps2, supplier s2, nation n2, region r2
+      WHERE ps2.ps_partkey = p.p_partkey
+        AND s2.s_suppkey = ps2.ps_suppkey
+        AND s2.s_nationkey = n2.n_nationkey
+        AND n2.n_regionkey = r2.r_regionkey
+        AND r2.r_name = '{MINCOST_REGION}')
+ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+LIMIT {MINCOST_TOP_K}
+"""
+
+# --- Q9: product-type profit by nation and year (round 7) ----------------
+
+PROFIT_NAME_LIKE = "%red%"
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line, by supplier nation and
+    order year — the 6-way join (lineitem, the partsupp stand-in,
+    part with a LIKE filter, supplier, nation, orders) whose point is
+    LIKE-filter pushdown and join ordering around two fact-sized inputs.
+
+    Supply cost stand-in: the pair's MIN observed unit price in cents
+    (min over its lineitems of floor(extendedprice/quantity·100+0.5) —
+    both engines run the identical IEEE-754 divide before quantizing).
+    Profit per lineitem = revenue cents − quantity × unit cost cents,
+    exact BIGINT.
+
+    Plan shape: the LIKE filter reaches the part scan and the part dim
+    broadcasts onto lineitem FIRST, so the pair-cost aggregate AND the
+    cost join both run on the product line's lineitems only (the pair's
+    cost over red-part lineitems equals its cost over all lineitems —
+    a pair belongs to exactly one part — which the oracle, whose ps CTE
+    aggregates ALL pairs, verifies through the hash gate).  The
+    pair-cost join reuses the (partkey, suppkey) exchange of the
+    aggregate that produced it; supplier⨝nation broadcasts; the only
+    other fact-fact shuffle is orderkey for the order year."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like(PROFIT_NAME_LIKE))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    ucost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.floor(
+                F.col("l_extendedprice") / F.col("l_quantity") * 100.0
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("ucost_cents")
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    amount = _rev_cents() - F.col("l_quantity").cast("long") * F.col(
+        "ucost_cents"
+    )
+    return (
+        l.join(ucost, ["l_partkey", "l_suppkey"])
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("nation", "o_year", amount.alias("amount_cents"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount_cents").alias("profit_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_PROFIT_ORACLE = f"""
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100.0 + 0.5)
+                    AS BIGINT)) AS ucost_cents
+    FROM lineitem GROUP BY 1, 2
+),
+profit AS (
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           {_REV} - CAST(l.l_quantity AS BIGINT) * ps.ucost_cents
+               AS amount_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '{PROFIT_NAME_LIKE}'
+)
+SELECT nation, o_year, CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
+FROM profit GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+# --- Q11: important stock in a nation (round 7) ---------------------------
+
+STOCK_NATION = "NATION_3"
+STOCK_FRAC_E4 = 10  # HAVING part_value > total_value * 10/10000 (0.1%)
+
+
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's total stock value — HAVING against a SCALAR SUBQUERY over
+    the SAME aggregate (per-part value > fraction × the all-parts
+    total).  Stock value stands in as the extendedprice cents shipped
+    by the nation's suppliers (no ps_availqty·ps_supplycost in this
+    lake).
+
+    Spark form: ONE aggregate per grain over the nation-filtered
+    lineitem — the per-part sums, and their one-row grand total
+    re-aggregated FROM the per-part frame (not a second scan) — then a
+    broadcast one-row cross join and an integer cross-multiplied
+    HAVING (value·10⁴ > total·frac_e4: no ratio division, exact).  The
+    oracle keeps the spec's scalar-subquery form.  At 100 TB the
+    nation filter broadcasts onto the scan, the partkey aggregate is
+    the only fact shuffle, and the total rides the aggregated frame
+    (≤ |parts| rows)."""
+    s_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(
+                    F.col("n_name") == STOCK_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("value_cents")
+        )
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_cents") * 10_000
+            > F.col("total_cents") * STOCK_FRAC_E4
+        )
+        .select("p_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+_STOCK_ORACLE = f"""
+SELECT l.l_partkey AS p_partkey,
+       CAST(SUM({_PRICE_CENTS}) AS BIGINT) AS value_cents
+FROM lineitem l, supplier s, nation n
+WHERE l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_name = '{STOCK_NATION}'
+GROUP BY 1
+HAVING SUM({_PRICE_CENTS}) * 10000 > (
+    SELECT SUM({_PRICE_CENTS}) * {STOCK_FRAC_E4}
+    FROM lineitem l2, supplier s2, nation n2
+    WHERE l2.l_suppkey = s2.s_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_name = '{STOCK_NATION}')
+ORDER BY value_cents DESC, p_partkey
+"""
+
+# --- Q12: ship-mode priority counts (round 7) -----------------------------
+#
+# The lake has no l_shipmode or commit/receipt dates: l_returnflag's
+# values stand in for ship modes, and "late" adapts to shipped > N days
+# after the order (the same lateness adaptation as
+# tpch_waiting_suppliers), applied identically in the oracle.
+
+SHIPMODE_MODES = ("A", "N")
+SHIPMODE_DATE_LO = "1997-01-01"
+SHIPMODE_DATE_HI = "1998-01-01"
+SHIPMODE_LATE_DAYS = 60
+SHIPMODE_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship mode, how many LATE lineitems belong to
+    high- vs low-priority orders — the conditional-aggregate-post-join
+    pattern (two CASE sums over one join, no second pass).
+
+    Plan shape: the mode and ship-date filters reach the lineitem scan
+    (PushedFilters); the lateness predicate needs o_orderdate so it
+    evaluates as the JOIN's post-condition; the two priority classes are
+    conditional sums in one partial+final aggregate — the spec's two
+    output columns never cost two queries."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin(*SHIPMODE_MODES)
+        & (F.col("l_shipdate") >= SHIPMODE_DATE_LO)
+        & (F.col("l_shipdate") < SHIPMODE_DATE_HI)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {SHIPMODE_LATE_DAYS} DAYS"
+    )
+    high = F.col("o_orderpriority").isin(*SHIPMODE_HIGH)
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+_SHIPMODE_ORACLE = f"""
+SELECT l.l_returnflag AS ship_mode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN
+                ({', '.join(f"'{p}'" for p in SHIPMODE_HIGH)})
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN
+                ({', '.join(f"'{p}'" for p in SHIPMODE_HIGH)})
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag IN ({', '.join(f"'{m}'" for m in SHIPMODE_MODES)})
+  AND l.l_shipdate >= DATE '{SHIPMODE_DATE_LO}'
+  AND l.l_shipdate < DATE '{SHIPMODE_DATE_HI}'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL {SHIPMODE_LATE_DAYS} DAY
+GROUP BY 1
+ORDER BY 1
+"""
+
+# --- Q20: potential promotion suppliers (round 7) -------------------------
+#
+# No ps_availqty: a (part, supplier) pair's "excess stock" adapts to
+# recency — the pair qualifies iff MORE than half its all-time shipped
+# quantity shipped inside the promo window (2·window_qty > total_qty,
+# exact e2 fixed point), over parts of one name prefix.
+
+PROMO_SUPP_NATION = "NATION_19"
+PROMO_SUPP_PREFIX = "blue"
+PROMO_SUPP_DATE_LO = "1999-01-01"
+PROMO_SUPP_DATE_HI = "2000-01-01"
+
+
+def promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation with promotion-eligible
+    stock of one product line — the spec's NESTED IN / correlated-scalar
+    chain (suppkey IN pairs-of-parts-IN-likeset WHERE qty-condition on a
+    correlated per-pair subquery), decorrelated to two levels of
+    semi-join.
+
+    Decorrelated Spark form: the LIKE part set broadcasts onto lineitem
+    (level-1 semi-join); ONE (partkey, suppkey) aggregate computes the
+    all-time and in-window quantity sums together (the correlated
+    subquery pair becomes two conditional sums in one pass); the
+    qualifying pairs' distinct suppkeys semi-join the nation-filtered
+    supplier dim (level 2).  The ORACLE keeps the spec's nested
+    IN + correlated scalar form, so the hash gate validates the
+    decorrelation.  At 100 TB: part and supplier broadcast; the pair
+    aggregate is the only fact shuffle; no per-pair re-scans."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"{PROMO_SUPP_PREFIX}%"))
+        .select("p_partkey")
+    )
+    qty_e2 = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("long")
+    in_window = (F.col("l_shipdate") >= PROMO_SUPP_DATE_LO) & (
+        F.col("l_shipdate") < PROMO_SUPP_DATE_HI
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty_e2).alias("total_qty_e2"),
+            F.sum(F.when(in_window, qty_e2).otherwise(0)).alias(
+                "window_qty_e2"
+            ),
+        )
+        .where(F.col("window_qty_e2") * 2 > F.col("total_qty_e2"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(
+                    F.col("n_name") == PROMO_SUPP_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        s.join(pairs, s.s_suppkey == pairs.l_suppkey, "left_semi")
+        .orderBy("s_suppkey")
+    )
+
+
+_QTY_E2 = "CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)"
+
+_PROMO_SUPP_ORACLE = f"""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s, nation n
+WHERE s.s_nationkey = n.n_nationkey
+  AND n.n_name = '{PROMO_SUPP_NATION}'
+  AND s.s_suppkey IN (
+      SELECT ps.l_suppkey
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      WHERE ps.l_partkey IN (
+            SELECT p_partkey FROM part
+            WHERE p_name LIKE '{PROMO_SUPP_PREFIX}%')
+        AND (SELECT COALESCE(SUM({_QTY_E2}), 0) FROM lineitem l2
+             WHERE l2.l_partkey = ps.l_partkey
+               AND l2.l_suppkey = ps.l_suppkey
+               AND l2.l_shipdate >= DATE '{PROMO_SUPP_DATE_LO}'
+               AND l2.l_shipdate < DATE '{PROMO_SUPP_DATE_HI}') * 2
+            > (SELECT SUM({_QTY_E2}) FROM lineitem l3
+               WHERE l3.l_partkey = ps.l_partkey
+                 AND l3.l_suppkey = ps.l_suppkey)
+  )
+ORDER BY s.s_suppkey
+"""
+
+
 QUERIES = {
     "tpch_returned_revenue": returned_revenue,
     "tpch_top_supplier": top_supplier,
@@ -1371,6 +1831,11 @@ QUERIES = {
     "tpch_volume_shipping": volume_shipping,
     "tpch_large_orders": large_orders,
     "tpch_waiting_suppliers": waiting_suppliers,
+    "tpch_min_cost_supplier": min_cost_supplier,
+    "tpch_product_profit": product_profit,
+    "tpch_important_stock": important_stock,
+    "tpch_shipmode_priority": shipmode_priority,
+    "tpch_promo_suppliers": promo_suppliers,
 }
 
 ORACLE_SQL = {
@@ -1394,4 +1859,9 @@ ORACLE_SQL = {
     "tpch_volume_shipping": _VOLUME_ORACLE,
     "tpch_large_orders": _LARGE_ORACLE,
     "tpch_waiting_suppliers": _WAITING_ORACLE,
+    "tpch_min_cost_supplier": _MINCOST_ORACLE,
+    "tpch_product_profit": _PROFIT_ORACLE,
+    "tpch_important_stock": _STOCK_ORACLE,
+    "tpch_shipmode_priority": _SHIPMODE_ORACLE,
+    "tpch_promo_suppliers": _PROMO_SUPP_ORACLE,
 }

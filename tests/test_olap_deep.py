@@ -18,6 +18,12 @@ NEW_ENTRIES = [
     "tpch_supplier_counts",
     "tpch_special_revenue",
     "tpch_idle_customers",
+    # round 7: the last five expressible TPC-H shapes (Q2/Q9/Q11/Q12/Q20)
+    "tpch_min_cost_supplier",
+    "tpch_product_profit",
+    "tpch_important_stock",
+    "tpch_shipmode_priority",
+    "tpch_promo_suppliers",
 ]
 
 
@@ -286,3 +292,129 @@ def test_cust_distribution_covers_all_customers(spark, sf_dir):
     rows = olap_deep.cust_distribution(spark, sf_dir).collect()
     total = sum(r.custdist for r in rows)
     assert total == load_table(spark, sf_dir, "customer").count()
+
+
+def test_min_cost_supplier_is_per_part_minimum(spark, sf_dir):
+    """Q2 (round 7): every emitted (part, supplier) carries the part's
+    true region-wide minimum pair cost, and ALL minimal suppliers are
+    emitted (spec tie semantics) — re-derived via a brute-force pass."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = olap_deep.min_cost_supplier(spark, sf_dir).collect()
+    assert rows
+    # brute-force per-part minimum over region suppliers
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == olap_deep.MINCOST_REGION
+    )
+    s_keys = {
+        x.s_suppkey
+        for x in load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .collect()
+    }
+    pair_cost = {}
+    for x in (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("c")
+        )
+        .collect()
+    ):
+        if x.l_suppkey in s_keys:
+            pair_cost.setdefault(x.l_partkey, {})[x.l_suppkey] = x.c
+    for row in rows:
+        per_part = pair_cost[row.p_partkey]
+        assert row.cost_cents == min(per_part.values()), row
+
+
+def test_shipmode_priority_counts_partition_late_lines(spark, sf_dir):
+    """Q12 (round 7): high + low counts per mode equal the total late
+    in-window lineitems of that mode (the two conditional sums
+    partition one join, never two passes)."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r.ship_mode: r for r in olap_deep.shipmode_priority(spark, sf_dir).collect()}
+    assert set(rows) <= set(olap_deep.SHIPMODE_MODES) and rows
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("l_returnflag").isin(*olap_deep.SHIPMODE_MODES)
+        & (F.col("l_shipdate") >= olap_deep.SHIPMODE_DATE_LO)
+        & (F.col("l_shipdate") < olap_deep.SHIPMODE_DATE_HI)
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {olap_deep.SHIPMODE_LATE_DAYS} DAYS")
+        )
+    )
+    totals = {
+        r.l_returnflag: r.n
+        for r in joined.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for mode, r in rows.items():
+        assert r.high_line_count + r.low_line_count == totals[mode]
+
+
+def test_promo_suppliers_pair_rule_brute_force(spark, sf_dir):
+    """Q20 (round 7): the decorrelated pair rule (2x window qty > total
+    qty over the prefix parts) reproduced per-pair in Python."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {r.s_suppkey for r in olap_deep.promo_suppliers(spark, sf_dir).collect()}
+    parts = {
+        x.p_partkey
+        for x in load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"{olap_deep.PROMO_SUPP_PREFIX}%"))
+        .collect()
+    }
+    nation_supp = {
+        x.s_suppkey
+        for x in load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").where(
+                F.col("n_name") == olap_deep.PROMO_SUPP_NATION
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .collect()
+    }
+    from collections import defaultdict
+
+    tot, win = defaultdict(int), defaultdict(int)
+    for x in load_table(spark, sf_dir, "lineitem").collect():
+        if x.l_partkey not in parts:
+            continue
+        q = int(x.l_quantity * 100.0 + 0.5)
+        k = (x.l_partkey, x.l_suppkey)
+        tot[k] += q
+        if (
+            str(olap_deep.PROMO_SUPP_DATE_LO)
+            <= x.l_shipdate.strftime("%Y-%m-%d")
+            < str(olap_deep.PROMO_SUPP_DATE_HI)
+        ):
+            win[k] += q
+    want = {
+        s for (pk, s) in tot if 2 * win[(pk, s)] > tot[(pk, s)]
+    } & nation_supp
+    assert got == want and got
