@@ -150,6 +150,15 @@ BENCH_QUERIES = [
     "events_mau_hll",
     "events_user_cms",
     "lineitem_zorder_layout",
+    # round-7 additions: the last five expressible TPC-H shapes
+    # (Q2/Q9/Q11/Q12/Q20) and the month-grain CMS counter-SUM merge
+    "tpch_min_cost_supplier",
+    "tpch_product_profit",
+    "tpch_important_stock",
+    "tpch_shipmode_priority",
+    "tpch_promo_suppliers",
+    "events_user_cms_monthly",
+    # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 
 
@@ -308,7 +317,19 @@ def _bench_bpe_train(spark, sf_dir: str) -> None:
         raise RuntimeError("BPE training learned no merges at bench scale")
 
 
+def _bench_zorder_write(spark, sf_dir: str) -> None:
+    """The scale-safe Z-order writer path (round 7, VERDICT r6 item 1):
+    repartitionByRange + sortWithinPartitions + per-file stats — the
+    layout job a deployment runs instead of the ntile oracle twin."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import quality
+
+    quality.zorder_write_layout(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 EXTRA_BENCH = {
+    "zorder_write": _bench_zorder_write,
     "minhash_index_update": _bench_minhash_index_update,
     "stream_stateful_drain": _bench_stream_stateful_drain,
     "dedup_embedding_ann": _bench_embedding_ann_scaled_k,

@@ -409,6 +409,35 @@ def _zorder_interleave(bp: str, bs: str, div) -> str:
     return " + ".join(terms)
 
 
+def _zvalued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem keys with their Morton z-value attached: min-max
+    normalize each key to ZORDER_BITS bits against a broadcast one-row
+    range aggregate, then interleave the bit planes with pure integer
+    arithmetic — shared by the oracle-form ntile entry and the
+    scale-safe range-partitioned writer, so the two layouts cluster on
+    the IDENTICAL z-value."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    rng = li.agg(
+        F.min("l_partkey").alias("p_lo"),
+        F.max("l_partkey").alias("p_hi"),
+        F.min("l_suppkey").alias("s_lo"),
+        F.max("l_suppkey").alias("s_hi"),
+    )
+    top = (1 << ZORDER_BITS) - 1
+    # greatest(span, 1): a degenerate single-value column maps everything
+    # to bit-plane 0 instead of dividing by zero (ANSI throws on div/0)
+    bp = f"div((l_partkey - p_lo) * {top}, greatest(p_hi - p_lo, 1))"
+    bs = f"div((l_suppkey - s_lo) * {top}, greatest(s_hi - s_lo, 1))"
+    zexpr = _zorder_interleave(bp, bs, lambda a, b: f"div({a}, {b})")
+    return (
+        li.join(F.broadcast(rng))
+        .withColumn("zval", F.expr(zexpr))
+        .drop("p_lo", "p_hi", "s_lo", "s_hi")
+    )
+
+
 def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER layout optimization (the lakehouse ``OPTIMIZE ZORDER BY``
     primitive): cluster lineitem on the interleaved-bit Morton code of
@@ -430,30 +459,17 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_linenumber) order.
 
     Scale note: the exact global ntile is the ORACLE-reproducible
-    stand-in for what a 100 TB writer does with
-    ``repartitionByRange(ZORDER_FILES, zval).sortWithinPartitions`` —
+    stand-in — its window sorts the whole table in ONE task, which is a
+    non-starter at 100 TB.  The writer a deployment runs is
+    :func:`zorder_write_layout` (round 7, VERDICT r6 item 1):
+    ``repartitionByRange(ZORDER_FILES, zval, …).sortWithinPartitions`` —
     sampled range boundaries instead of a single-partition window, same
     layout up to boundary sampling error; the stats aggregation and the
-    skipping contract are unchanged.  Cited shape: Delta/Iceberg
-    OPTIMIZE ZORDER; the reference pipeline has no layout maintenance
-    at all (its marts are coalesce(1) parquet — SURVEY §2 S6)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
-    )
-    rng = li.agg(
-        F.min("l_partkey").alias("p_lo"),
-        F.max("l_partkey").alias("p_hi"),
-        F.min("l_suppkey").alias("s_lo"),
-        F.max("l_suppkey").alias("s_hi"),
-    )
-    top = (1 << ZORDER_BITS) - 1
-    # greatest(span, 1): a degenerate single-value column maps everything
-    # to bit-plane 0 instead of dividing by zero (ANSI throws on div/0)
-    bp = f"div((l_partkey - p_lo) * {top}, greatest(p_hi - p_lo, 1))"
-    bs = f"div((l_suppkey - s_lo) * {top}, greatest(s_hi - s_lo, 1))"
-    zexpr = _zorder_interleave(
-        bp, bs, lambda a, b: f"div({a}, {b})"
-    )
+    skipping contract are unchanged and pinned against this entry by
+    tests/test_quality.py::test_zorder_writer_matches_ntile_contract.
+    Cited shape: Delta/Iceberg OPTIMIZE ZORDER; the reference pipeline
+    has no layout maintenance at all (its marts are coalesce(1) parquet
+    — SURVEY §2 S6)."""
     from pyspark.sql import Window
 
     # The tie-break must make the order TOTAL over every column the
@@ -467,9 +483,56 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zval", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     return (
-        li.join(F.broadcast(rng))
-        .withColumn("zval", F.expr(zexpr))
+        _zvalued(spark, sf_dir)
         .withColumn("file_id", F.ntile(ZORDER_FILES).over(w).cast("long"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("p_min"),
+            F.max("l_partkey").alias("p_max"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+_ZORDER_SORT_COLS = [
+    "zval", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+]
+
+
+def zorder_write_layout(
+    spark: SparkSession, sf_dir: str, n_files: int = ZORDER_FILES
+) -> DataFrame:
+    """The SCALE-SAFE Z-order writer (round 7, VERDICT r6 item 1): the
+    path a 100 TB OPTIMIZE job actually executes —
+    ``repartitionByRange(n_files, zval, …)`` (one reservoir-sample pass
+    picks the range boundaries; every task then receives and sorts only
+    ITS file's rows) followed by ``sortWithinPartitions`` (rows inside
+    each file land in z-order, so parquet row-group stats prune within
+    files too).  No single-partition window anywhere: the plan is
+    sample → shuffle → per-task sort, each stage fully parallel.
+
+    Emits the identical per-file stats contract as the hash-gated ntile
+    entry (file_id, n_rows, p_min, p_max, s_min, s_max; file_id = the
+    range-partition id).  File BOUNDARIES differ from the exact
+    equal-height ntile cut only by boundary-sampling error — the parity
+    pytest pins the contract that matters for skipping: same file
+    count, combined per-file span within tolerance of the ntile
+    layout's, and point-range files-read still beating a single-column
+    sort.  (Not a registry entry: sampled boundaries are
+    Spark-internal, so there is no bit-exact cross-engine oracle — the
+    ntile entry stays the oracle twin.)"""
+    z = _zvalued(spark, sf_dir)
+    return (
+        z.repartitionByRange(n_files, *[F.col(c) for c in _ZORDER_SORT_COLS])
+        .sortWithinPartitions(*_ZORDER_SORT_COLS)
+        .select(
+            F.spark_partition_id().cast("long").alias("file_id"),
+            "l_partkey",
+            "l_suppkey",
+        )
         .groupBy("file_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -139,3 +139,81 @@ def test_zorder_files_prune_better_than_single_column_sort(spark, sf_dir):
         files_read(zfiles),
         files_read(sfiles),
     )
+
+
+def test_zorder_writer_matches_ntile_contract(spark, sf_dir):
+    """zorder_write_layout (round 7, VERDICT r6 item 1): the scale-safe
+    repartitionByRange writer must deliver the SAME stats/skip contract
+    as the hash-gated ntile layout — (a) same file count and total rows,
+    (b) combined normalized per-file span within tolerance of the exact
+    equal-height layout (boundary sampling error only), (c) a point-range
+    predicate still prunes more writer files than single-column-sort
+    files."""
+    import pyspark.sql.functions as F  # noqa: F811
+    from pyspark.sql import Window
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import quality
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    zfiles = quality.lineitem_zorder_layout(spark, sf_dir).collect()
+    wfiles = quality.zorder_write_layout(spark, sf_dir).collect()
+    assert len(wfiles) == len(zfiles) == quality.ZORDER_FILES
+    assert sum(r.n_rows for r in wfiles) == sum(r.n_rows for r in zfiles)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    w = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    sfiles = (
+        li.withColumn("file_id", F.ntile(quality.ZORDER_FILES).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.min("l_partkey").alias("p_min"),
+            F.max("l_partkey").alias("p_max"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+        )
+        .collect()
+    )
+    rng = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("p_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("s_span"),
+    ).collect()[0]
+
+    def combined_span(files):
+        return sum(
+            (r.p_max - r.p_min) / rng.p_span + (r.s_max - r.s_min) / rng.s_span
+            for r in files
+        ) / len(files)
+
+    z_span, w_span, s_span = (
+        combined_span(zfiles),
+        combined_span(wfiles),
+        combined_span(sfiles),
+    )
+    # (b) sampled boundaries cost at most 25% clustering quality vs the
+    # exact equal-height cut, and the writer still beats the
+    # single-column sort outright
+    assert w_span <= z_span * 1.25, (w_span, z_span)
+    assert w_span < s_span, (w_span, s_span)
+
+    # (c) same 10%x10% point-range box as the ntile test
+    p_lo = min(r.p_min for r in zfiles)
+    s_lo = min(r.s_min for r in zfiles)
+    box_p = (p_lo, p_lo + rng.p_span // 10)
+    box_s = (s_lo, s_lo + rng.s_span // 10)
+
+    def files_read(files):
+        return sum(
+            1
+            for r in files
+            if not (r.p_max < box_p[0] or r.p_min > box_p[1])
+            and not (r.s_max < box_s[0] or r.s_min > box_s[1])
+        )
+
+    assert files_read(wfiles) < files_read(sfiles), (
+        files_read(wfiles),
+        files_read(sfiles),
+    )

@@ -108,6 +108,48 @@ def gen_lineitem(con: duckdb.DuckDBPyConnection) -> None:
     )
 
 
+def gen_tpch_side_tables(con: duckdb.DuckDBPyConnection) -> None:
+    """orders/part replicate with the SAME key offsets as lineitem (so
+    every fact-fact and fact-dim join keeps its sf0.1 match density:
+    each lineitem replica joins its own orders/part copy); supplier /
+    customer / nation / region carry through unchanged — l_suppkey and
+    o_custkey are carried in the fact replicas, so per-supplier and
+    per-customer fact density grows 5×, exactly like the pair-density
+    rule the lineitem replication already encodes (round 7, for the
+    deep-OLAP slope probes)."""
+    cols_o = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/orders.parquet'"
+        ).fetchall()
+    ]
+    carried_o = ", ".join(c for c in cols_o if c != "o_orderkey")
+    union_o = "\nUNION ALL\n".join(
+        f"SELECT o_orderkey + {r * 10_000_000} AS o_orderkey, {carried_o} "
+        f"FROM '{SRC}/orders.parquet'"
+        for r in range(REPLICAS)
+    )
+    con.execute(f"COPY ({union_o}) TO '{OUT}/orders.parquet' (FORMAT PARQUET)")
+    cols_p = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/part.parquet'"
+        ).fetchall()
+    ]
+    carried_p = ", ".join(c for c in cols_p if c != "p_partkey")
+    union_p = "\nUNION ALL\n".join(
+        f"SELECT p_partkey + {r * 1_000_000} AS p_partkey, {carried_p} "
+        f"FROM '{SRC}/part.parquet'"
+        for r in range(REPLICAS)
+    )
+    con.execute(f"COPY ({union_p}) TO '{OUT}/part.parquet' (FORMAT PARQUET)")
+    for t in ("supplier", "customer", "nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+            f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
 N_EVENTS = 500_000
 N_USERS = 7_500
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -160,6 +202,7 @@ def main() -> None:
     pq.write_table(gen_events(rng), f"{OUT}/events.parquet")
     pq.write_table(gen_embeddings(rng), f"{OUT}/embeddings.parquet")
     gen_lineitem(duckdb.connect())
+    gen_tpch_side_tables(duckdb.connect())
     con = duckdb.connect()
     docs, uniq = con.execute(
         f"SELECT count(*), count(DISTINCT md5(text)) "
