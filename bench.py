@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "tpch_shipmode_priority",
     "tpch_promo_suppliers",
     "events_user_cms_monthly",
+    # full-outer stream-stream drain (both unmatched sides' close rules)
+    "stream_view_purchase_full",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

@@ -328,8 +328,12 @@ def view_purchase_pipeline(
     unmatched view row is held in join state until the global watermark
     passes its match window, then emitted once with null purchase
     columns — for that variant the watermark must be FINITE (the outer
-    entry uses OUTER_WATERMARK), since null emission only happens when
-    the watermark actually closes windows."""
+    entries use OUTER_WATERMARK), since null emission only happens when
+    the watermark actually closes windows.  ``how='full_outer'``
+    additionally emits unmatched PURCHASES (null view columns) once the
+    watermark passes the purchase's own time — for that variant the
+    output user_id coalesces across the two legs (identity for
+    inner/left, where the view leg is always present)."""
     views = (
         ev.where(F.col("event_type") == "view")
         .select(
@@ -361,7 +365,11 @@ def view_purchase_pipeline(
             how,
         )
         .select(
-            "user_id",
+            (
+                F.coalesce(F.col("user_id"), F.col("buy_user"))
+                if how == "full_outer"
+                else F.col("user_id")
+            ).alias("user_id"),
             "view_id",
             "purchase_id",
             (
@@ -435,15 +443,23 @@ def stream_view_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-micro-batch test drives a row through that lifecycle across
     batches).
 
-    The oracle replicates the close rule bit-exactly (validated
-    empirically at two SFs before wiring): Spark tracks each leg's max
-    event time in whole milliseconds, so the global watermark is
-    ``min_leg(floor(max_leg_us/1000) − delay_ms)·1000``; a view emits
-    null iff unmatched AND ``view_time_us < wm_us − window_us`` (strict).
-    The matched rows are the same batch interval join as the inner
-    entry.  At scale the finite watermark is exactly what bounds join
-    state: view rows evict (and emit) one window past the watermark,
-    purchase rows evict at the watermark."""
+    The oracle replicates the close rule bit-exactly: Spark tracks each
+    leg's max event time in whole milliseconds, so the global watermark
+    is ``min_leg(floor(max_leg_us/1000) − delay_ms)·1000`` (an unset leg
+    contributes watermark 0 — the oracle COALESCEs each leg's subquery
+    to that sentinel, ADVICE r6); a view emits null iff unmatched AND
+    ``view_time_us ≤ wm_us − window_us − 1000``.  The −1 ms term was
+    pinned by round-7 boundary probes (crafted events at ±1 µs / ±1 ms
+    around every candidate threshold, full- and left-outer): the state
+    eviction bound Spark derives from the interval condition subtracts
+    one whole millisecond on the view side, so a view exactly AT
+    wm − window is retained and one at wm − window − 1 ms emits — the
+    r6 strict-< µs rule was correct on all real data (no view ever
+    landed in the 999 µs gap) but not at the exact boundary.  The
+    matched rows are the same batch interval join as the inner entry.
+    At scale the finite watermark is exactly what bounds join state:
+    view rows evict (and emit) one window past the watermark, purchase
+    rows evict at the watermark (see stream_view_purchase_full)."""
     joined = view_purchase_pipeline(
         events_stream.stream_events(spark, sf_dir),
         how="left_outer",
@@ -459,13 +475,18 @@ def stream_view_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "view_id", "purchase_id")
 
 
-_VP_OUTER_ORACLE = """
-WITH wm AS (
+# Shared oracle CTEs: the ms-floored per-leg watermark (COALESCE to the
+# 0 sentinel = Spark's unset-leg watermark, so degenerate one-leg streams
+# emit no null rows in BOTH engines — ADVICE r6), the matched interval
+# pairs, and the unmatched-view close rule (≤ wm − window − 1 ms,
+# boundary-probed — see stream_view_purchase_outer's docstring).
+_VP_WM_CTES = """
+wm AS (
   SELECT LEAST(
-    (SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000
-       FROM events WHERE event_type = 'view'),
-    (SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000
-       FROM events WHERE event_type = 'purchase')
+    COALESCE((SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000
+       FROM events WHERE event_type = 'view'), 0),
+    COALESCE((SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000
+       FROM events WHERE event_type = 'purchase'), 0)
   ) AS wm_us
 ),
 pairs AS (
@@ -479,21 +500,83 @@ pairs AS (
    AND p.ts > v.ts
    AND p.ts <= v.ts + INTERVAL 1 HOUR
 ),
-unmatched AS (
+unmatched_views AS (
   SELECT v.user_id, v.event_id AS view_id,
          CAST(NULL AS BIGINT) AS purchase_id,
          CAST(NULL AS BIGINT) AS delay_us
   FROM events v, wm
   WHERE v.event_type = 'view'
-    AND epoch_us(v.ts) < wm.wm_us - 3600000000
+    AND epoch_us(v.ts) <= wm.wm_us - 3600001000
     AND NOT EXISTS (
       SELECT 1 FROM events p
       WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
 )
+"""
+
+_VP_OUTER_ORACLE = f"""
+WITH {_VP_WM_CTES}
 SELECT * FROM pairs
 UNION ALL
-SELECT * FROM unmatched
+SELECT * FROM unmatched_views
+ORDER BY user_id, view_id, purchase_id
+"""
+
+
+def stream_view_purchase_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream interval join (round 7, VERDICT r6 item
+    7) — both unmatched sides: views that never converted (null purchase
+    columns, the left-outer entry's rule) AND purchases with no
+    preceding view (null view columns), each emitted exactly once when
+    the watermark proves no match can arrive.
+
+    What this entry pins beyond the left-outer one is the PURCHASE
+    side's close rule, which is DIFFERENT from the view side's: a
+    purchase matches views in [purchase_time − window, purchase_time),
+    so its state evicts AT the watermark — boundary-probed this round
+    (±1 µs / ±1 ms around every candidate threshold): an unmatched
+    purchase emits iff ``purchase_time_us ≤ wm_us`` exactly (at wm:
+    emitted; at wm + 1 µs: held), with NO −1 ms term, while the view
+    side keeps ≤ wm − window − 1 ms.  The asymmetry is Spark's state
+    watermark derivation from the two interval inequalities; the oracle
+    replicates both rules bit-exactly.  A two-batch pytest drives an
+    unmatched purchase through buffered→closed→emitted and asserts
+    exactly-once emission AND non-emission of a still-open trailing
+    purchase (tests/test_streaming.py)."""
+    joined = view_purchase_pipeline(
+        events_stream.stream_events(spark, sf_dir),
+        how="full_outer",
+        watermark=OUTER_WATERMARK,
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_drain_{spark.sparkContext.applicationId}_stream_vp_full",
+    )
+    out = events_stream.run_available_now_append_to_parquet(
+        joined, path, spark
+    )
+    return out.orderBy("user_id", "view_id", "purchase_id")
+
+
+_VP_FULL_ORACLE = f"""
+WITH {_VP_WM_CTES},
+unmatched_purchases AS (
+  SELECT p.user_id, CAST(NULL AS BIGINT) AS view_id,
+         p.event_id AS purchase_id,
+         CAST(NULL AS BIGINT) AS delay_us
+  FROM events p, wm
+  WHERE p.event_type = 'purchase'
+    AND epoch_us(p.ts) <= wm.wm_us
+    AND NOT EXISTS (
+      SELECT 1 FROM events v
+      WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+)
+SELECT * FROM pairs
+UNION ALL
+SELECT * FROM unmatched_views
+UNION ALL
+SELECT * FROM unmatched_purchases
 ORDER BY user_id, view_id, purchase_id
 """
 
@@ -502,6 +585,7 @@ QUERIES = {
     "stream_transitions": stream_transitions,
     "stream_view_purchase_join": stream_view_purchase_join,
     "stream_view_purchase_outer": stream_view_purchase_outer,
+    "stream_view_purchase_full": stream_view_purchase_full,
     "stream_dau": stream_dau,
     "stream_hourly": stream_hourly,
     "stream_sessions": stream_sessions,
@@ -520,6 +604,7 @@ ORACLE_SQL = {
     "stream_transitions": _TRANSITIONS_ORACLE,
     "stream_view_purchase_join": _VP_JOIN_ORACLE,
     "stream_view_purchase_outer": _VP_OUTER_ORACLE,
+    "stream_view_purchase_full": _VP_FULL_ORACLE,
     "stream_dau": _DAU_ORACLE,
     "stream_hourly": _HOURLY_ORACLE,
     "stream_sessions": _SESSIONS_ORACLE,

@@ -946,3 +946,90 @@ def test_stream_vp_outer_null_emits_exactly_once(spark, tmp_path):
     # must be absent entirely
     assert not [r for r in rows if r.view_id == 6], rows
     assert len(rows) == 3, rows
+
+
+def test_stream_vp_full_purchase_null_emits_exactly_once(spark, tmp_path):
+    """Full-outer stream-stream join (round 7): an unmatched PURCHASE
+    must be emitted with null view columns EXACTLY ONCE, and only after
+    the global watermark passes its own event time (the purchase side's
+    close rule — AT the watermark, no window offset, unlike the view
+    side) — driven across two micro-batches so the purchase's state
+    lifecycle is exercised: buffered in batch 1, closed and emitted by
+    batch 2's watermark advance.  A trailing unmatched purchase past the
+    final watermark must NOT emit."""
+    import datetime as dt
+    import glob
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, user, etype):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype, 1.0, "{}")
+
+    # file 1: user 1 converts in 30 min; user 2's purchase has no view
+    half1 = [
+        ev(1, 0, 1, "view"),
+        ev(2, 30, 1, "purchase"),
+        ev(3, 10, 2, "purchase"),
+    ]
+    # file 2: ~6 h later — view leg max 360 m -> wm 300 m; purchase leg
+    # max 400 m -> wm 340 m; global wm 300 m.  User 2's purchase (10 m)
+    # is <= 300 m -> emits null-view exactly once.  User 4's trailing
+    # purchase (400 m) is past the final wm -> must NOT emit.
+    half2 = [
+        ev(4, 360, 3, "view"),
+        ev(5, 370, 3, "purchase"),  # matches user 3's view
+        ev(6, 400, 4, "purchase"),
+    ]
+    half_dir = str(tmp_path / "vp_full_halves")
+    schema = TESTDATA_SCHEMAS["events"]
+    spark.createDataFrame(half1, schema).coalesce(1).write.parquet(
+        half_dir, mode="overwrite"
+    )
+    spark.createDataFrame(half2, schema).coalesce(1).write.parquet(
+        half_dir, mode="append"
+    )
+    parts = glob.glob(f"{half_dir}/part-*.parquet")
+    assert len(parts) == 2, parts
+
+    def _max_ts(p):
+        return spark.read.parquet(p).agg(
+            F.max(F.unix_micros("ts"))
+        ).collect()[0][0]
+
+    early, late = sorted(parts, key=_max_ts)
+    os.utime(early, (1_000_000_000, 1_000_000_000))
+    os.utime(late, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+        .withColumn("event_time", F.col("ts"))
+    )
+    out_dir = str(tmp_path / "vp_full_out")
+    got_df = events_stream.run_available_now_append_to_parquet(
+        streamq.view_purchase_pipeline(
+            stream, how="full_outer", watermark=streamq.OUTER_WATERMARK
+        ),
+        out_dir,
+        spark,
+    )
+    rows = got_df.collect()
+    # matched pairs, exactly once each
+    assert len([r for r in rows if r.view_id == 1 and r.purchase_id == 2]) == 1
+    assert len([r for r in rows if r.view_id == 4 and r.purchase_id == 5]) == 1
+    # user 2: the null-view row, EXACTLY once, with the coalesced user_id
+    nulls = [r for r in rows if r.purchase_id == 3]
+    assert len(nulls) == 1, rows
+    assert nulls[0].view_id is None and nulls[0].delay_us is None
+    assert nulls[0].user_id == 2  # coalesced from the purchase leg
+    # user 4's trailing purchase: still open -> not emitted
+    assert not [r for r in rows if r.purchase_id == 6], rows
