@@ -62,55 +62,49 @@ _MODULES = [
     sketch, graph, olap_deep,
 ]
 
-# First-50 driver window for round 6 (VERDICT r5 item 1): slots 1-2 are
-# the only two entries never driver-witnessed across r1-r5
-# (dedup_prefix_join, tpch_forecast_revenue — both landed after the r5
-# window was fixed); slots 3-6 are the four round-6 additions (never
-# witnessed by construction); the remaining 44 slots are the
-# least-recently-witnessed entries (last green in CORRECTNESS_r03 —
-# sim_clusters and sim_ivf yield their slots to the r6 additions and
-# keep their r3 driver rows).
-# With this window green, the cross-round driver-witnessed union covers
-# the ENTIRE registry. Entries not listed keep module order after the
-# window; the full registry is additionally re-verified on current data
-# via tools/selfcheck.py → SELFCHECK_r06.json.
-_WINDOW_R6 = [
-    # never driver-witnessed (r5 additions that missed the window)
-    "dedup_prefix_join", "tpch_forecast_revenue",
-    # round-6 additions: left-outer stream-stream join, HLL month merge,
-    # Count-Min point-frequency sketch, Z-order layout maintenance
-    "stream_view_purchase_outer", "events_mau_hll", "events_user_cms",
-    "lineitem_zorder_layout",
-    # r3-vintage (46): events waves 1-2
-    "events_hourly", "events_hourly_incremental", "events_sessionize",
-    "events_json", "events_anomaly", "events_funnel", "events_retention",
-    "events_resample", "events_user_spend_salted", "events_concurrency",
-    "events_asof_purchase", "events_value_bands", "events_multigrain",
-    # multimodal head
-    "multimodal_features", "multimodal_frames", "multimodal_energy",
-    # corpus / curate / text prep
-    "corpus_curate", "text_chunk", "text_contamination", "sample_split",
-    "text_repetition", "text_pii", "corpus_pack", "corpus_shuffle",
-    "sample_stratified", "corpus_mix", "corpus_forget",
-    # reshape / quality / temporal
-    "events_pivot", "weather_melt", "segment_overlap", "dq_lineitem",
-    "events_json_variant", "quality_score", "lineitem_snapshot_diff",
-    # search head
-    "text_postings", "text_search", "text_hash_embed",
-    # streaming wave-1
-    "stream_hourly", "stream_sessions",
-    # similarity wave-1 (sim_clusters and sim_ivf yield their slots to
-    # the round-6 additions; both keep their r3 driver rows and the
-    # per-round selfcheck — sim_ivf_trained exercises the same serving
-    # plan with the trained quantizer)
-    "sim_topk", "sim_lsh", "sim_lsh_banded", "sim_ivf_trained",
-    "dedup_embedding_ann",
+# First-50 driver window for round 7 (VERDICT r6 item 5): with the
+# cross-round driver-witnessed union at 152/152 after round 6, the
+# freshness gradient is the target — slots 1-7 are the seven round-7
+# additions (never witnessed by construction: the five TPC-H shapes
+# Q2/Q9/Q11/Q12/Q20, the month-grain CMS merge proof, and the
+# full-outer stream-stream join); slots 8-9 are the two r3-vintage
+# entries that yielded their r6 slots (sim_clusters, sim_ivf); the
+# remaining 41 slots are the least-recently-witnessed r4-vintage
+# entries — the whole marts surface (q1-q9, p1-p3, t6, t10), the whole
+# analytics module, and the r4 text/dedup heads that fit.  The
+# r4-vintage dedup tail (components/minhash/keep_best/…) rotates into
+# the r8 window; every entry is additionally re-verified on current
+# data via tools/selfcheck.py → SELFCHECK_r07.json.
+_WINDOW_R7 = [
+    # round-7 additions (never driver-witnessed)
+    "tpch_min_cost_supplier", "tpch_product_profit",
+    "tpch_important_stock", "tpch_shipmode_priority",
+    "tpch_promo_suppliers", "events_user_cms_monthly",
+    "stream_view_purchase_full",
+    # r3-vintage (yielded their r6 slots to the round-6 additions)
+    "sim_clusters", "sim_ivf",
+    # r4-vintage: the full reference-parity marts surface
+    "q1_wins", "q2_fastestlap", "q3_filter", "q4_weather",
+    "q5_evopoints", "q6_constructor", "q7_pitstops", "q8_circuit_stats",
+    "q9_top10", "p1_f1_formatted", "p2_weather_daily", "p3_combined",
+    "t6_parse_time", "t10_weather_filled",
+    # r4-vintage: the full analytics module
+    "orders_skyline", "orders_distribution", "tpch_pricing_summary",
+    "tpch_revenue_by_nation", "tpch_shipping_priority", "tpch_big_orders",
+    "orders_above_avg", "orders_rolling_7d", "tpch_revenue_rollup",
+    "top_orders_per_customer", "join_anti_customers",
+    "join_semi_customers", "join_outer_audit", "window_suite",
+    "tpch_quantiles", "tpch_cube", "tpch_grouping_sets",
+    "tpch_distinct_parts", "tpch_quantiles_approx",
+    # r4-vintage fill: text + dedup heads
+    "text_tokens", "text_langid", "text_langid_ngram", "text_quality",
+    "dedup_exact", "dedup_fingerprint", "dedup_simhash", "winnow_matches",
 ]
 
 
 def _ordered(merged: dict) -> dict:
-    """Reorder a merged registry dict: _WINDOW_R6 first, rest in module order."""
-    out = {k: merged[k] for k in _WINDOW_R6 if k in merged}
+    """Reorder a merged registry dict: _WINDOW_R7 first, rest in module order."""
+    out = {k: merged[k] for k in _WINDOW_R7 if k in merged}
     out.update({k: v for k, v in merged.items() if k not in out})
     return out
 

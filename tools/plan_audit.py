@@ -69,10 +69,59 @@ def tree_of(df) -> str:
     return head.replace("== Physical Plan ==\n", "").rstrip()
 
 
-def _summary_row(name: str, tree: str, hits: list, allowed: list) -> str:
-    """One diffable line per entry: structural counts from the plan tree.
-    Counts shift only when the plan SHAPE changes, so a round-over-round
-    diff of the summary surfaces exactly the entries worth re-reading."""
+def shuffle_rows_of(df) -> int:
+    """Total 'shuffle records written' across the EXECUTED plan's
+    exchanges (round 7, VERDICT r6 item 8) — the per-entry shuffle
+    VOLUME, so a round-over-round diff of PLANS_SUMMARY surfaces
+    shuffle-bloat regressions the structural counts can't see.
+
+    Executes the plan (collect — summary runs at small SF) and walks
+    the AQE final plan, summing each ShuffleExchange's
+    ``shuffleRecordsWritten`` metric, deduplicated by accumulator id so
+    a ReusedExchange counts its physical shuffle once.  Caveats: rows
+    shuffled by lineage that a ``localCheckpoint()`` severed (the
+    iterative operators) or that ran during plan BUILD (driver-steered
+    loops) are not in the final plan and are not counted — the column
+    is the serving-plan shuffle volume, same scope as the tree."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    seen: set = set()
+    total = 0
+
+    def walk(p) -> None:
+        nonlocal total
+        cls = p.getClass().getSimpleName()
+        try:
+            m = p.metrics()
+            if m.contains("shuffleRecordsWritten"):
+                metric = m.apply("shuffleRecordsWritten")
+                if metric.id() not in seen:
+                    seen.add(metric.id())
+                    total += metric.value()
+        except Exception:  # noqa: BLE001 — metric-less node
+            pass
+        if cls == "AdaptiveSparkPlanExec":
+            walk(p.executedPlan())
+        if cls.endswith("QueryStageExec"):
+            try:
+                walk(p.plan())
+            except Exception:  # noqa: BLE001
+                pass
+        ch = p.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return total
+
+
+def _summary_row(
+    name: str, tree: str, hits: list, allowed: list, shuffle_rows
+) -> str:
+    """One diffable line per entry: structural counts from the plan tree
+    plus the executed shuffle volume. Counts shift only when the plan
+    SHAPE (or shuffle volume) changes, so a round-over-round diff of
+    the summary surfaces exactly the entries worth re-reading."""
     nodes = len(re.findall(r"^\s*[+:]?-", tree, re.M)) or len(tree.splitlines())
     joins = len(re.findall(r"Join", tree))
     exchanges = len(re.findall(r"Exchange", tree))
@@ -87,8 +136,10 @@ def _summary_row(name: str, tree: str, hits: list, allowed: list) -> str:
         verdict = "by-design:" + "+".join(allowed)
     else:
         verdict = "clean"
+    sr = "-" if shuffle_rows is None else str(shuffle_rows)
     return (
-        f"| {name} | {nodes} | {joins} | {exchanges} | {arrow} | {verdict} |"
+        f"| {name} | {nodes} | {joins} | {exchanges} | {arrow} | {sr} "
+        f"| {verdict} |"
     )
 
 
@@ -112,10 +163,18 @@ def main() -> int:
     rows = []
     flags_summary = {}
     for name, fn in entrymod.queries().items():
+        df = None
         try:
-            tree = tree_of(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            tree = tree_of(df)
         except Exception as e:  # noqa: BLE001
             tree = f"<error: {e}>"
+        sr = None
+        if summary and df is not None:
+            try:
+                sr = shuffle_rows_of(df)
+            except Exception:  # noqa: BLE001 — row stays "-"
+                sr = None
         hits = [k for k, rx in RED_FLAGS.items() if rx.search(tree)]
         allowed = [h for h in hits if h in ALLOWED.get(name, ())]
         hits = [h for h in hits if h not in ALLOWED.get(name, ())]
@@ -125,7 +184,7 @@ def main() -> int:
             hits = ["plan_error"]
         if hits:
             flags_summary[name] = hits
-        rows.append(_summary_row(name, tree, hits, allowed))
+        rows.append(_summary_row(name, tree, hits, allowed, sr))
         flag_line = f"\n\n**RED FLAGS: {', '.join(hits)}**" if hits else ""
         if allowed:
             flag_line += (
@@ -147,8 +206,9 @@ def main() -> int:
             "Structural counts per `queries()` plan — diff this artifact\n"
             "round-over-round; re-run without `--summary` for full trees.\n\n"
             + flag_head
-            + "\n\n| entry | nodes | joins | exchanges | arrow-boundaries | verdict |\n"
-            "|---|---|---|---|---|---|\n"
+            + "\n\n| entry | nodes | joins | exchanges | arrow-boundaries "
+            "| rows-shuffled | verdict |\n"
+            "|---|---|---|---|---|---|---|\n"
             + "\n".join(rows)
             + "\n"
         )
