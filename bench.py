@@ -357,6 +357,10 @@ SLOPE_QUERIES = [
     # round-4 third wave: the shingle-bucketed sparse-cosine join and the
     # support-thresholded link-prediction wedge join
     "text_sparse_sim", "graph_link_predict",
+    # round-7: the heaviest new TPC-H shape (6-way join + pair-cost
+    # aggregate), the month-grain CMS merge, and the scale-safe Z-order
+    # writer (EXTRA_BENCH dispatch) — sf0.5 side tables exist since r7
+    "tpch_product_profit", "events_user_cms_monthly", "zorder_write",
 ]
 
 

@@ -1033,3 +1033,66 @@ def test_stream_vp_full_purchase_null_emits_exactly_once(spark, tmp_path):
     assert nulls[0].user_id == 2  # coalesced from the purchase leg
     # user 4's trailing purchase: still open -> not emitted
     assert not [r for r in rows if r.purchase_id == 6], rows
+
+
+def test_stream_vp_outer_degenerate_one_leg_stream(spark, tmp_path):
+    """ADVICE r6: with one leg EMPTY (a views-only stream), Spark's
+    unset purchase-leg watermark stays 0, the global watermark stays 0,
+    and NO null rows emit — the oracle's per-leg COALESCE(…, 0)
+    sentinel must reproduce that (pre-fix, DuckDB's LEAST over a NULL
+    leg could take the non-null leg's watermark and emit every view).
+    Checked for both outer variants against the registry oracles run on
+    the same one-leg data."""
+    import duckdb
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    one_leg_dir = str(tmp_path / "views_only")
+    (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .where(F.col("event_type") != "purchase")
+        .coalesce(1)
+        .write.parquet(one_leg_dir, mode="overwrite")
+    )
+    # rename part file so the stream's pathGlobFilter finds it
+    import glob
+    import os
+    import shutil
+
+    part = glob.glob(f"{one_leg_dir}/part-*.parquet")[0]
+    shutil.move(part, f"{one_leg_dir}/events.parquet")
+
+    spark.createDataFrame([], TESTDATA_SCHEMAS["events"])  # schema sanity
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{one_leg_dir}/events.parquet')"
+    )
+    for how, entry_name in [
+        ("left_outer", "stream_view_purchase_outer"),
+        ("full_outer", "stream_view_purchase_full"),
+    ]:
+        joined = streamq.view_purchase_pipeline(
+            events_stream.stream_events(spark, one_leg_dir),
+            how=how,
+            watermark=streamq.OUTER_WATERMARK,
+        )
+        out_dir = str(tmp_path / f"degenerate_{how}")
+        got = events_stream.run_available_now_append_to_parquet(
+            joined, out_dir, spark
+        ).count()
+        oracle = len(
+            con.execute(streamq.ORACLE_SQL[entry_name]).fetchall()
+        )
+        # Spark: unset leg -> watermark 0 -> nothing closes -> 0 rows.
+        # The COALESCE sentinel must make the oracle agree.
+        assert got == oracle == 0, (how, got, oracle)
