@@ -64,10 +64,10 @@ _MODULES = [
 
 # First-50 driver window for round 7 (VERDICT r6 item 5): with the
 # cross-round driver-witnessed union at 152/152 after round 6, the
-# freshness gradient is the target — slots 1-7 are the seven round-7
+# freshness gradient is the target — slots 1-9 are the nine round-7
 # additions (never witnessed by construction: the five TPC-H shapes
-# Q2/Q9/Q11/Q12/Q20, the month-grain CMS merge proof, and the
-# full-outer stream-stream join); slots 8-9 are the two r3-vintage
+# Q2/Q9/Q11/Q12/Q20, the month-grain CMS merge proof, the full-outer
+# stream-stream join, and the Bloom pair); next are the two r3-vintage
 # entries that yielded their r6 slots (sim_clusters, sim_ivf); the
 # remaining 41 slots are the least-recently-witnessed r4-vintage
 # entries — the whole marts surface (q1-q9, p1-p3, t6, t10), the whole
@@ -81,6 +81,7 @@ _WINDOW_R7 = [
     "tpch_important_stock", "tpch_shipmode_priority",
     "tpch_promo_suppliers", "events_user_cms_monthly",
     "stream_view_purchase_full",
+    "events_user_bloom_monthly", "orders_bloom_semi_join",
     # r3-vintage (yielded their r6 slots to the round-6 additions)
     "sim_clusters", "sim_ivf",
     # r4-vintage: the full reference-parity marts surface
@@ -96,9 +97,11 @@ _WINDOW_R7 = [
     "join_semi_customers", "join_outer_audit", "window_suite",
     "tpch_quantiles", "tpch_cube", "tpch_grouping_sets",
     "tpch_distinct_parts", "tpch_quantiles_approx",
-    # r4-vintage fill: text + dedup heads
+    # r4-vintage fill: text + dedup heads (dedup_simhash and
+    # winnow_matches yielded their slots to the two Bloom additions and
+    # rotate into the r8 window with the dedup tail)
     "text_tokens", "text_langid", "text_langid_ngram", "text_quality",
-    "dedup_exact", "dedup_fingerprint", "dedup_simhash", "winnow_matches",
+    "dedup_exact", "dedup_fingerprint",
 ]
 
 

@@ -160,6 +160,10 @@ BENCH_QUERIES = [
     "events_user_cms_monthly",
     # full-outer stream-stream drain (both unmatched sides' close rules)
     "stream_view_purchase_full",
+    # the Bloom pair: OR-merged monthly membership summary and the
+    # runtime-prefilter semi-join
+    "events_user_bloom_monthly",
+    "orders_bloom_semi_join",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

@@ -44,9 +44,10 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..functions import texts
+from ..sources.tables import load_table
 from .events import load_events
 
 MG_CAPACITY = 128  # C: summary size; guarantee threshold is N/(C+1)
@@ -469,6 +470,328 @@ ORDER BY e.month_us, e.user_id
 """
 
 
+# --------------------------------------------- Bloom filter (round 7)
+# The fourth canonical mergeable summary, completing the family with its
+# merge law: MG (truncating union), HLL (register MAX), CMS (counter
+# SUM), Bloom (bitwise OR).  Two facets: the persisted membership
+# summary with its month merge proved in-engine (events_user_bloom_monthly)
+# and the pattern Bloom filters exist for at 100 TB — the runtime
+# pre-filter that prunes a fact scan before an exact semi-join
+# (orders_bloom_semi_join), the explicit, engine-neutral form of Spark's
+# own InjectRuntimeFilter.
+BLOOM_D = 3  # hash functions
+BLOOM_M = 1 << 14  # bits (16384)
+BLOOM_PROBE_BASE = 10_000_000  # synthetic absent probe keys start here
+BLOOM_N_PROBES = 200
+
+
+def _bloom_positions(df: DataFrame, key: str) -> DataFrame:
+    """Append the d Bloom bit positions for ``df[key]``:
+    pos_r(k) = hash32('bloom' || r || ':' || k) mod m — a pure function
+    of (r, key), exact-integer and identical in the DuckDB oracle."""
+    return df.withColumn(
+        "r", F.explode(F.array(*[F.lit(r) for r in range(BLOOM_D)]))
+    ).withColumn(
+        "pos",
+        texts.hash32(
+            F.concat(
+                F.lit("bloom"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col(key).cast("string"),
+            )
+        )
+        % BLOOM_M,
+    )
+
+
+def events_user_bloom_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain Bloom membership summaries built by OR-merging DAILY
+    bit sets (round 7) — the Bloom merge law in-engine: the Spark side
+    persists per-day bit sets (≤ m rows/day, the set-membership twin of
+    the HLL register table) and merges day → month by set union
+    (bitwise OR in bitmap form); the ORACLE builds the month bit set
+    DIRECTLY from events, so the hash gate passes iff OR-merge composes.
+
+    The output makes both Bloom guarantees visible per month:
+    - ``n_query_users == n_query_members`` — NO FALSE NEGATIVES: every
+      user actually active in the month tests as a member of the
+      merged filter;
+    - ``n_false_positives`` over BLOOM_N_PROBES synthetic keys that are
+      provably absent (ids ≥ BLOOM_PROBE_BASE, far above the user-id
+      universe at every SF) — the false-positive rate a capacity
+      planner sizes m/d against, here exact and deterministic.
+    Membership = ALL of the key's distinct positions set; counted as
+    n_hit == n_pos so intra-key position collisions are handled
+    identically in both engines."""
+    from .events import MONTH_DAYS_US
+
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    day_user = (
+        load_events(spark, sf_dir)
+        .select(day_us.alias("day_us"), "user_id")
+        .distinct()
+    )
+    month_of = lambda c: F.col(c) - F.col(c) % F.lit(MONTH_DAYS_US)  # noqa: E731
+    # per-day bit sets (what the lake persists), then the OR-merge
+    day_bits = (
+        _bloom_positions(day_user, "user_id")
+        .select("day_us", "pos")
+        .distinct()
+    )
+    month_bits = (
+        day_bits.withColumn("month_us", month_of("day_us"))
+        .select("month_us", "pos")
+        .distinct()  # set union = bitwise OR of the day bitmaps
+    )
+    n_bits = month_bits.groupBy("month_us").agg(
+        F.count(F.lit(1)).alias("n_bits_set")
+    )
+    month_user = (
+        day_user.withColumn("month_us", month_of("day_us"))
+        .select("month_us", "user_id")
+        .distinct()
+    )
+    n_users = month_user.groupBy("month_us").agg(
+        F.count(F.lit(1)).alias("n_query_users")
+    )
+
+    def members_of(keys: DataFrame) -> DataFrame:
+        """(month_us, user_id) → rows that test as Bloom members."""
+        kp = (
+            _bloom_positions(keys, "user_id")
+            .select("month_us", "user_id", "pos")
+            .distinct()
+        )
+        per_key = kp.groupBy("month_us", "user_id").agg(
+            F.count(F.lit(1)).alias("n_pos")
+        )
+        hits = (
+            kp.join(month_bits, ["month_us", "pos"])
+            .groupBy("month_us", "user_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        return per_key.join(hits, ["month_us", "user_id"]).where(
+            F.col("n_hit") == F.col("n_pos")
+        )
+
+    n_members = members_of(month_user).groupBy("month_us").agg(
+        F.count(F.lit(1)).alias("n_query_members")
+    )
+    months = month_bits.select("month_us").distinct()
+    probes = months.crossJoin(
+        F.broadcast(
+            spark.range(BLOOM_N_PROBES).select(
+                (F.col("id") + BLOOM_PROBE_BASE).alias("user_id")
+            )
+        )
+    )
+    n_fp = (
+        members_of(probes)
+        .groupBy("month_us")
+        .agg(F.count(F.lit(1)).alias("n_false_positives"))
+    )
+    return (
+        n_bits.join(n_users, "month_us")
+        .join(n_members, "month_us")
+        .join(n_fp, "month_us", "left")
+        .select(
+            "month_us",
+            "n_bits_set",
+            "n_query_users",
+            "n_query_members",
+            F.coalesce("n_false_positives", F.lit(0))
+            .cast("long")
+            .alias("n_false_positives"),
+        )
+        .orderBy("month_us")
+    )
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    return (
+        texts.hash32_sql(
+            f"'bloom' || CAST(r AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+        )
+        + f" % {BLOOM_M}"
+    )
+
+
+_BLOOM_R_UNNEST = (
+    f"(SELECT unnest([{', '.join(str(r) for r in range(BLOOM_D))}]) AS r)"
+)
+
+# Direct month-grain bit sets from raw events: equals the Spark side's
+# day→month OR-merge iff set union composes — the merge-law hash gate.
+_BLOOM_MONTHLY_ORACLE = f"""
+WITH month_user AS (
+    SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % {30 * 24 * 3_600_000_000}
+               AS month_us, user_id
+    FROM events
+),
+month_bits AS (
+    SELECT DISTINCT month_us, {_bloom_pos_sql('user_id')} AS pos
+    FROM month_user, {_BLOOM_R_UNNEST}
+),
+n_bits AS (
+    SELECT month_us, COUNT(*) AS n_bits_set FROM month_bits GROUP BY 1
+),
+n_users AS (
+    SELECT month_us, COUNT(*) AS n_query_users FROM month_user GROUP BY 1
+),
+query_pos AS (
+    SELECT DISTINCT month_us, user_id, {_bloom_pos_sql('user_id')} AS pos
+    FROM month_user, {_BLOOM_R_UNNEST}
+),
+query_members AS (
+    SELECT q.month_us, q.user_id
+    FROM query_pos q
+    LEFT JOIN month_bits b ON b.month_us = q.month_us AND b.pos = q.pos
+    GROUP BY 1, 2
+    HAVING COUNT(*) = COUNT(b.pos)
+),
+n_members AS (
+    SELECT month_us, COUNT(*) AS n_query_members FROM query_members GROUP BY 1
+),
+probe_pos AS (
+    SELECT DISTINCT m.month_us, p.user_id, {_bloom_pos_sql('p.user_id')} AS pos
+    FROM (SELECT DISTINCT month_us FROM month_bits) m,
+         (SELECT {BLOOM_PROBE_BASE} + unnest(range({BLOOM_N_PROBES}))
+              AS user_id) p,
+         {_BLOOM_R_UNNEST}
+),
+probe_members AS (
+    SELECT q.month_us, q.user_id
+    FROM probe_pos q
+    LEFT JOIN month_bits b ON b.month_us = q.month_us AND b.pos = q.pos
+    GROUP BY 1, 2
+    HAVING COUNT(*) = COUNT(b.pos)
+),
+n_fp AS (
+    SELECT month_us, COUNT(*) AS n_false_positives
+    FROM probe_members GROUP BY 1
+)
+SELECT nb.month_us, nb.n_bits_set, nu.n_query_users, nm.n_query_members,
+       CAST(COALESCE(nf.n_false_positives, 0) AS BIGINT)
+           AS n_false_positives
+FROM n_bits nb
+JOIN n_users nu ON nu.month_us = nb.month_us
+JOIN n_members nm ON nm.month_us = nb.month_us
+LEFT JOIN n_fp nf ON nf.month_us = nb.month_us
+ORDER BY nb.month_us
+"""
+
+
+# ---------------------------- Bloom-prefiltered semi-join (round 7)
+BLOOM_JOIN_SEGMENT = "BUILDING"
+
+
+def orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: orders of one customer segment, computed as
+    Bloom-PREFILTER then exact semi-join — the explicit, engine-neutral
+    form of the runtime bloom filter Spark's InjectRuntimeFilter plants
+    under a selective join at scale.
+
+    Build side: the segment's custkeys hash into a d×m Bloom bitmap —
+    the distinct bit POSITIONS are collected (≤ m/64 = 256 longs packed
+    driver-side, steering-sized like the centroid-table collect) and
+    embedded as an array-of-words literal, so the probe side tests
+    membership with pure JVM bit arithmetic (element_at + shiftright +
+    bitwise AND) inside whole-stage codegen — no join, no shuffle, no
+    Python.  Probe side: the fact scan keeps only rows whose custkey
+    passes all d bit tests (no false negatives ⇒ no lost rows; false
+    positives survive) and the surviving ~segment-sized slice then
+    broadcast-semi-joins the exact key set, which removes the false
+    positives.  The final aggregate therefore EQUALS the plain
+    semi-join aggregate — the oracle is exactly that, so the hash gate
+    proves the prefilter dropped nothing and admitted nothing.  A
+    pytest pins the part that does not show in the result: the
+    prefilter's selectivity (pass count ≥ exact matches, ≪ fact rows).
+
+    At 100 TB: the bitmap is fixed-size regardless of fact size, built
+    from the dim side in one aggregate, shipped in the task closure;
+    the fact scan's pushed segment-of-custkey test cuts the shuffle
+    into the exact join by ~the segment's selectivity."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == BLOOM_JOIN_SEGMENT)
+        .select("c_custkey")
+    )
+    words = _bloom_bitmap_words(c, "c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    passed = o.where(_bloom_test(F.col("o_custkey"), words))
+    return (
+        passed.join(F.broadcast(c), passed.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _bloom_bitmap_words(keys: DataFrame, key: str) -> list[int]:
+    """Pack the distinct Bloom positions of ``keys[key]`` into m/64
+    little-endian 64-bit words (python ints, embedded as literals).
+    The collect is bitmap-sized (m bits), never data-sized."""
+    pos = (
+        _bloom_positions(keys.select(key).distinct(), key)
+        .select("pos")
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M // 64)
+    for r in pos:
+        words[r.pos // 64] |= 1 << (r.pos % 64)
+    # two's-complement to signed int64 (a set bit 63 would overflow the
+    # JVM long literal otherwise); arithmetic shiftright + AND 1 reads
+    # the correct bit either way
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_test(key_col: Column, words: list[int]) -> Column:
+    """ALL-d-bits-set membership test against the packed word array, as
+    pure JVM expressions (signed-safe: shiftright then AND 1)."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for r in range(BLOOM_D):
+        pos = (
+            texts.hash32(
+                F.concat(
+                    F.lit("bloom"),
+                    F.lit(str(r)),
+                    F.lit(":"),
+                    key_col.cast("string"),
+                )
+            )
+            % BLOOM_M
+        )
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        # bit_get takes a COLUMN position (shiftright's numBits must be
+        # a literal); reads the two's-complement bit directly
+        bit = F.call_function("bit_get", word, (pos % 64).cast("int"))
+        cond = cond & (bit == 1)
+    return cond
+
+
+_BLOOM_JOIN_ORACLE = f"""
+SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders o
+WHERE o.o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_JOIN_SEGMENT}'
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # ------------------------------------- incremental HLL register table
 #
 # Durability (round 7, ADVICE r6): updates never overwrite the live
@@ -608,6 +931,8 @@ QUERIES = {
     "events_mau_hll": events_mau_hll,
     "events_user_cms": events_user_cms,
     "events_user_cms_monthly": events_user_cms_monthly,
+    "events_user_bloom_monthly": events_user_bloom_monthly,
+    "orders_bloom_semi_join": orders_bloom_semi_join,
 }
 
 ORACLE_SQL = {
@@ -616,4 +941,6 @@ ORACLE_SQL = {
     "events_mau_hll": _MAU_HLL_ORACLE,
     "events_user_cms": _CMS_ORACLE,
     "events_user_cms_monthly": _CMS_MONTHLY_ORACLE,
+    "events_user_bloom_monthly": _BLOOM_MONTHLY_ORACLE,
+    "orders_bloom_semi_join": _BLOOM_JOIN_ORACLE,
 }

@@ -356,3 +356,50 @@ def test_hll_index_update_merges_and_is_idempotent(spark, sf_dir, tmp_path):
     sketch.hll_index_update(spark, second, idx)
     snaps = [d for d in os.listdir(idx) if d.startswith("registers_v")]
     assert snaps == [sketch._hll_live(idx)]
+
+
+def test_bloom_semi_join_prefilter_selectivity(spark, sf_dir):
+    """orders_bloom_semi_join (round 7): what the hash gate can't see —
+    the PREFILTER itself. (a) No false negatives: every true match
+    passes the bloom test; (b) selectivity: the bloom pass-set is a
+    small superset of the true matches (far below the full fact scan);
+    (c) the packed-word bitmap encodes exactly the build side's
+    position set."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == sketch.BLOOM_JOIN_SEGMENT)
+        .select("c_custkey")
+    )
+    words = sketch._bloom_bitmap_words(c, "c_custkey")
+    # (c) bitmap == position set
+    got_bits = {
+        i * 64 + b
+        for i, w in enumerate(words)
+        for b in range(64)
+        if (w & ((1 << 64) - 1)) >> b & 1
+    }
+    want_bits = {
+        r.pos
+        for r in sketch._bloom_positions(c, "c_custkey")
+        .select("pos")
+        .distinct()
+        .collect()
+    }
+    assert got_bits == want_bits
+
+    o = load_table(spark, sf_dir, "orders")
+    n_total = o.count()
+    n_pass = o.where(sketch._bloom_test(F.col("o_custkey"), words)).count()
+    n_true = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi"
+    ).count()
+    # (a) nothing lost, (b) pass-set is a tight superset, well under the
+    # full scan (m=16384 bits vs ~segment-sized key set keeps fp low)
+    assert n_true <= n_pass < n_total
+    assert n_pass - n_true <= 0.2 * n_total, (n_pass, n_true, n_total)
