@@ -1,9 +1,21 @@
-"""Sketch-based EXACT heavy hitters (two-pass Misra-Gries).
+"""Mergeable-summary analytics: the four canonical sketches, each with
+its merge law — Misra-Gries (heavy hitters, truncating-union merge),
+HyperLogLog (distinct counts, register-MAX merge), Count-Min (point
+frequencies, counter-SUM merge), and Bloom (set membership, bitwise-OR
+merge) — plus the persisted-index and runtime-filter patterns built on
+them.  The HLL/CMS/Bloom merge laws are proved IN-ENGINE: the Spark
+side composes day-grain summaries to the month grid with the sketch's
+merge operator while the DuckDB oracle sketches the month directly, so
+the driver's hash gate passes iff the merge law holds.
 
 Extension surface (the reference — Martin-JMP F1/Weather — has no
 frequency-sketch analytics; its only "top" queries are full groupBy +
-sort, e.g. ``spark_analysis.py``'s win counts). This is the operator a
-100 TB pipeline needs when the key cardinality itself is the problem:
+sort). These are the operators a 100 TB pipeline needs when the key
+cardinality itself is the problem: a summary of FIXED size regardless
+of data volume, combinable across partitions/days/clusters without
+re-reading raw data.
+
+The rest of this docstring details the Misra-Gries entry:
 "which user_ids account for more than 1/(C+1) of all traffic" over a
 key domain with billions of distinct values, where a full
 ``groupBy(key).count()`` shuffle materializes one row per distinct key.

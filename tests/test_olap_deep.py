@@ -418,3 +418,34 @@ def test_promo_suppliers_pair_rule_brute_force(spark, sf_dir):
         s for (pk, s) in tot if 2 * win[(pk, s)] > tot[(pk, s)]
     } & nation_supp
     assert got == want and got
+
+
+def test_product_profit_like_filter_pushdown(spark, sf_dir):
+    """Q9 (round 7): the LIKE '%red%' product-line filter must reach the
+    part parquet scan as StringContains, and every dim join at test SF
+    is a broadcast (no SortMergeJoin for dims)."""
+    plan = _formatted(olap_deep.product_profit(spark, sf_dir))
+    assert "StringContains(p_name,red)" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_min_cost_supplier_plan_is_broadcast_plus_window_min(spark, sf_dir):
+    """Q2 (round 7): the decorrelated form is dim broadcasts below ONE
+    pair aggregate plus a per-part window MIN — no sort-merge join, no
+    correlated re-scan (exactly one Window node)."""
+    plan = _formatted(olap_deep.min_cost_supplier(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") >= 1
+    # both selective part predicates reach the scan
+    assert "LessThanOrEqual(p_size" in plan
+    assert "EqualTo(p_type,STANDARD)" in plan
+
+
+def test_shipmode_priority_filters_pushed(spark, sf_dir):
+    """Q12 (round 7): mode and ship-date filters reach the lineitem
+    scan; the lateness predicate (needs o_orderdate) evaluates post-join
+    — exactly one join in the plan."""
+    plan = _formatted(olap_deep.shipmode_priority(spark, sf_dir))
+    assert "In(l_returnflag" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("Join") >= 1
