@@ -323,6 +323,37 @@ def _bench_bpe_train(spark, sf_dir: str) -> None:
         raise RuntimeError("BPE training learned no merges at bench scale")
 
 
+def _bench_bloom_index_update(spark, sf_dir: str) -> float:
+    """Incremental membership batch cost (round 7): the bit-set table is
+    built on the first half of the time range OUTSIDE the measured span;
+    timed is one OR-merge batch — the steady-state cost of continuous
+    Bloom maintenance (the membership twin of hll_index_update)."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import sketch
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        load_events,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_bloom_index_")
+    try:
+        src = load_events(spark, sf_dir)
+        mid = src.agg(
+            F.expr("percentile_approx(ts_us, 0.5, 10000)")
+        ).collect()[0][0]
+        sketch.bloom_index_init(spark, src.where(F.col("ts_us") < mid), tmp)
+        t0 = time.perf_counter()
+        sketch.bloom_index_update(
+            spark, src.where(F.col("ts_us") >= mid), tmp
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_zorder_write(spark, sf_dir: str) -> None:
     """The scale-safe Z-order writer path (round 7, VERDICT r6 item 1):
     repartitionByRange + sortWithinPartitions + per-file stats — the
@@ -336,6 +367,7 @@ def _bench_zorder_write(spark, sf_dir: str) -> None:
 
 EXTRA_BENCH = {
     "zorder_write": _bench_zorder_write,
+    "bloom_index_update": _bench_bloom_index_update,
     "minhash_index_update": _bench_minhash_index_update,
     "stream_stateful_drain": _bench_stream_stateful_drain,
     "dedup_embedding_ann": _bench_embedding_ann_scaled_k,

@@ -694,6 +694,54 @@ ORDER BY nb.month_us
 """
 
 
+# ------------------------------------- incremental Bloom bit-set table
+def bloom_index_init(spark: SparkSession, events_df: DataFrame, path: str) -> None:
+    """Materialize the per-day Bloom bit-set table for an initial event
+    corpus — the membership twin of :func:`hll_index_init`: the lake
+    keeps ≤ m rows per day forever and answers "was user U active in
+    window W" by OR-merging the window's day rows, never re-reading raw
+    events (no false negatives; false-positive rate set by m/d against
+    the per-day active-user count).  Same versioned-snapshot + atomic
+    CURRENT-pointer durability as the HLL register table."""
+    os.makedirs(path, exist_ok=True)
+    snap = "bits_v0"
+    _bloom_bits_of(events_df).write.mode("overwrite").parquet(
+        os.path.join(path, snap)
+    )
+    _snap_commit(path, snap, "bits_v")
+
+
+def bloom_index_update(
+    spark: SparkSession, new_events: DataFrame, path: str
+) -> DataFrame:
+    """Merge a new event batch into the bit-set table: sketch the batch,
+    OR-merge (set union) against the stored frame, commit as a new
+    snapshot.  IDEMPOTENT — re-delivery is absorbed because
+    a ∪ a = a (the Bloom merge law as persisted state).  Returns the
+    post-merge frame; per-batch work is O(|batch| + m·days-touched)."""
+    live = _snap_live(path)
+    old = spark.read.parquet(os.path.join(path, live))
+    merged = old.unionByName(_bloom_bits_of(new_events)).distinct()
+    nxt = f"bits_v{int(live.rsplit('_v', 1)[1]) + 1}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, nxt))
+    _snap_commit(path, nxt, "bits_v")
+    return spark.read.parquet(os.path.join(path, nxt))
+
+
+def _bloom_bits_of(events_df: DataFrame) -> DataFrame:
+    """(day_us, pos) distinct bit rows over an arbitrary (ts, user_id)
+    frame — the per-day Bloom bitmaps in row form."""
+    day_user = events_df.select(
+        (
+            F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+        ).alias("day_us"),
+        "user_id",
+    ).distinct()
+    return (
+        _bloom_positions(day_user, "user_id").select("day_us", "pos").distinct()
+    )
+
+
 # ---------------------------- Bloom-prefiltered semi-join (round 7)
 BLOOM_JOIN_SEGMENT = "BUILDING"
 
@@ -819,12 +867,12 @@ ORDER BY 1
 # snapshot layout is unchanged.
 
 
-def _hll_live(path: str) -> str:
+def _snap_live(path: str) -> str:
     with open(os.path.join(path, "CURRENT")) as f:
         return f.read().strip()
 
 
-def _hll_commit(path: str, snap: str) -> None:
+def _snap_commit(path: str, snap: str, prefix: str) -> None:
     tmp = os.path.join(path, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(snap)
@@ -832,8 +880,13 @@ def _hll_commit(path: str, snap: str) -> None:
     # GC every non-live snapshot (the predecessor, plus any orphan a
     # crashed earlier update left behind).
     for d in os.listdir(path):
-        if d.startswith("registers_v") and d != snap:
+        if d.startswith(prefix) and d != snap:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+# back-compat aliases for the HLL table (tests reference _hll_live)
+def _hll_live(path: str) -> str:
+    return _snap_live(path)
 
 
 def hll_index_init(spark: SparkSession, events_df: DataFrame, path: str) -> None:
@@ -848,7 +901,7 @@ def hll_index_init(spark: SparkSession, events_df: DataFrame, path: str) -> None
     _registers_of(events_df).write.mode("overwrite").parquet(
         os.path.join(path, snap)
     )
-    _hll_commit(path, snap)
+    _snap_commit(path, snap, "registers_v")
 
 
 def hll_index_update(
@@ -874,7 +927,7 @@ def hll_index_update(
     # from the old snapshot's files — no checkpoint needed to sever
     # lineage, because nothing it reads is being replaced.
     merged.write.mode("overwrite").parquet(os.path.join(path, nxt))
-    _hll_commit(path, nxt)
+    _snap_commit(path, nxt, "registers_v")
     return spark.read.parquet(os.path.join(path, nxt))
 
 

@@ -403,3 +403,35 @@ def test_bloom_semi_join_prefilter_selectivity(spark, sf_dir):
     # full scan (m=16384 bits vs ~segment-sized key set keeps fp low)
     assert n_true <= n_pass < n_total
     assert n_pass - n_true <= 0.2 * n_total, (n_pass, n_true, n_total)
+
+
+def test_bloom_index_update_merges_and_is_idempotent(spark, sf_dir, tmp_path):
+    """Continuous membership shape (round 7): init the bit-set table on
+    the first half of the time range, update with the second half — the
+    merged table must BIT-EQUAL the full-corpus bit sets (the OR-merge
+    law as persisted state, the Bloom twin of the HLL index test);
+    re-delivering the same batch must be a no-op (a UNION a = a)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    src = ev.load_events(spark, sf_dir)
+    mid = src.agg(F.expr("percentile_approx(ts_us, 0.5, 10000)")).collect()[0][0]
+    first = src.where(F.col("ts_us") < mid)
+    second = src.where(F.col("ts_us") >= mid)
+    idx = str(tmp_path / "bloom_index")
+
+    sketch.bloom_index_init(spark, first, idx)
+    merged = sketch.bloom_index_update(spark, second, idx)
+    got = {(r.day_us, r.pos) for r in merged.collect()}
+    want = {(r.day_us, r.pos) for r in sketch._bloom_bits_of(src).collect()}
+    assert got == want
+
+    again = sketch.bloom_index_update(spark, second, idx)
+    assert {(r.day_us, r.pos) for r in again.collect()} == want
+    # durability contract shared with the HLL table
+    import os
+
+    live = sketch._snap_live(idx)
+    snaps = [d for d in os.listdir(idx) if d.startswith("bits_v")]
+    assert snaps == [live]
