@@ -25,6 +25,7 @@ tests/test_streaming.py::test_session_window_exact_gap_boundary.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -35,6 +36,36 @@ from ..streaming import events_stream
 
 HOUR_US = 3_600_000_000
 GAP_US = 1_800_000_000  # streaming/events_stream.py SESSION_GAP
+
+# State-store partition count for the drained entries (round 7).  A
+# stateful streaming query pins its state partitioning at FIRST start
+# (spark.sql.shuffle.partitions at that moment — rebalancing state later
+# means a state-store migration), so unlike batch shuffles AQE never
+# right-sizes it: the deployment must.  At bench SF the per-partition
+# state-store overhead (provider init, commit, maintenance) dominates the
+# drains — measured on stream_view_purchase_full at sf0.1: 8.3 s with 32
+# state partitions → 3.3 s with 8, same result hash.  A 100 TB
+# deployment sets this to match key cardinality × executor count
+# (hundreds+); the env override exists precisely because it is a
+# capacity decision, not a semantic one.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+@contextlib.contextmanager
+def _state_sized(spark: SparkSession):
+    """Start streams under the drain's state-partition sizing, restoring
+    the session's batch shuffle sizing afterwards (the streaming plan
+    captures the conf at start; batch queries never see the change)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _drain(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
@@ -57,7 +88,21 @@ def _drain(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
         tempfile.gettempdir(),
         f"spark_drain_{spark.sparkContext.applicationId}_{prefix}",
     )
-    return events_stream.run_available_now_to_parquet(df, path, spark)
+    with _state_sized(spark):
+        return events_stream.run_available_now_to_parquet(df, path, spark)
+
+
+def _drain_append(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
+    """Append-mode twin of :func:`_drain` (non-aggregation stateful
+    streams), same path/overwrite/state-sizing contract."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_drain_{spark.sparkContext.applicationId}_{prefix}",
+    )
+    with _state_sized(spark):
+        return events_stream.run_available_now_append_to_parquet(
+            df, path, spark
+        )
 
 
 def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,13 +236,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id") % 7 == 0
     )
     deduped = events_stream.dedup_stream(base.unionByName(redelivery))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_drain_{spark.sparkContext.applicationId}_stream_dedup",
-    )
-    out = events_stream.run_available_now_append_to_parquet(
-        deduped, path, spark
-    )
+    out = _drain_append(deduped, "stream_dedup", spark)
     return out.select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
@@ -289,11 +328,7 @@ def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us", F.unix_micros("ts")
     )
     pairs = stateful.transitions_stream(ev)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_drain_{spark.sparkContext.applicationId}_stream_transitions",
-    )
-    out = events_stream.run_available_now_append_to_parquet(pairs, path, spark)
+    out = _drain_append(pairs, "stream_transitions", spark)
     from pyspark.sql import Window
 
     m = out.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
@@ -399,13 +434,7 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = view_purchase_pipeline(
         events_stream.stream_events(spark, sf_dir)
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_drain_{spark.sparkContext.applicationId}_stream_vp_join",
-    )
-    out = events_stream.run_available_now_append_to_parquet(
-        joined, path, spark
-    )
+    out = _drain_append(joined, "stream_vp_join", spark)
     return out.orderBy("user_id", "view_id", "purchase_id")
 
 
@@ -465,13 +494,7 @@ def stream_view_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left_outer",
         watermark=OUTER_WATERMARK,
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_drain_{spark.sparkContext.applicationId}_stream_vp_outer",
-    )
-    out = events_stream.run_available_now_append_to_parquet(
-        joined, path, spark
-    )
+    out = _drain_append(joined, "stream_vp_outer", spark)
     return out.orderBy("user_id", "view_id", "purchase_id")
 
 
@@ -548,13 +571,7 @@ def stream_view_purchase_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="full_outer",
         watermark=OUTER_WATERMARK,
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_drain_{spark.sparkContext.applicationId}_stream_vp_full",
-    )
-    out = events_stream.run_available_now_append_to_parquet(
-        joined, path, spark
-    )
+    out = _drain_append(joined, "stream_vp_full", spark)
     return out.orderBy("user_id", "view_id", "purchase_id")
 
 
