@@ -12,10 +12,25 @@ to one machine. The connector form distributes the same protocol:
 
 - ``write(iterator)`` runs ONCE PER PARTITION on executors and renders
   that partition's rows as an Elasticsearch ``_bulk`` request body
-  (action line + source line per doc, NDJSON) into a STAGED file named
-  by a uuid — the offline stand-in for one executor-side bulk POST; a
-  real deployment swaps the file write for the HTTP call and keeps
-  everything else.
+  (action line + source line per doc, NDJSON).  Two shipping modes:
+
+  * **file mode** (default): the body lands in a STAGED file named by a
+    uuid; ``commit`` publishes atomically (below) — all-or-nothing.
+  * **HTTP mode** (round 7, ``.option("url", "http://es:9200")``): the
+    executor POSTs the body to ``{url}/_bulk`` directly
+    (``Content-Type: application/x-ndjson``, stdlib urllib, bounded
+    chunks of ``batch_docs`` rows, exponential-backoff retries, item
+    errors in the bulk response raised as failures).  Each action line
+    carries a DETERMINISTIC ``_id`` (md5 of the rendered source doc),
+    so a speculative or retried task that re-POSTs the same partition
+    overwrites the same documents instead of duplicating them —
+    POST-per-partition is inherently at-least-once, and idempotent ids
+    make it effectively-once, the same contract the elasticsearch-spark
+    connector documents.  ``commit`` then records only the audit
+    manifest.  This is the distributed form of the reference's
+    driver-side ``helpers.bulk`` loop (`Code Big Data
+    Project.py:425-434`), exercised end-to-end against a live local
+    HTTP server in tests/test_survey_coverage.py::test_s8_esbulk_http_mode.
 - ``commit(messages)`` runs on the driver only after EVERY partition
   succeeded: staged files are atomically renamed into the target
   directory and a ``_MANIFEST.json`` records per-file doc counts — the
@@ -30,8 +45,12 @@ task-commit contract as Spark's file committers.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import time
+import urllib.error
+import urllib.request
 import uuid
 from collections.abc import Iterator
 
@@ -39,9 +58,34 @@ from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMes
 
 
 class EsBulkCommit(WriterCommitMessage):
-    def __init__(self, staged_path: str, n_docs: int):
-        self.staged_path = staged_path
+    def __init__(self, staged_path: str | None, n_docs: int):
+        self.staged_path = staged_path  # None in HTTP mode (already shipped)
         self.n_docs = n_docs
+
+
+def _post_bulk(url: str, body: str, attempts: int = 3) -> None:
+    """POST one _bulk body; retry transient failures with backoff; treat
+    item-level ``errors`` in the bulk response as a failure (partial
+    acceptance must not pass silently)."""
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            req = urllib.request.Request(
+                url.rstrip("/") + "/_bulk",
+                data=body.encode(),
+                method="POST",
+                headers={"Content-Type": "application/x-ndjson"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                payload = resp.read()
+            out = json.loads(payload or b"{}")
+            if out.get("errors"):
+                raise RuntimeError(f"bulk response reports item errors: {out}")
+            return
+        except Exception as e:  # noqa: BLE001 — retried, re-raised at the end
+            last = e
+            time.sleep(0.2 * (2**i))
+    raise RuntimeError(f"bulk POST failed after {attempts} attempts: {last}")
 
 
 class EsBulkWriter(DataSourceWriter):
@@ -50,6 +94,8 @@ class EsBulkWriter(DataSourceWriter):
             raise ValueError("esbulk writer requires .option('path', ...)")
         self.path = options["path"]
         self.index = options.get("index", "mart")
+        self.url = options.get("url")  # HTTP mode when set
+        self.batch_docs = int(options.get("batch_docs", "1000"))
         self.staging = os.path.join(self.path, "_staging")
         self.overwrite = overwrite
         # per-JOB id: published file names must be unique across jobs so
@@ -57,6 +103,8 @@ class EsBulkWriter(DataSourceWriter):
         self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator: Iterator) -> EsBulkCommit:
+        if self.url:
+            return self._write_http(iterator)
         os.makedirs(self.staging, exist_ok=True)
         staged = os.path.join(self.staging, f"bulk-{uuid.uuid4().hex}.ndjson")
         n = 0
@@ -66,6 +114,33 @@ class EsBulkWriter(DataSourceWriter):
                 f.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
         return EsBulkCommit(staged, n)
+
+    def _write_http(self, iterator: Iterator) -> EsBulkCommit:
+        """HTTP mode: POST this partition's docs in bounded chunks with
+        deterministic md5 ``_id``s (module docstring) — memory stays
+        O(batch_docs) regardless of partition size."""
+        lines: list[str] = []
+        n = 0
+
+        def flush() -> None:
+            if lines:
+                _post_bulk(self.url, "\n".join(lines) + "\n")
+                lines.clear()
+
+        for row in iterator:
+            src = json.dumps(row.asDict(), default=str)
+            doc_id = hashlib.md5(
+                f"{self.index}\x00{src}".encode()
+            ).hexdigest()
+            lines.append(
+                json.dumps({"index": {"_index": self.index, "_id": doc_id}})
+            )
+            lines.append(src)
+            n += 1
+            if n % self.batch_docs == 0:
+                flush()
+        flush()
+        return EsBulkCommit(None, n)
 
     def commit(self, messages) -> None:
         """Driver-side, runs only after every partition succeeded.
@@ -79,8 +154,26 @@ class EsBulkWriter(DataSourceWriter):
         files that all still exist; a crash during (3) leaves stray
         unreferenced .ndjson files but never a manifest entry for a
         deleted file — readers follow the manifest, so the committed
-        state is always consistent."""
+        state is always consistent.
+
+        HTTP mode: the documents already shipped from the executors
+        (idempotently — deterministic ids); commit records the audit
+        manifest only."""
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        if self.url:
+            os.makedirs(self.path, exist_ok=True)
+            with open(manifest_path, "w") as f:
+                json.dump(
+                    {
+                        "index": self.index,
+                        "mode": "http",
+                        "url": self.url,
+                        "n_docs": sum(m.n_docs for m in messages),
+                        "parts": [m.n_docs for m in messages],
+                    },
+                    f,
+                )
+            return
         prior = (
             json.load(open(manifest_path))["files"]
             if os.path.exists(manifest_path)
@@ -119,7 +212,11 @@ class EsBulkWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.staged_path):
+            if (
+                m is not None
+                and m.staged_path
+                and os.path.exists(m.staged_path)
+            ):
                 os.remove(m.staged_path)
 
 

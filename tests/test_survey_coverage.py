@@ -409,3 +409,90 @@ def test_sim_knn_graph_ranks_and_topk_consistency(spark, sf_dir):
     joined = brute.join(top1, "query_id")
     assert joined.where(F.col("g_sim") > F.col("sim_e6")).count() == 0
     g.unpersist()
+
+
+def test_s8_esbulk_http_mode(spark, sf_dir, tmp_path):
+    """S8 HTTP mode (round 7): the esbulk writer POSTs real bulk bodies
+    over HTTP from the executors — exercised end-to-end against a live
+    in-process HTTP server.  Pins: (a) every row arrives exactly once by
+    deterministic _id (a transient 503 on the first POST forces the
+    retry path, and the idempotent ids make the re-POST harmless);
+    (b) bulk NDJSON framing (action line with _index/_id + source line);
+    (c) the audit manifest records the shipped doc count."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators.marts import (
+        q1_wins,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.sources.esbulk_datasource import (
+        EsBulkDataSource,
+    )
+
+    received: dict[str, dict] = {}
+    failed_once = threading.Event()
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            # transient failure on the very first POST → retry path
+            if not failed_once.is_set():
+                failed_once.set()
+                self.send_response(503)
+                self.end_headers()
+                return
+            lines = body.decode().splitlines()
+            with lock:
+                for i in range(0, len(lines), 2):
+                    action = json.loads(lines[i])["index"]
+                    assert action["_index"] == "f1_wins_http"
+                    received[action["_id"]] = json.loads(lines[i + 1])
+            resp = json.dumps({"errors": False, "items": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+        spark.dataSource.register(EsBulkDataSource)
+        out = str(tmp_path / "esbulk_http")
+        df = q1_wins(spark, sf_dir)
+        rows = {
+            tuple(sorted(r.asDict().items())) for r in df.collect()
+        }
+        df.write.format("esbulk").option("path", out).option(
+            "index", "f1_wins_http"
+        ).option("url", url).option("batch_docs", "7").mode("append").save()
+
+        assert failed_once.is_set()  # the retry path actually ran
+        got = {
+            tuple(sorted((k, str(v)) for k, v in doc.items()))
+            for doc in received.values()
+        }
+        want = {
+            tuple(sorted((k, str(v)) for k, v in dict(r).items()))
+            for r in rows
+        }
+        assert got == want and len(received) == len(rows)
+
+        manifest = json.load(open(f"{out}/_MANIFEST.json"))
+        assert manifest["mode"] == "http"
+        assert manifest["n_docs"] == len(rows)
+
+        # re-shipping the same mart is absorbed by the deterministic ids
+        df.write.format("esbulk").option("path", out).option(
+            "index", "f1_wins_http"
+        ).option("url", url).mode("append").save()
+        assert len(received) == len(rows)
+    finally:
+        srv.shutdown()
