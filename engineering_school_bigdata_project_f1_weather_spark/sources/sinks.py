@@ -230,6 +230,63 @@ def dashboard_saved_object(
     }
 
 
+def publish_saved_objects(
+    base_url: str,
+    objects: list[tuple[str, str | None, dict[str, Any]]],
+    attempts: int = 3,
+) -> list[dict[str, Any]]:
+    """POST the saved-object bodies built above to a live Kibana
+    (round 7 — the reference's `create_index_pattern.py` /
+    `create_visualization.py` / `create_dashboard.py` REST calls, with
+    retries and idempotent republish).
+
+    ``objects`` is ``[(type, id_or_None, body), …]`` — e.g.
+    ``("index-pattern", "f1_wins", index_pattern_saved_object(e))``.
+    Each POSTs to ``{base}/api/saved_objects/{type}[/{id}]?overwrite=true``
+    with the ``kbn-xsrf`` header Kibana requires; ``overwrite=true``
+    plus caller-chosen ids makes republishing a dashboard a no-op
+    update instead of a duplicate (the idempotency the reference's
+    scripts lack).  Saved objects are metadata-sized (one body per
+    mart/panel), so this is correctly DRIVER-side — the data path
+    stays the esbulk executor sink.  Returns the parsed responses.
+    Exercised against a live in-process server in
+    tests/test_survey_coverage.py::test_s10_kibana_http_publish."""
+    import json as _json
+    import time as _time
+    import urllib.request
+
+    out = []
+    for obj_type, obj_id, body in objects:
+        url = f"{base_url.rstrip('/')}/api/saved_objects/{obj_type}"
+        if obj_id:
+            url += f"/{obj_id}"
+        url += "?overwrite=true"
+        payload = _json.dumps(body).encode()
+        last: Exception | None = None
+        for i in range(attempts):
+            try:
+                req = urllib.request.Request(
+                    url,
+                    data=payload,
+                    method="POST",
+                    headers={
+                        "Content-Type": "application/json",
+                        "kbn-xsrf": "true",
+                    },
+                )
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    out.append(_json.loads(resp.read() or b"{}"))
+                break
+            except Exception as e:  # noqa: BLE001 — retried, re-raised below
+                last = e
+                _time.sleep(0.2 * (2**i))
+        else:
+            raise RuntimeError(
+                f"saved-object POST {url} failed after {attempts} attempts: {last}"
+            )
+    return out
+
+
 def foreach_partition_sink(
     df: DataFrame, send: Callable[[Iterator[dict[str, Any]]], None]
 ) -> None:

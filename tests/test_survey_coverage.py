@@ -496,3 +496,83 @@ def test_s8_esbulk_http_mode(spark, sf_dir, tmp_path):
         assert len(received) == len(rows)
     finally:
         srv.shutdown()
+
+
+def test_s10_kibana_http_publish(spark, sf_dir, tmp_path):
+    """S10 HTTP publish (round 7): the Kibana saved-object bodies ship
+    to a live in-process server via publish_saved_objects — pins the
+    REST contract (per-type routes, id in path, overwrite=true, kbn-xsrf
+    header), retry on transient failure, and idempotent republish
+    (same ids + overwrite → an update, not a duplicate)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators.marts import (
+        q1_wins,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.sources import sinks
+
+    store: dict[tuple[str, str], dict] = {}
+    failed_once = threading.Event()
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            assert self.headers["kbn-xsrf"] == "true"
+            path, _, query = self.path.partition("?")
+            assert query == "overwrite=true"
+            parts = path.split("/")  # /api/saved_objects/<type>[/<id>]
+            obj_type = parts[3]
+            obj_id = parts[4] if len(parts) > 4 else f"auto-{len(store)}"
+            if not failed_once.is_set():
+                failed_once.set()
+                self.send_response(503)
+                self.end_headers()
+                return
+            with lock:
+                store[(obj_type, obj_id)] = body
+            resp = json.dumps({"id": obj_id, "type": obj_type}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+        marts = {"wins": q1_wins(spark, sf_dir)}
+        manifest = sinks.serving_manifest(marts, str(tmp_path / "usage"))
+        entry = manifest[0]
+        viz = sinks.visualization_saved_object(entry, "driverFullName")
+        dash = sinks.dashboard_saved_object("f1 dashboard", ["viz-wins"])
+        objects = [
+            ("index-pattern", entry["index_title"], sinks.index_pattern_saved_object(entry)),
+            ("visualization", "viz-wins", viz),
+            ("dashboard", "dash-f1", dash),
+        ]
+        responses = sinks.publish_saved_objects(url, objects)
+        assert failed_once.is_set()  # retry path ran
+        assert [r["id"] for r in responses] == [
+            entry["index_title"], "viz-wins", "dash-f1"
+        ]
+        assert store[("index-pattern", entry["index_title"])]["attributes"][
+            "title"
+        ] == entry["index_title"]
+        panels = json.loads(
+            store[("dashboard", "dash-f1")]["attributes"]["panelsJSON"]
+        )
+        assert [p["id"] for p in panels] == ["viz-wins"]
+        # idempotent republish: same ids, overwrite → still 3 objects
+        sinks.publish_saved_objects(url, objects)
+        assert len(store) == 3
+    finally:
+        srv.shutdown()
