@@ -435,3 +435,53 @@ def test_bloom_index_update_merges_and_is_idempotent(spark, sf_dir, tmp_path):
     live = sketch._snap_live(idx)
     snaps = [d for d in os.listdir(idx) if d.startswith("bits_v")]
     assert snaps == [live]
+
+
+def test_bloom_prefilter_cuts_shuffle_volume_under_shuffle_join(spark, sf_dir):
+    """orders_bloom_semi_join (round 7): at 100 TB the dim side is
+    fact-sized and the exact semi-join SHUFFLES — the bloom prefilter's
+    payoff is the fact-side shuffle volume it removes.  Reproduce that
+    regime by disabling broadcast joins and compare executed
+    shuffle-records-written with and without the prefilter: the
+    prefiltered plan must shuffle strictly fewer rows, and the fact
+    side's reduction must be at least the prefilter's pruning ratio."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+    from tools.plan_audit import shuffle_rows_of
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c = (
+            load_table(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == sketch.BLOOM_JOIN_SEGMENT)
+            .select("c_custkey")
+        )
+        words = sketch._bloom_bitmap_words(c, "c_custkey")
+        o = load_table(spark, sf_dir, "orders")
+
+        def agg(df):
+            return (
+                df.join(c, df.o_custkey == c.c_custkey, "left_semi")
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders"))
+            )
+
+        plain = shuffle_rows_of(agg(o))
+        filtered = shuffle_rows_of(
+            agg(o.where(sketch._bloom_test(F.col("o_custkey"), words)))
+        )
+        assert filtered < plain, (filtered, plain)
+        n_total = o.count()
+        n_pass = o.where(
+            sketch._bloom_test(F.col("o_custkey"), words)
+        ).count()
+        # the removed shuffle rows are at least the pruned fact rows
+        assert plain - filtered >= n_total - n_pass, (
+            plain, filtered, n_total, n_pass,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
