@@ -56,7 +56,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..functions import texts
 from ..sources.tables import load_table
@@ -990,6 +990,383 @@ ORDER BY month_us
 """
 
 
+# ------------------------------------ HLL set algebra (round 7, cont.)
+# The month-grain entries prove the register-MAX merge law across TIME
+# grains; this one proves it across FILTERS, which is what unlocks
+# sketch-space set algebra: persist one register table per audience
+# segment and answer |A|, |B|, |A∪B| (MAX-merge), and |A∩B|
+# (inclusion-exclusion on the raw estimates) without ever re-reading
+# events or materializing a distinct-user shuffle per question.  The
+# exact counts ride along (same pattern as CMS's n_true) so the
+# estimate error is visible in the result; the pytest pins it within
+# the sketch's standard-error envelope.
+SEG_HLL_A = "view"
+SEG_HLL_B = "purchase"
+
+
+def segment_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap in sketch space: per-segment HLL register tables
+    for SEG_HLL_A/SEG_HLL_B users, the union sketch by register-wise MAX
+    of the two segment sketches, and the intersection ESTIMATE by
+    inclusion-exclusion ``raw_A + raw_B − raw_A∪B`` (Flajolet et al.
+    2007 §5 — HLL has no native intersection; I-E on the union merge is
+    the standard construction, with error governed by the union's
+    standard error, so small overlaps are the hard regime and the exact
+    column makes that visible rather than hiding it).
+
+    The ORACLE sketches the union segment DIRECTLY from events
+    (``event_type IN (A, B)``), so the hash gate passes iff MAX-merging
+    the two per-segment register tables equals sketching their union —
+    the merge law across filters.  The exact-set twin of this entry is
+    ``segment_overlap`` (INTERSECT/EXCEPT over order customers); at
+    100 TB the exact form shuffles every (segment, user) pair while the
+    sketch form shuffles ≤ m = 512 register rows per segment.
+    """
+    e = (
+        load_events(spark, sf_dir)
+        .where(F.col("event_type").isin(SEG_HLL_A, SEG_HLL_B))
+        .select("event_type", "user_id")
+    )
+    hashed = e.select(
+        "event_type",
+        texts.hash32(F.col("user_id").cast("string")).alias("h"),
+    )
+    w = F.expr(f"div(h, {HLL_M})")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    seg_regs = (
+        hashed.select(
+            "event_type", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    union_regs = (
+        seg_regs.groupBy("reg")
+        .agg(F.max("m_reg").alias("m_reg"))  # the register-MAX merge
+        .select(F.lit("union").alias("relation"), "reg", "m_reg")
+    )
+    regs = seg_regs.select(
+        F.col("event_type").alias("relation"), "reg", "m_reg"
+    ).unionByName(union_regs)
+    # n_zero_regs rides along so the small-range linear-counting
+    # correction (m·ln(m/V) — transcendental, so OUT of the hash
+    # surface, same contract as events_dau_hll) stays computable from
+    # the result; NULL on the arithmetic intersection row.
+    est = _hll_estimate(regs, "relation").select(
+        "relation", "n_zero_regs", "hll_raw"
+    )
+    inter_est = est.groupBy().agg(
+        F.lit("intersection").alias("relation"),
+        F.lit(None).cast("long").alias("n_zero_regs"),
+        (
+            F.sum(F.when(F.col("relation") == SEG_HLL_A, F.col("hll_raw")))
+            + F.sum(F.when(F.col("relation") == SEG_HLL_B, F.col("hll_raw")))
+            - F.sum(F.when(F.col("relation") == "union", F.col("hll_raw")))
+        ).alias("hll_raw"),
+    )
+    users = e.distinct()
+    ex_seg = users.groupBy(F.col("event_type").alias("relation")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    ex_union = users.select("user_id").distinct().agg(
+        F.lit("union").alias("relation"), F.count(F.lit(1)).alias("n_exact")
+    )
+    ex_inter = (
+        users.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_segs"))
+        .where(F.col("n_segs") == 2)
+        .agg(
+            F.lit("intersection").alias("relation"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+    )
+    exact = ex_seg.unionByName(ex_union).unionByName(ex_inter)
+    return (
+        est.unionByName(inter_est)
+        .join(exact, "relation")
+        .select("relation", "n_exact", "n_zero_regs", "hll_raw")
+        .orderBy("relation")
+    )
+
+
+def _seg_hll_regs_sql(src: str, relation: str) -> str:
+    """Register-table SQL over a (user_id) source subquery."""
+    return f"""
+    SELECT '{relation}' AS relation, h % {HLL_M} AS reg,
+           MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_W_BITS + 1}
+                    ELSE {HLL_W_BITS + 1} - LENGTH(bin(h // {HLL_M}))
+               END) AS m_reg
+    FROM (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) AS h
+          FROM ({src}))
+    GROUP BY 1, 2
+    """
+
+
+# The union registers are sketched DIRECTLY from the union segment —
+# equals the Spark side's per-segment MAX-merge iff the merge law holds
+# across filters (see segment_overlap_hll).
+_SEG_HLL_ORACLE = f"""
+WITH regs AS (
+    {_seg_hll_regs_sql(
+        f"SELECT user_id FROM events WHERE event_type = '{SEG_HLL_A}'",
+        SEG_HLL_A,
+    )}
+    UNION ALL
+    {_seg_hll_regs_sql(
+        f"SELECT user_id FROM events WHERE event_type = '{SEG_HLL_B}'",
+        SEG_HLL_B,
+    )}
+    UNION ALL
+    {_seg_hll_regs_sql(
+        "SELECT user_id FROM events WHERE event_type IN "
+        f"('{SEG_HLL_A}', '{SEG_HLL_B}')",
+        "union",
+    )}
+),
+per_rel AS (
+    SELECT relation, COUNT(*) AS n_present,
+           CAST(SUM(CAST(POW(2, {HLL_W_BITS + 1} - m_reg) AS BIGINT))
+                AS BIGINT) AS z_present
+    FROM regs GROUP BY 1
+),
+est AS (
+    SELECT relation,
+           CAST({HLL_M} - n_present AS BIGINT) AS n_zero_regs,
+           CAST({HLL_RAW_NUM} // (z_present + ({HLL_M} - n_present)
+                * {1 << (HLL_W_BITS + 1)}) AS BIGINT) AS hll_raw
+    FROM per_rel
+),
+est_all AS (
+    SELECT * FROM est
+    UNION ALL
+    SELECT 'intersection', CAST(NULL AS BIGINT),
+           (SELECT hll_raw FROM est WHERE relation = '{SEG_HLL_A}')
+         + (SELECT hll_raw FROM est WHERE relation = '{SEG_HLL_B}')
+         - (SELECT hll_raw FROM est WHERE relation = 'union')
+),
+exact AS (
+    SELECT event_type AS relation, COUNT(DISTINCT user_id) AS n_exact
+    FROM events WHERE event_type IN ('{SEG_HLL_A}', '{SEG_HLL_B}')
+    GROUP BY 1
+    UNION ALL
+    SELECT 'union', COUNT(DISTINCT user_id)
+    FROM events WHERE event_type IN ('{SEG_HLL_A}', '{SEG_HLL_B}')
+    UNION ALL
+    SELECT 'intersection', COUNT(*)
+    FROM (SELECT user_id
+          FROM (SELECT DISTINCT event_type, user_id FROM events
+                WHERE event_type IN ('{SEG_HLL_A}', '{SEG_HLL_B}'))
+          GROUP BY user_id HAVING COUNT(*) = 2)
+)
+SELECT e.relation, CAST(x.n_exact AS BIGINT) AS n_exact,
+       e.n_zero_regs, e.hll_raw
+FROM est_all e JOIN exact x ON x.relation = e.relation
+ORDER BY e.relation
+"""
+
+
+# --------------------------- mergeable equi-width histogram (round 7)
+# The OLAP-statistics companion to the four sketches: a fixed-grid
+# histogram is trivially mergeable (bin counts are linear in the input,
+# so partition/day partials SUM — the same law as CMS) and answers
+# quantile queries to ±1 bin without any global sort.  This is the
+# 100 TB percentile path when approx_percentile's Greenwald-Khanna
+# sketch isn't reproducible across engines: B rows of state per day
+# regardless of data volume, and p50/p90/p99 fall out of one cumulative
+# pass over the merged B-row frame.
+HIST_BIN_CENTS = 1024  # bin width (power of two: value_cents div is exact)
+HIST_B = 48  # bins: covers the generator's value domain [0, 49152) cents
+
+
+def events_value_hist_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain value percentiles served from SUM-merged DAILY
+    equi-width histograms.  The Spark side builds the per-day B-row bin
+    frames a production lake persists, merges day → month by per-bin
+    SUM, and extracts p50/p90/p99 as the first bin whose cumulative
+    count reaches ``ceil(q·n)`` (exact integer thresholds — no float
+    percentile anywhere); the ORACLE bins the month directly from
+    events, so the hash gate passes iff histogram merge composes.
+
+    Each percentile is reported as its bin index plus the bin's lower
+    bound in cents — the histogram answer is exact to one bin width,
+    and the pytest pins |hist_p − exact_p| < HIST_BIN_CENTS against the
+    true percentile.  Scale shape: the widest frame after the first
+    aggregation is B rows per (day); the cumulative window partitions
+    are B-row month histograms, never data-sized.
+    """
+    from .events import MONTH_DAYS_US
+
+    daily = _daily_hist_of(load_events(spark, sf_dir))
+    monthly = (
+        daily.withColumn(
+            "month_us",
+            F.col("day_us") - F.col("day_us") % F.lit(MONTH_DAYS_US),
+        )
+        .groupBy("month_us", "bin")
+        .agg(F.sum("cnt").alias("cnt"))  # the histogram SUM merge
+    )
+    w_cum = (
+        Window.partitionBy("month_us")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("month_us")
+    c = monthly.select(
+        "month_us",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def pick(q: int) -> Column:
+        thresh = F.expr(f"div(n * {q} + 99, 100)")  # ceil(n·q/100)
+        return F.min(
+            F.when(F.col("cum") >= thresh, F.col("bin"))
+        ).alias(f"p{q}_bin")
+
+    return (
+        c.groupBy("month_us")
+        .agg(F.max("n").alias("n_events"), pick(50), pick(90), pick(99))
+        .select(
+            "month_us",
+            "n_events",
+            "p50_bin",
+            (F.col("p50_bin") * HIST_BIN_CENTS).alias("p50_lo_cents"),
+            "p90_bin",
+            (F.col("p90_bin") * HIST_BIN_CENTS).alias("p90_lo_cents"),
+            "p99_bin",
+            (F.col("p99_bin") * HIST_BIN_CENTS).alias("p99_lo_cents"),
+        )
+        .orderBy("month_us")
+    )
+
+
+def _daily_hist_of(events_df: DataFrame) -> DataFrame:
+    """(day_us, bin, cnt) per-day histogram over an arbitrary
+    (ts, value) frame — the persisted frame of the index twins,
+    factored from events_value_hist_monthly."""
+    from .events import _cents
+
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    return (
+        events_df.select(
+            day_us.alias("day_us"), _cents("value").alias("value_cents")
+        )
+        .select(
+            "day_us",
+            F.expr(
+                f"least(div(value_cents, {HIST_BIN_CENTS}), {HIST_B - 1})"
+            ).alias("bin"),
+        )
+        .groupBy("day_us", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------- incremental histogram table with a batch ledger
+# The continuous-ingest twin for a NON-IDEMPOTENT merge.  The other
+# index twins are idempotent through their merge law alone (max(a,a)=a
+# for HLL registers, a∪a=a for Bloom bits and minhash/ANN member sets),
+# so an orchestrator re-delivering a batch is absorbed for free.  SUM
+# merges — histograms here, CMS counters identically — are NOT:
+# a+a ≠ a, so a retried batch would double-count.  The standard fix is
+# an applied-batch LEDGER carried inside the same atomic snapshot as
+# the counters: an update whose batch_id is already in the live
+# snapshot's ledger is a no-op, and because ledger and counters commit
+# together (one CURRENT-pointer swap), a crash between them is
+# impossible — the pair is always mutually consistent.  This is the
+# engine-level form of Structured Streaming's own commit-log-per-batch
+# exactly-once contract, applied to a lake-persisted summary table.
+
+
+def hist_index_init(spark: SparkSession, events_df: DataFrame, path: str) -> None:
+    """Materialize the per-day histogram table (counts + applied-batch
+    ledger) for an initial corpus; ≤ B rows per day kept forever, any
+    coarser-grain percentile served by per-bin SUM merge."""
+    os.makedirs(path, exist_ok=True)
+    snap = "hist_v0"
+    base = os.path.join(path, snap)
+    _daily_hist_of(events_df).write.mode("overwrite").parquet(
+        os.path.join(base, "counts")
+    )
+    spark.createDataFrame([("__init__",)], "batch_id string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "batches"))
+    _snap_commit(path, snap, "hist_v")
+
+
+def hist_index_update(
+    spark: SparkSession, new_events: DataFrame, path: str, batch_id: str
+) -> DataFrame:
+    """Merge one ingest batch into the histogram table by per-bin SUM —
+    EXACTLY-ONCE via the snapshot-embedded ledger (module note above):
+    if ``batch_id`` is already applied, return the live counts
+    untouched; otherwise write merged counts + extended ledger as a new
+    snapshot and atomically swap CURRENT.  Per-batch work is
+    O(|batch| + B·days-touched), never corpus-sized.  Returns the
+    post-merge (day_us, bin, cnt) frame."""
+    live = _snap_live(path)
+    base = os.path.join(path, live)
+    ledger = spark.read.parquet(os.path.join(base, "batches"))
+    # ledger is batch-count-sized (one row per applied batch) — the
+    # membership probe is a steering-sized action, like the k-row
+    # centroid collects.
+    if ledger.where(F.col("batch_id") == batch_id).limit(1).count() > 0:
+        return spark.read.parquet(os.path.join(base, "counts"))
+    old = spark.read.parquet(os.path.join(base, "counts"))
+    merged = (
+        old.unionByName(_daily_hist_of(new_events))
+        .groupBy("day_us", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    nxt = f"hist_v{int(live.rsplit('_v', 1)[1]) + 1}"
+    nbase = os.path.join(path, nxt)
+    merged.write.mode("overwrite").parquet(os.path.join(nbase, "counts"))
+    ledger.unionByName(
+        spark.createDataFrame([(batch_id,)], "batch_id string")
+    ).write.mode("overwrite").parquet(os.path.join(nbase, "batches"))
+    _snap_commit(path, nxt, "hist_v")
+    return spark.read.parquet(os.path.join(nbase, "counts"))
+
+
+# Direct month-grain binning from raw events: equals the Spark side's
+# day→month per-bin SUM merge iff histogram merge composes.
+_HIST_MONTHLY_ORACLE = f"""
+WITH e AS (
+    SELECT epoch_us(ts) - epoch_us(ts) % {30 * 24 * 3_600_000_000}
+               AS month_us,
+           LEAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                     // {HIST_BIN_CENTS}, {HIST_B - 1}) AS bin
+    FROM events
+),
+hist AS (
+    SELECT month_us, bin, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+),
+c AS (
+    SELECT month_us, bin,
+           SUM(cnt) OVER (PARTITION BY month_us ORDER BY bin) AS cum,
+           SUM(cnt) OVER (PARTITION BY month_us) AS n
+    FROM hist
+),
+agg AS (
+    SELECT month_us, MAX(n) AS n_events,
+           MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS p50_bin,
+           MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) AS p90_bin,
+           MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS p99_bin
+    FROM c GROUP BY 1
+)
+SELECT month_us, CAST(n_events AS BIGINT) AS n_events,
+       p50_bin, p50_bin * {HIST_BIN_CENTS} AS p50_lo_cents,
+       p90_bin, p90_bin * {HIST_BIN_CENTS} AS p90_lo_cents,
+       p99_bin, p99_bin * {HIST_BIN_CENTS} AS p99_lo_cents
+FROM agg
+ORDER BY month_us
+"""
+
+
 QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_dau_hll": events_dau_hll,
@@ -998,6 +1375,8 @@ QUERIES = {
     "events_user_cms_monthly": events_user_cms_monthly,
     "events_user_bloom_monthly": events_user_bloom_monthly,
     "orders_bloom_semi_join": orders_bloom_semi_join,
+    "segment_overlap_hll": segment_overlap_hll,
+    "events_value_hist_monthly": events_value_hist_monthly,
 }
 
 ORACLE_SQL = {
@@ -1008,4 +1387,6 @@ ORACLE_SQL = {
     "events_user_cms_monthly": _CMS_MONTHLY_ORACLE,
     "events_user_bloom_monthly": _BLOOM_MONTHLY_ORACLE,
     "orders_bloom_semi_join": _BLOOM_JOIN_ORACLE,
+    "segment_overlap_hll": _SEG_HLL_ORACLE,
+    "events_value_hist_monthly": _HIST_MONTHLY_ORACLE,
 }

@@ -485,3 +485,187 @@ def test_bloom_prefilter_cuts_shuffle_volume_under_shuffle_join(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_segment_overlap_hll_estimates_within_envelope(spark, sf_dir):
+    """segment_overlap_hll (round 7): after the standard small-range
+    linear-counting correction (m·ln(m/V) when raw ≤ 5m/2 and V > 0 —
+    same out-of-hash-surface postprocess the events_dau_hll test
+    applies), each per-segment and union estimate is within 3σ of the
+    exact distinct count (σ = 1.04/√m ≈ 4.6% for m = 512, Flajolet et
+    al. 2007; +2 absolute slack for the tiny-cardinality sf0.001
+    fixture), and the inclusion-exclusion intersection is within 3×
+    that envelope of the UNION's scale (I-E error is governed by the
+    union sketch's absolute error, not the intersection's size — the
+    docstring's 'small overlaps are the hard regime')."""
+    import math
+
+    rows = {r.relation: r for r in sketch.segment_overlap_hll(spark, sf_dir).collect()}
+    assert set(rows) == {
+        sketch.SEG_HLL_A, sketch.SEG_HLL_B, "union", "intersection"
+    }
+
+    def corrected(r) -> float:
+        if (
+            r.hll_raw * 2 <= 5 * sketch.HLL_M
+            and r.n_zero_regs
+            and r.n_zero_regs > 0
+        ):
+            return sketch.HLL_M * math.log(sketch.HLL_M / r.n_zero_regs)
+        return float(r.hll_raw)
+
+    sigma = 1.04 / sketch.HLL_M**0.5
+    for rel in (sketch.SEG_HLL_A, sketch.SEG_HLL_B, "union"):
+        r = rows[rel]
+        assert abs(corrected(r) - r.n_exact) <= 3 * sigma * r.n_exact + 2, r
+    inter, union = rows["intersection"], rows["union"]
+    est_inter = (
+        corrected(rows[sketch.SEG_HLL_A])
+        + corrected(rows[sketch.SEG_HLL_B])
+        - corrected(union)
+    )
+    assert abs(est_inter - inter.n_exact) <= 3 * (
+        3 * sigma * union.n_exact + 2
+    ), (est_inter, inter, union)
+    # I-E consistency: the four RAW estimates satisfy A + B = union + inter
+    assert (
+        rows[sketch.SEG_HLL_A].hll_raw + rows[sketch.SEG_HLL_B].hll_raw
+        == union.hll_raw + inter.hll_raw
+    )
+
+
+def test_value_hist_quantile_bins_match_exact_order_statistics(spark, sf_dir):
+    """events_value_hist_monthly (round 7): the histogram percentile bin
+    must be EXACTLY the bin of the true ceil(q·n)-th order statistic
+    (binning is monotone, so bin(p-th value) = p-th bin of the binned
+    multiset — no tolerance needed), and the reported lower bound is
+    that bin's left edge."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        MONTH_DAYS_US,
+        _cents,
+    )
+
+    out = {r.month_us: r for r in sketch.events_value_hist_monthly(spark, sf_dir).collect()}
+    assert out
+    vals = (
+        ev.load_events(spark, sf_dir)
+        .select(
+            (
+                F.unix_micros("ts") - F.unix_micros("ts") % MONTH_DAYS_US
+            ).alias("month_us"),
+            _cents("value").alias("vc"),
+        )
+        .collect()
+    )
+    by_month: dict = {}
+    for r in vals:
+        by_month.setdefault(r.month_us, []).append(r.vc)
+    for month_us, xs in by_month.items():
+        xs.sort()
+        n = len(xs)
+        r = out[month_us]
+        assert r.n_events == n
+        for q in (50, 90, 99):
+            kth = xs[(n * q + 99) // 100 - 1]  # ceil(q·n/100)-th smallest
+            want_bin = min(kth // sketch.HIST_BIN_CENTS, sketch.HIST_B - 1)
+            got_bin = getattr(r, f"p{q}_bin")
+            assert got_bin == want_bin, (month_us, q, got_bin, want_bin)
+            assert getattr(r, f"p{q}_lo_cents") == got_bin * sketch.HIST_BIN_CENTS
+
+
+def test_value_hist_daily_sum_merge_equals_direct_month(spark, sf_dir):
+    """The histogram merge law at the register level: per-day bin counts
+    SUM-merged to the month grid equal binning the month directly (the
+    frame-level twin of the entry's hash gate, pinned here so a merge
+    regression localizes to this test instead of a hash mismatch)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        MONTH_DAYS_US,
+        _cents,
+    )
+
+    e = ev.load_events(spark, sf_dir).select(
+        F.unix_micros("ts").alias("us"), _cents("value").alias("vc")
+    ).select(
+        "us",
+        F.expr(
+            f"least(div(vc, {sketch.HIST_BIN_CENTS}), {sketch.HIST_B - 1})"
+        ).alias("bin"),
+    )
+    daily = (
+        e.groupBy(
+            (F.col("us") - F.col("us") % (24 * 3600 * 1_000_000)).alias("day_us"),
+            "bin",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = {
+        (r.month_us, r.bin): r.cnt
+        for r in daily.groupBy(
+            (F.col("day_us") - F.col("day_us") % MONTH_DAYS_US).alias("month_us"),
+            "bin",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    direct = {
+        (r.month_us, r.bin): r.cnt
+        for r in e.groupBy(
+            (F.col("us") - F.col("us") % MONTH_DAYS_US).alias("month_us"), "bin"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_hist_index_update_is_exactly_once_via_ledger(spark, sf_dir, tmp_path):
+    """hist_index (round 7): SUM merge is NOT idempotent (a+a ≠ a,
+    unlike the HLL/Bloom merge laws), so the index twin carries an
+    applied-batch ledger inside the atomic snapshot.  Pins: (a) init on
+    the first time half + update with the second equals the full-corpus
+    daily histogram; (b) re-delivering the SAME batch id is a no-op —
+    and the same frame under a FRESH id is NOT, proving the no-op came
+    from the ledger, not from accident; (c) the shared snapshot/GC
+    durability contract."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    src = ev.load_events(spark, sf_dir)
+    mid = src.agg(F.expr("percentile_approx(ts_us, 0.5, 10000)")).collect()[0][0]
+    first = src.where(F.col("ts_us") < mid)
+    second = src.where(F.col("ts_us") >= mid)
+    idx = str(tmp_path / "hist_index")
+
+    sketch.hist_index_init(spark, first, idx)
+    merged = sketch.hist_index_update(spark, second, idx, "b1")
+    got = {(r.day_us, r.bin): r.cnt for r in merged.collect()}
+    want = {
+        (r.day_us, r.bin): r.cnt
+        for r in sketch._daily_hist_of(src).collect()
+    }
+    assert got == want
+
+    again = sketch.hist_index_update(spark, second, idx, "b1")
+    assert {(r.day_us, r.bin): r.cnt for r in again.collect()} == want
+
+    doubled = sketch.hist_index_update(spark, second, idx, "b2")
+    got3 = {(r.day_us, r.bin): r.cnt for r in doubled.collect()}
+    assert got3 != want  # fresh id really merges — the ledger did the work
+    half = {(r.day_us, r.bin): r.cnt for r in sketch._daily_hist_of(second).collect()}
+    assert got3 == {
+        k: want[k] + half.get(k, 0) for k in want
+    }
+
+    live = sketch._snap_live(idx)
+    assert os.path.isdir(os.path.join(idx, live))
+    snaps = [d for d in os.listdir(idx) if d.startswith("hist_v")]
+    assert snaps == [live]
