@@ -452,6 +452,166 @@ SELECT doc_id, token, score_e6, rk FROM (
 """
 
 
+# -------------------------------------- hybrid retrieval (round 7)
+# Lexical + dense legs fused by Reciprocal Rank Fusion (Cormack,
+# Clarke & Buettcher, SIGIR'09): rrf(d) = Σ_legs 1/(K + rank_leg(d)).
+# RRF is the standard production fusion because it needs no score
+# calibration across legs — only ranks — and each leg is exactly the
+# retrieval operator already in the registry (text_search's TF-IDF
+# top-k; sim_topk's cosine top-k).  The reciprocal is kept exact-integer
+# as div(1e6, K + rank) so both engines hash identically.
+HYBRID_K = 50  # per-leg candidate depth
+HYBRID_TOPK = 10
+RRF_RANK_K = 60  # the SIGIR'09 constant
+HYBRID_QUERY_VEC_ID = 0  # dense-leg query: vec 0's embedding (documented
+# fixture choice — a production system embeds the user query; the PLAN
+# is the deliverable: two top-k legs + an O(k) fusion join)
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search over ``documents``/``embeddings`` (doc_id and
+    vec_id are the same key space): the lexical leg ranks SEARCH_QUERY
+    by integer-exact TF-IDF (same scoring as ``text_search``), the
+    dense leg ranks cosine similarity to HYBRID_QUERY_VEC_ID's
+    embedding (same quantized-exact cosine as ``sim_topk``), each to
+    depth HYBRID_K; the fusion is a FULL OUTER join of the two k-row
+    rank lists with ``rrf_e6 = Σ div(1e6, 60 + rank)`` (a missing leg
+    contributes 0) and a final top-HYBRID_TOPK.
+
+    Scale shape: each leg ends in TakeOrderedAndProject (corpus scanned
+    once per leg, never globally sorted); the per-leg ``row_number``
+    windows and the fusion join run on ≤ HYBRID_K-row frames, so
+    everything after the two leg scans is O(k) regardless of corpus
+    size.  At 100 TB the legs are served from the prebuilt postings /
+    ANN index (text_postings, ann_index) — the fusion stage is
+    unchanged.
+    """
+    from ..functions import vectors
+
+    # lexical leg — text_search's scored frame, cut to depth K first
+    # (TakeOrderedAndProject), then ranked: the window runs on K rows.
+    n_docs_df = load_table_spread(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tc = _token_counts(spark, sf_dir).where(F.col("token").isin(SEARCH_QUERY))
+    df_tbl = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_tbl.crossJoin(F.broadcast(n_docs_df)).select(
+        "token",
+        F.expr(
+            "div((2 * n_docs - 2 * df + 1) * 1000000, 2 * df + 1)"
+        ).alias("idf_e6"),
+    )
+    lex_order = [F.desc("score_e6"), F.asc("doc_id")]
+    lex_top = (
+        tc.join(F.broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_e6")).cast("long").alias("score_e6"))
+        .orderBy(*lex_order)
+        .limit(HYBRID_K)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(*lex_order)).alias("lex_rank"),
+    )
+
+    # dense leg — one broadcast query vector against the corpus scan.
+    emb = load_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", vectors.quantize(F.col("embedding")).alias("q")
+    ).withColumn("n2", vectors.norm2(F.col("q")))
+    qvec = emb.where(F.col("vec_id") == HYBRID_QUERY_VEC_ID).select(
+        F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    sim = vectors.sim_e6(
+        vectors.dot(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")
+    )
+    vec_order = [F.desc("sim_e6"), F.asc("doc_id")]
+    vec_top = (
+        emb.where(F.col("vec_id") != HYBRID_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim_e6"))
+        .orderBy(*vec_order)
+        .limit(HYBRID_K)
+    )
+    vec = vec_top.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(*vec_order)).alias("vec_rank"),
+    )
+
+    rrf = F.coalesce(
+        F.expr(f"div({1_000_000}, {RRF_RANK_K} + lex_rank)"), F.lit(0)
+    ) + F.coalesce(
+        F.expr(f"div({1_000_000}, {RRF_RANK_K} + vec_rank)"), F.lit(0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id", "lex_rank", "vec_rank", rrf.cast("long").alias("rrf_e6")
+        )
+        .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
+    )
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    from ..functions import vectors
+
+    toks = ", ".join(f"'{t}'" for t in SEARCH_QUERY)
+    q = vectors.quantize_sql("embedding")
+    sim = vectors.sim_e6_sql(
+        vectors.dot_sql("c.q", "(SELECT q FROM qv)"),
+        "c.n2",
+        "(SELECT n2 FROM qv)",
+    )
+    return f"""
+WITH tc AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    WHERE token IN ({toks})
+    GROUP BY doc_id, token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+    SELECT token,
+           (2 * (SELECT n_docs FROM n) - 2 * COUNT(*) + 1) * 1000000
+               // (2 * COUNT(*) + 1) AS idf_e6
+    FROM tc GROUP BY token
+),
+lex_scored AS (
+    SELECT doc_id, CAST(SUM(tc.tf * idf.idf_e6) AS BIGINT) AS score_e6
+    FROM tc JOIN idf USING (token) GROUP BY doc_id
+),
+lex AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY score_e6 DESC, doc_id ASC) AS INT) AS lex_rank
+    FROM lex_scored
+    QUALIFY lex_rank <= {HYBRID_K}
+),
+en AS (
+    SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2
+    FROM (SELECT vec_id, {q} AS q FROM embeddings)
+),
+qv AS (SELECT q, n2 FROM en WHERE vec_id = {HYBRID_QUERY_VEC_ID}),
+vec_scored AS (
+    SELECT c.vec_id AS doc_id, {sim} AS sim_e6
+    FROM en c WHERE c.vec_id <> {HYBRID_QUERY_VEC_ID}
+),
+vec AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY sim_e6 DESC, doc_id ASC) AS INT) AS vec_rank
+    FROM vec_scored
+    QUALIFY vec_rank <= {HYBRID_K}
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       CAST(COALESCE(1000000 // ({RRF_RANK_K} + l.lex_rank), 0)
+          + COALESCE(1000000 // ({RRF_RANK_K} + v.vec_rank), 0)
+            AS BIGINT) AS rrf_e6
+FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+ORDER BY rrf_e6 DESC, doc_id ASC
+LIMIT {HYBRID_TOPK}
+"""
+
+
 QUERIES = {
     "text_postings": text_postings,
     "text_search": text_search,
@@ -459,6 +619,7 @@ QUERIES = {
     "text_sparse_sim": text_sparse_sim,
     "documents_zipf": documents_zipf,
     "text_keywords": text_keywords,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
 
 ORACLE_SQL = {
@@ -468,4 +629,5 @@ ORACLE_SQL = {
     "text_sparse_sim": _sparse_sim_oracle_sql(),
     "documents_zipf": _zipf_oracle_sql(),
     "text_keywords": _keywords_oracle_sql(),
+    "hybrid_search_rrf": _hybrid_rrf_oracle_sql(),
 }

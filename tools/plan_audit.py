@@ -55,6 +55,9 @@ ALLOWED = {
     # the same K=16 broadcast-centroid fan-out as sim_ivf / sim_ivf_trained
     # (coarse assignment scores every row against the tiny centroid table).
     "sim_ivf_pq": {"nested_loop_inner"},
+    # the dense leg's ONE-ROW query-vector broadcast onto the corpus scan
+    # (same shape as sim_topk with a single query).
+    "hybrid_search_rrf": {"nested_loop_inner"},
 }
 
 
