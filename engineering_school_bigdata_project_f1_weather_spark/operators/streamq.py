@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import events_stream
+from . import sketch as _sketch
 
 HOUR_US = 3_600_000_000
 GAP_US = 1_800_000_000  # streaming/events_stream.py SESSION_GAP
@@ -598,6 +599,58 @@ ORDER BY user_id, view_id, purchase_id
 """
 
 
+def stream_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily-distinct-users where the MERGEABLE SUMMARY IS THE
+    STREAMING STATE (round 7): per-(day, register) ``MAX(rho)`` as the
+    streaming aggregation, drained complete-mode, the FFGM raw estimator
+    applied to the drained registers.
+
+    This is the state-size counterpoint to ``stream_dau``: the
+    dedup-then-count rewrite holds one state row per (user, day) inside
+    the watermark delay — state grows with USER cardinality — while the
+    HLL form's state is ≤ m = 512 register rows per day REGARDLESS of
+    user count, because each micro-batch's partial registers fold into
+    the store by the same register-MAX merge law the batch/monthly/index
+    entries prove.  No watermark is needed at all: MAX is insensitive to
+    late or replayed rows (max(a, a) = a), so the aggregation is both
+    exactly mergeable across micro-batches and idempotent under
+    re-delivery — the sketch gives the stream the commutative-monoid
+    state that COUNT(DISTINCT) lacks.  Oracle: the SAME `_HLL_ORACLE`
+    as the batch ``events_dau_hll`` — streaming/batch parity and the
+    cross-engine sketch contract in one hash gate.
+    """
+    ev = events_stream.stream_events(spark, sf_dir)
+    out = _drain(dau_hll_pipeline(ev), "stream_dau_hll", spark)
+    return _sketch._hll_estimate(out, "day_us").orderBy("day_us")
+
+
+def dau_hll_pipeline(events: DataFrame) -> DataFrame:
+    """(day_us, reg, m_reg) streaming register aggregation — the SAME
+    exact-integer pipeline as the batch ``sketch._registers_of``,
+    expressed over a streaming frame (factored so the pytest can replay
+    it file-by-file to prove cross-micro-batch register merging)."""
+    from ..functions import texts
+    from .sketch import HLL_M, HLL_W_BITS
+
+    hashed = events.select(
+        (
+            F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+        ).alias("day_us"),
+        texts.hash32(F.col("user_id").cast("string")).alias("h"),
+    )
+    w = F.expr(f"div(h, {HLL_M})")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        hashed.select(
+            "day_us", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("day_us", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
 QUERIES = {
     "stream_transitions": stream_transitions,
     "stream_view_purchase_join": stream_view_purchase_join,
@@ -608,6 +661,7 @@ QUERIES = {
     "stream_sessions": stream_sessions,
     "stream_enriched": stream_enriched,
     "stream_dedup": stream_dedup,
+    "stream_dau_hll": stream_dau_hll,
 }
 
 # stream_transitions "shares its oracle" with the batch twin — make
@@ -627,4 +681,7 @@ ORACLE_SQL = {
     "stream_sessions": _SESSIONS_ORACLE,
     "stream_enriched": _ENRICHED_ORACLE,
     "stream_dedup": _DEDUP_ORACLE,
+    # the batch HLL oracle, verbatim: streaming/batch parity and the
+    # cross-engine register contract in one gate (see stream_dau_hll).
+    "stream_dau_hll": _sketch._HLL_ORACLE,
 }

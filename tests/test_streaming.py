@@ -1096,3 +1096,68 @@ def test_stream_vp_outer_degenerate_one_leg_stream(spark, tmp_path):
         # Spark: unset leg -> watermark 0 -> nothing closes -> 0 rows.
         # The COALESCE sentinel must make the oracle agree.
         assert got == oracle == 0, (how, got, oracle)
+
+
+def test_stream_dau_hll_registers_merge_across_microbatches(spark, sf_dir, tmp_path):
+    """stream_dau_hll (round 7): the register aggregation must merge
+    across micro-batches by register MAX with NO watermark — split the
+    events into two time halves (days straddle the boundary), replay
+    with maxFilesPerTrigger=1, and the drained (day, reg, m_reg) frame
+    must BIT-EQUAL the batch registers over the whole corpus.  This is
+    the commutative-monoid-state property the entry's docstring claims:
+    ≤ m rows/day of state, late/replayed rows absorbed by max."""
+    import glob
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+        sketch,
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+        events_stream,
+    )
+
+    src = ev.load_events(spark, sf_dir)
+    mid = src.agg(
+        F.expr("percentile_approx(ts_us, 0.5, 10000)")
+    ).collect()[0][0]
+    half_dir = str(tmp_path / "hll_halves")
+    base = src.drop("ts_us")
+    base.where(F.unix_micros("ts") < mid).coalesce(1).write.parquet(
+        half_dir, mode="overwrite"
+    )
+    base.where(F.unix_micros("ts") >= mid).coalesce(1).write.parquet(
+        half_dir, mode="append"
+    )
+    parts = glob.glob(f"{half_dir}/part-*.parquet")
+    assert len(parts) == 2, parts
+
+    def _max_ts(p):
+        return spark.read.parquet(p).agg(
+            F.max(F.unix_micros("ts"))
+        ).collect()[0][0]
+
+    early, late = sorted(parts, key=_max_ts)
+    os.utime(early, (1_000_000_000, 1_000_000_000))
+    os.utime(late, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+        .withColumn("event_time", F.col("ts"))
+    )
+    out_dir = str(tmp_path / "hll_out")
+    got_df = events_stream.run_available_now_to_parquet(
+        streamq.dau_hll_pipeline(stream), out_dir, spark
+    )
+    got = {(r.day_us, r.reg): r.m_reg for r in got_df.collect()}
+    want = {
+        (r.day_us, r.reg): r.m_reg
+        for r in sketch._daily_registers(spark, sf_dir).collect()
+    }
+    assert got == want
