@@ -82,6 +82,8 @@ _WINDOW_R7 = [
     "tpch_promo_suppliers", "events_user_cms_monthly",
     "stream_view_purchase_full",
     "events_user_bloom_monthly", "orders_bloom_semi_join",
+    "segment_overlap_hll", "events_value_hist_monthly",
+    "hybrid_search_rrf", "stream_dau_hll",
     # r3-vintage (yielded their r6 slots to the round-6 additions)
     "sim_clusters", "sim_ivf",
     # r4-vintage: the full reference-parity marts surface
@@ -97,11 +99,12 @@ _WINDOW_R7 = [
     "join_semi_customers", "join_outer_audit", "window_suite",
     "tpch_quantiles", "tpch_cube", "tpch_grouping_sets",
     "tpch_distinct_parts", "tpch_quantiles_approx",
-    # r4-vintage fill: text + dedup heads (dedup_simhash and
-    # winnow_matches yielded their slots to the two Bloom additions and
-    # rotate into the r8 window with the dedup tail)
-    "text_tokens", "text_langid", "text_langid_ngram", "text_quality",
-    "dedup_exact", "dedup_fingerprint",
+    # r4-vintage fill: text heads (the dedup heads, text_quality, and
+    # text_langid_ngram yielded their slots to the four late-round-7
+    # additions — segment_overlap_hll / events_value_hist_monthly /
+    # hybrid_search_rrf / stream_dau_hll — and rotate into the r8
+    # window with the dedup tail)
+    "text_tokens", "text_langid",
 ]
 
 

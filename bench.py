@@ -164,6 +164,14 @@ BENCH_QUERIES = [
     # runtime-prefilter semi-join
     "events_user_bloom_monthly",
     "orders_bloom_semi_join",
+    # round-7 late wave: HLL set algebra across segment filters, the
+    # mergeable equi-width histogram percentile path, and lexical+dense
+    # reciprocal-rank fusion
+    "segment_overlap_hll",
+    "events_value_hist_monthly",
+    "hybrid_search_rrf",
+    # the sketch-as-streaming-state drain (register-MAX monoid state)
+    "stream_dau_hll",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 
@@ -354,6 +362,38 @@ def _bench_bloom_index_update(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_hist_index_update(spark, sf_dir: str) -> float:
+    """Incremental histogram batch cost (round 7): the counts+ledger
+    table is built on the first half of the time range OUTSIDE the
+    measured span; timed is one SUM-merge batch INCLUDING its
+    exactly-once ledger probe — the steady-state cost of continuous
+    percentile-summary maintenance for a non-idempotent merge."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import sketch
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        load_events,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_hist_index_")
+    try:
+        src = load_events(spark, sf_dir)
+        mid = src.agg(
+            F.expr("percentile_approx(ts_us, 0.5, 10000)")
+        ).collect()[0][0]
+        sketch.hist_index_init(spark, src.where(F.col("ts_us") < mid), tmp)
+        t0 = time.perf_counter()
+        sketch.hist_index_update(
+            spark, src.where(F.col("ts_us") >= mid), tmp, "bench-b1"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_zorder_write(spark, sf_dir: str) -> None:
     """The scale-safe Z-order writer path (round 7, VERDICT r6 item 1):
     repartitionByRange + sortWithinPartitions + per-file stats — the
@@ -373,6 +413,7 @@ EXTRA_BENCH = {
     "dedup_embedding_ann": _bench_embedding_ann_scaled_k,
     "ann_index_update": _bench_ann_index_update,
     "hll_index_update": _bench_hll_index_update,
+    "hist_index_update": _bench_hist_index_update,
     "text_bpe_train": _bench_bpe_train,
 }
 
