@@ -1367,6 +1367,378 @@ ORDER BY month_us
 """
 
 
+# ----------------------------- KMV bottom-k distinct sketch (round 7)
+# The order-statistic member of the mergeable-summary family, closing
+# the merge-algebra matrix the registry proves in-engine: HLL merges by
+# register MAX, CMS by counter SUM, Bloom by bit OR, the equi-width
+# histogram by bin SUM — KMV (k minimum values, Bar-Yossef et al.
+# RANDOM'02; Beyer et al. SIGMOD'07) merges by *min-k of the union*, an
+# order-statistic merge none of the pointwise monoids exercise.  The
+# sketch is the k smallest distinct hash values of the key set; the
+# estimator (k−1)·2³²/h_k is exact-integer, and unlike HLL the sketch
+# supports a principled Jaccard/intersection estimator (the hashes ARE
+# a uniform sample of the union), which segment_jaccard_kmv uses.
+# At 100 TB each stored sketch is ≤ KMV_K rows regardless of
+# cardinality, and any union of key sets rolls up without re-reading
+# raw data.
+KMV_K = 256
+KMV_SALT = 32  # level-1 fan-out of the exact two-level bottom-k
+KMV_HASH_SPACE = 1 << 32
+
+
+def _bottom_k(df: DataFrame, part_cols: list, k: int) -> DataFrame:
+    """Exact per-group bottom-k of a distinct (``part_cols``, h) frame
+    via the two-level salted rank: level 1 ranks within (group,
+    h % KMV_SALT) so no task ever sorts more than ~1/KMV_SALT of a
+    group's hashes (a single-window per-group rank would put a whole
+    100 TB day in one task); level 2 ranks the ≤ SALT·k survivors.
+    Exact because any of a group's k smallest hashes is also among the
+    k smallest of its salt bucket."""
+    w1 = Window.partitionBy(
+        *part_cols, (F.col("h") % KMV_SALT).alias("salt")
+    ).orderBy("h")
+    lvl1 = (
+        df.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy("h")
+    return (
+        lvl1.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _kmv_est(n_kmv: Column, kth: Column) -> Column:
+    """(k−1)·2³²/h_k when the sketch is full, exact count when not
+    (fewer than k distinct hashes means the sketch IS the set).
+    Integer-exact in both engines: single div of long literals."""
+    return F.when(n_kmv < KMV_K, n_kmv).otherwise(
+        F.expr(f"div({(KMV_K - 1) * KMV_HASH_SPACE}, greatest(kth_h, 1))")
+    )
+
+
+def _user_day_hash() -> Column:
+    """Hash of the (user_id, day) ACTIVITY key — the sketched set is
+    active user-days, not users: user_id is deliberately too
+    low-cardinality in this data (every user is active every month, so
+    a user-keyed sketch would sit in the exact n < k regime and never
+    exercise the estimator or the min-k truncation).  User-days are the
+    standard engagement denominator (DAU-days / MAU) and reach ~30× the
+    user cardinality, so the month sketch is genuinely truncated."""
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (
+        24 * 3600 * 1_000_000
+    )
+    return texts.hash32(
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), day_us.cast("string")
+        )
+    )
+
+
+_USER_DAY_HASH_SQL = texts.hash32_sql(
+    "CAST(user_id AS VARCHAR) || ':' || "
+    "CAST(epoch_us(ts) - epoch_us(ts) % 86400000000 AS VARCHAR)"
+)
+
+
+def _daily_kmv_of(events_df: DataFrame) -> DataFrame:
+    """(day_us, h) daily bottom-k frame over an arbitrary (ts, user_id)
+    events frame — the persisted sketch the month entry, the Jaccard
+    entry's shape, and the kmv_index twins all derive from."""
+    hashed = events_df.select(
+        (
+            F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+        ).alias("day_us"),
+        _user_day_hash().alias("h"),
+    ).distinct()
+    return _bottom_k(hashed, ["day_us"], KMV_K)
+
+
+def kmv_index_init(spark: SparkSession, events_df: DataFrame, path: str) -> None:
+    """Materialize the per-day KMV bottom-k table for an initial event
+    corpus — the continuous-ingest twin for the ORDER-STATISTIC merge,
+    completing the persisted-sketch family (minhash / ANN / HLL / Bloom
+    / histogram): ≤ KMV_K rows per day kept forever, any window's
+    distinct-count estimate served by min-k merge of its days."""
+    os.makedirs(path, exist_ok=True)
+    snap = "kmv_v0"
+    _daily_kmv_of(events_df).write.mode("overwrite").parquet(
+        os.path.join(path, snap)
+    )
+    _snap_commit(path, snap, "kmv_v")
+
+
+def kmv_index_update(
+    spark: SparkSession, new_events: DataFrame, path: str
+) -> DataFrame:
+    """Merge a new event batch into the bottom-k table: sketch the
+    batch, min-k the union per day, write a NEW snapshot, atomically
+    swap CURRENT (shared _snap machinery).  IDEMPOTENT like the
+    HLL/Bloom twins — min-k(S ∪ S) = min-k(S), the order-statistic
+    merge is a semilattice, so a re-delivered batch is a no-op and no
+    ledger is needed (contrast hist_index_update's non-idempotent SUM).
+    Per-batch work is O(|batch| + k·days-touched), never corpus-sized."""
+    live = _snap_live(path)
+    old = spark.read.parquet(os.path.join(path, live))
+    # Both merge inputs are already ≤ k rows/day sketches, so the union
+    # is ≤ 2k rows per day BY CONSTRUCTION — a plain per-day rank is
+    # skew-safe here and saves the two-level's extra exchange (the
+    # two-level stays on the raw-batch side, where a day is unbounded).
+    w = Window.partitionBy("day_us").orderBy("h")
+    merged = (
+        old.unionByName(_daily_kmv_of(new_events))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    nxt = f"kmv_v{int(live.rsplit('_v', 1)[1]) + 1}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, nxt))
+    _snap_commit(path, nxt, "kmv_v")
+    return spark.read.parquet(os.path.join(path, nxt))
+
+
+def events_kmv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain distinct ACTIVE USER-DAYS by min-k-MERGING the daily
+    KMV sketches — the order-statistic merge-law proof, the KMV twin of
+    ``events_mau_hll`` (register MAX) and ``events_user_cms_monthly``
+    (counter SUM).  The Spark side builds the persisted daily sketch
+    (k smallest distinct user-day hashes per day, ≤ KMV_K rows/day via
+    the salted two-level rank), then merges day → month by bottom-k of
+    the union; the ORACLE sketches each month DIRECTLY from events, so
+    the hash gate passes iff min-k(∪_d min-k(S_d)) = min-k(∪_d S_d) —
+    and because a month holds ~30× KMV_K more user-days than any single
+    day, the month merge genuinely truncates (estimator regime), it is
+    not the degenerate everything-fits case.  The exact distinct count
+    rides along so the estimator error is visible (σ ≈ 1/√(k−2) ≈ 6.3%
+    at k = 256); months with fewer than k distinct hashes are exact by
+    construction."""
+    from .events import MONTH_DAYS_US
+
+    daily = _daily_kmv_of(load_events(spark, sf_dir))  # the stored sketch
+    month_sets = daily.select(
+        (F.col("day_us") - F.col("day_us") % MONTH_DAYS_US).alias(
+            "month_us"
+        ),
+        "h",
+    ).distinct()  # set-union semantics: a hash seen on many days is one
+    month_kmv = _bottom_k(month_sets, ["month_us"], KMV_K)
+    sketch_agg = month_kmv.groupBy("month_us").agg(
+        F.count(F.lit(1)).alias("n_kmv"), F.max("h").alias("kth_h")
+    )
+    exact = (
+        load_events(spark, sf_dir)
+        .select(
+            (
+                F.unix_micros("ts") - F.unix_micros("ts") % MONTH_DAYS_US
+            ).alias("month_us"),
+            "user_id",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+            ).alias("day_us"),
+        )
+        .distinct()
+        .groupBy("month_us")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        sketch_agg.join(exact, "month_us")
+        .select(
+            "month_us",
+            "n_exact",
+            "n_kmv",
+            "kth_h",
+            _kmv_est(F.col("n_kmv"), F.col("kth_h")).alias("kmv_est"),
+        )
+        .orderBy("month_us")
+    )
+
+
+_KMV_EST_SQL = (
+    f"CASE WHEN n_kmv < {KMV_K} THEN n_kmv "
+    f"ELSE {(KMV_K - 1) * KMV_HASH_SPACE} // GREATEST(kth_h, 1) END"
+)
+
+# Direct month-grain sketch over raw events — equals the Spark side's
+# day→month min-k merge iff the order-statistic merge law holds.
+_KMV_MONTHLY_ORACLE = f"""
+WITH hd AS (
+    SELECT DISTINCT
+           epoch_us(ts) - epoch_us(ts) % {30 * 24 * 3_600_000_000}
+               AS month_us,
+           {_USER_DAY_HASH_SQL} AS h
+    FROM events
+),
+ranked AS (
+    SELECT month_us, h,
+           ROW_NUMBER() OVER (PARTITION BY month_us ORDER BY h) AS rn
+    FROM hd
+),
+sk AS (
+    SELECT month_us, CAST(COUNT(*) AS BIGINT) AS n_kmv,
+           MAX(h) AS kth_h
+    FROM ranked WHERE rn <= {KMV_K} GROUP BY 1
+),
+ex AS (
+    SELECT month_us, CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM (SELECT DISTINCT
+                 epoch_us(ts) - epoch_us(ts) % {30 * 24 * 3_600_000_000}
+                     AS month_us,
+                 user_id,
+                 epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us
+          FROM events)
+    GROUP BY 1
+)
+SELECT sk.month_us, ex.n_exact, sk.n_kmv, sk.kth_h,
+       CAST({_KMV_EST_SQL} AS BIGINT) AS kmv_est
+FROM sk JOIN ex ON ex.month_us = sk.month_us
+ORDER BY sk.month_us
+"""
+
+
+def segment_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard / intersection in sketch space via KMV — the
+    principled alternative to ``segment_overlap_hll``'s
+    inclusion-exclusion: the union sketch's hashes are a uniform
+    k-sample of A∪B (Beyer et al. SIGMOD'07), so the fraction of them
+    present in BOTH per-segment sketches estimates J(A,B) directly,
+    with binomial error √(J(1−J)/k) — independent of how small the
+    overlap is relative to the union, exactly the regime where HLL I-E
+    degrades.  The compared sets are (user, day) ACTIVITY sets per
+    event type ("on which user-days did a view / a purchase happen") —
+    the co-occurrence-affinity metric, and, unlike plain user sets in
+    this data, genuinely partially overlapping (see ``_user_day_hash``)
+    so the estimate is a real fraction, not the degenerate J = 1.
+    Spark builds the union sketch by min-k-MERGING the two per-segment
+    sketches; the ORACLE sketches the union segment DIRECTLY (the
+    across-filters merge law, KMV edition).  Exact counts ride along;
+    everything downstream of the two per-segment bottom-k's is O(k)
+    rows.  Integer surface: jaccard_ppm = match·10⁶/|B_∪|, inter_est =
+    match·union_est/|B_∪|."""
+    e = (
+        load_events(spark, sf_dir)
+        .where(F.col("event_type").isin(SEG_HLL_A, SEG_HLL_B))
+        .select(
+            "event_type",
+            "user_id",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+            ).alias("day_us"),
+            _user_day_hash().alias("h"),
+        )
+    )
+    hashed = e.select("event_type", "h").distinct()
+    seg_kmv = _bottom_k(hashed, ["event_type"], KMV_K)
+    a_kmv = seg_kmv.where(F.col("event_type") == SEG_HLL_A).select("h")
+    b_kmv = seg_kmv.where(F.col("event_type") == SEG_HLL_B).select("h")
+    # min-k merge of the two ≤k-row sketches: distinct → global bottom-k.
+    # A plain TakeOrderedAndProject is the right plan at ≤ 2k rows.
+    union_kmv = a_kmv.union(b_kmv).distinct().orderBy("h").limit(KMV_K)
+    marked = union_kmv.join(
+        F.broadcast(a_kmv.withColumn("in_a", F.lit(1))), "h", "left"
+    ).join(F.broadcast(b_kmv.withColumn("in_b", F.lit(1))), "h", "left")
+    sk = marked.agg(
+        F.count(F.lit(1)).alias("n_union_kmv"),
+        F.max("h").alias("kth_h"),
+        F.sum(
+            F.when(
+                F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("match_cnt"),
+    )
+    flags = e.groupBy("user_id", "day_us").agg(
+        F.max(
+            F.when(F.col("event_type") == SEG_HLL_A, 1).otherwise(0)
+        ).alias("fa"),
+        F.max(
+            F.when(F.col("event_type") == SEG_HLL_B, 1).otherwise(0)
+        ).alias("fb"),
+    )
+    exact = flags.agg(
+        F.sum("fa").alias("n_a_exact"),
+        F.sum("fb").alias("n_b_exact"),
+        F.count(F.lit(1)).alias("n_union_exact"),
+        F.sum(F.col("fa") * F.col("fb")).alias("n_inter_exact"),
+    )
+    union_est = F.when(F.col("n_union_kmv") < KMV_K, F.col("n_union_kmv")).otherwise(
+        F.expr(f"div({(KMV_K - 1) * KMV_HASH_SPACE}, greatest(kth_h, 1))")
+    )
+    return (
+        exact.crossJoin(F.broadcast(sk))  # two one-row frames
+        .withColumn("union_est", union_est)
+        .select(
+            "n_a_exact",
+            "n_b_exact",
+            "n_union_exact",
+            "n_inter_exact",
+            "n_union_kmv",
+            "kth_h",
+            "match_cnt",
+            "union_est",
+            F.expr("div(match_cnt * 1000000, n_union_kmv)").alias(
+                "jaccard_ppm"
+            ),
+            F.expr("div(match_cnt * union_est, n_union_kmv)").alias(
+                "inter_est"
+            ),
+        )
+    )
+
+
+_SEG_KMV_ORACLE = f"""
+WITH hd AS (
+    SELECT DISTINCT event_type, {_USER_DAY_HASH_SQL} AS h
+    FROM events
+    WHERE event_type IN ('{SEG_HLL_A}', '{SEG_HLL_B}')
+),
+a AS (SELECT h FROM hd WHERE event_type = '{SEG_HLL_A}'
+      ORDER BY h LIMIT {KMV_K}),
+b AS (SELECT h FROM hd WHERE event_type = '{SEG_HLL_B}'
+      ORDER BY h LIMIT {KMV_K}),
+u AS (SELECT DISTINCT h FROM hd ORDER BY h LIMIT {KMV_K}),
+sk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_union_kmv, MAX(u.h) AS kth_h,
+           CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS match_cnt
+    FROM u LEFT JOIN a ON a.h = u.h LEFT JOIN b ON b.h = u.h
+),
+flags AS (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+           MAX(CASE WHEN event_type = '{SEG_HLL_A}' THEN 1 ELSE 0 END)
+               AS fa,
+           MAX(CASE WHEN event_type = '{SEG_HLL_B}' THEN 1 ELSE 0 END)
+               AS fb
+    FROM events
+    WHERE event_type IN ('{SEG_HLL_A}', '{SEG_HLL_B}')
+    GROUP BY 1, 2
+),
+ex AS (
+    SELECT CAST(SUM(fa) AS BIGINT) AS n_a_exact,
+           CAST(SUM(fb) AS BIGINT) AS n_b_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_union_exact,
+           CAST(SUM(fa * fb) AS BIGINT) AS n_inter_exact
+    FROM flags
+),
+est AS (
+    SELECT *,
+           CAST(CASE WHEN n_union_kmv < {KMV_K} THEN n_union_kmv
+                ELSE {(KMV_K - 1) * KMV_HASH_SPACE} // GREATEST(kth_h, 1)
+                END AS BIGINT) AS union_est
+    FROM ex, sk
+)
+SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+       n_union_kmv, kth_h, match_cnt, union_est,
+       CAST(match_cnt * 1000000 // n_union_kmv AS BIGINT) AS jaccard_ppm,
+       CAST(match_cnt * union_est // n_union_kmv AS BIGINT) AS inter_est
+FROM est
+"""
+
+
 QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_dau_hll": events_dau_hll,
@@ -1377,6 +1749,8 @@ QUERIES = {
     "orders_bloom_semi_join": orders_bloom_semi_join,
     "segment_overlap_hll": segment_overlap_hll,
     "events_value_hist_monthly": events_value_hist_monthly,
+    "events_kmv_monthly": events_kmv_monthly,
+    "segment_jaccard_kmv": segment_jaccard_kmv,
 }
 
 ORACLE_SQL = {
@@ -1389,4 +1763,6 @@ ORACLE_SQL = {
     "orders_bloom_semi_join": _BLOOM_JOIN_ORACLE,
     "segment_overlap_hll": _SEG_HLL_ORACLE,
     "events_value_hist_monthly": _HIST_MONTHLY_ORACLE,
+    "events_kmv_monthly": _KMV_MONTHLY_ORACLE,
+    "segment_jaccard_kmv": _SEG_KMV_ORACLE,
 }

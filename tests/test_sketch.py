@@ -669,3 +669,142 @@ def test_hist_index_update_is_exactly_once_via_ledger(spark, sf_dir, tmp_path):
     assert os.path.isdir(os.path.join(idx, live))
     snaps = [d for d in os.listdir(idx) if d.startswith("hist_v")]
     assert snaps == [live]
+
+
+# ------------------------------------------------- KMV (round 7 tail)
+def test_bottom_k_two_level_is_exact(spark):
+    """The salted two-level rank (sketch._bottom_k) must equal the naive
+    single-window per-group bottom-k on every group — exactness of the
+    skew-safe plan, pinned on a frame with groups straddling salt
+    buckets unevenly."""
+    from pyspark.sql import Window
+
+    df = (
+        spark.range(6000)
+        .select(
+            (F.col("id") % 7).alias("g"),
+            F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    got = sorted(
+        (r.g, r.h) for r in sketch._bottom_k(df, ["g"], 25).collect()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    want = sorted(
+        (r.g, r.h)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .drop("rn")
+        .collect()
+    )
+    assert got == want
+
+
+def test_kmv_estimator_envelope_synthetic(spark):
+    """The (k−1)·2³²/h_k estimator on a 20 000-key hashed set must land
+    within 3σ (σ = 1/√(k−2), Beyer et al. SIGMOD'07) of the true
+    cardinality — the truncated regime the sf0.001 testdata never
+    reaches (its months hold < k distinct user-days; the module
+    convention: synthetic frames for regimes the fixtures can't hit)."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit(0).alias("g"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    sk = sketch._bottom_k(df.distinct(), ["g"], sketch.KMV_K)
+    row = sk.agg(
+        F.count(F.lit(1)).alias("n_kmv"), F.max("h").alias("kth_h")
+    ).collect()[0]
+    assert row.n_kmv == sketch.KMV_K
+    est = (sketch.KMV_K - 1) * sketch.KMV_HASH_SPACE // row.kth_h
+    sigma = 1.0 / (sketch.KMV_K - 2) ** 0.5
+    assert abs(est - n) <= 3 * sigma * n, est
+
+
+def test_events_kmv_monthly_regimes(spark, sf_dir):
+    """Per month: the sketch never exceeds k rows; below k it IS the
+    set, so the estimate equals the exact count bit-for-bit (32-bit
+    hash collisions are ~n²/2³³ ≈ 10⁻⁵ at fixture scale and the data is
+    fixed-seed — any collision would already flip the oracle hash
+    gate); at k the estimator is within the 3σ envelope."""
+    rows = sketch.events_kmv_monthly(spark, sf_dir).collect()
+    assert rows
+    sigma = 1.0 / (sketch.KMV_K - 2) ** 0.5
+    for r in rows:
+        assert r.n_kmv <= sketch.KMV_K
+        if r.n_kmv < sketch.KMV_K:
+            assert r.kmv_est == r.n_kmv == r.n_exact, r
+        else:
+            assert abs(r.kmv_est - r.n_exact) <= 3 * sigma * r.n_exact + 2, r
+
+
+def test_segment_jaccard_kmv_consistency(spark, sf_dir):
+    """Structural pins + regime-conditional accuracy: the union sketch
+    is ≤ k rows; in the exact regime (|A∪B| < k) the sketch IS the
+    union so match_cnt / union_est equal the exact intersection/union;
+    in the truncated regime the Jaccard estimate is binomial —
+    |match/|B_∪| − J| ≤ 3√(J(1−J)/k) — and the intersection estimate
+    inherits that envelope scaled by the union size."""
+    r = sketch.segment_jaccard_kmv(spark, sf_dir).collect()[0]
+    assert r.n_union_kmv <= sketch.KMV_K
+    assert 0 <= r.match_cnt <= r.n_union_kmv
+    assert r.n_a_exact + r.n_b_exact == r.n_union_exact + r.n_inter_exact
+    j_exact = r.n_inter_exact / r.n_union_exact
+    if r.n_union_kmv < sketch.KMV_K:
+        assert r.match_cnt == r.n_inter_exact, r
+        assert r.union_est == r.n_union_exact, r
+        assert r.inter_est == r.n_inter_exact, r
+    else:
+        sigma_j = (j_exact * (1 - j_exact) / sketch.KMV_K) ** 0.5
+        j_est = r.match_cnt / r.n_union_kmv
+        assert abs(j_est - j_exact) <= 3 * sigma_j + 1 / sketch.KMV_K, r
+        env = 3 * sigma_j * r.n_union_exact + 0.2 * r.n_union_exact * (
+            1.0 / (sketch.KMV_K - 2) ** 0.5
+        )
+        assert abs(r.inter_est - r.n_inter_exact) <= env + 2, r
+
+
+def test_kmv_index_update_merges_and_is_idempotent(spark, sf_dir, tmp_path):
+    """Continuous-ingest twin for the ORDER-STATISTIC merge: init the
+    bottom-k table on the first half of the time range, update with the
+    second half — the merged table must BIT-EQUAL the full-corpus daily
+    sketches (min-k(∪ partials) = min-k(full), the semilattice law as
+    persisted state); a re-delivered batch is a no-op (min-k(S∪S) =
+    min-k(S) — no ledger needed, unlike the histogram's SUM); shared
+    snapshot durability/GC contract."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    src = ev.load_events(spark, sf_dir)
+    mid = src.agg(F.expr("percentile_approx(ts_us, 0.5, 10000)")).collect()[0][0]
+    first = src.where(F.col("ts_us") < mid)
+    second = src.where(F.col("ts_us") >= mid)
+    idx = str(tmp_path / "kmv_index")
+
+    sketch.kmv_index_init(spark, first, idx)
+    merged = sketch.kmv_index_update(spark, second, idx)
+    got = {(r.day_us, r.h) for r in merged.collect()}
+    want = {(r.day_us, r.h) for r in sketch._daily_kmv_of(src).collect()}
+    assert got == want
+
+    again = sketch.kmv_index_update(spark, second, idx)
+    assert {(r.day_us, r.h) for r in again.collect()} == want
+
+    live = sketch._snap_live(idx)
+    assert os.path.isdir(os.path.join(idx, live))
+    snaps = [d for d in os.listdir(idx) if d.startswith("kmv_v")]
+    assert snaps == [live]
+    os.makedirs(os.path.join(idx, "kmv_v99"))  # simulated crash debris
+    sketch.kmv_index_update(spark, second, idx)
+    snaps = [d for d in os.listdir(idx) if d.startswith("kmv_v")]
+    assert snaps == [sketch._snap_live(idx)]
