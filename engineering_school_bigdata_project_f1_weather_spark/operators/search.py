@@ -612,6 +612,111 @@ LIMIT {HYBRID_TOPK}
 """
 
 
+# ------------------------------------------------ BM25 (round 7 tail)
+# Okapi BM25 (Robertson & Zaragoza 2009) completes the retrieval-stack
+# ladder text_search (plain TF-IDF) → text_search_bm25 (saturated TF +
+# length normalization, the production lexical ranker) →
+# hybrid_search_rrf (fusion with the dense leg).  k1 = 6/5 and b = 3/4
+# are the standard constants, kept RATIONAL so the whole score is
+# exact-integer: with N docs, T total tokens, per-doc length dl,
+#     term = idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/T)
+# multiplying through by 10·10⁶ (k1(1−b) = 3/10, k1·b = 9/10, k1+1 =
+# 11/5) and pre-dividing the length ratio once per doc
+# (dl_ratio_e6 = dl·N·10⁶ // T) gives
+#     term_e6 = (22·tf·idf_e3·10⁶) // (10⁷·tf + 3·10⁶ + 9·dl_ratio_e6)
+# — one floor division per (doc, term), identical in both engines.  The
+# idf uses the module's rational-idf convention at e3 scale (e6 would
+# put the worst-case numerator within 2× of BIGINT overflow at sf0.5;
+# e3 leaves 3 decimal digits of headroom, documented here so the probe
+# scales stay safe).
+BM25_TOPK = 10
+
+
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval for SEARCH_QUERY — exact-integer
+    rational form (see block comment).  Plan: the (N, T) corpus totals
+    are ONE one-row aggregate cross-joined in-plan; idf is a |query|-row
+    broadcast; per-doc lengths join the query-token hits on doc_id (at
+    100 TB the serving path reads the prebuilt postings + doc-length
+    index — text_postings IS that index's reduce phase); one per-doc
+    sum; TakeOrderedAndProject for the top-k."""
+    docs = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", texts.tokens(F.col("text")).alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    tc = _token_counts(spark, sf_dir).where(F.col("token").isin(SEARCH_QUERY))
+    idf = (
+        tc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.expr("div((2 * n_docs - 2 * df + 1) * 1000, 2 * df + 1)").alias(
+                "idf_e3"
+            ),
+        )
+    )
+    hits = (
+        tc.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "div(22 * tf * idf_e3 * 1000000,"
+                " 10000000 * tf + 3000000"
+                " + 9 * div(dl * n_docs * 1000000, t_tokens))"
+            ).alias("term_e6"),
+        )
+    )
+    scored = hits.groupBy("doc_id").agg(
+        F.sum("term_e6").cast("long").alias("bm25_e6")
+    )
+    return scored.orderBy(F.desc("bm25_e6"), F.asc("doc_id")).limit(BM25_TOPK)
+
+
+def _bm25_oracle_sql() -> str:
+    toks = ", ".join(f"'{t}'" for t in SEARCH_QUERY)
+    return f"""
+WITH dl AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+tot AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl
+),
+tc AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    WHERE token IN ({toks})
+    GROUP BY doc_id, token
+),
+idf AS (
+    SELECT token,
+           (2 * (SELECT n_docs FROM tot) - 2 * COUNT(*) + 1) * 1000
+               // (2 * COUNT(*) + 1) AS idf_e3
+    FROM tc GROUP BY token
+),
+hits AS (
+    SELECT tc.doc_id,
+           22 * tc.tf * idf.idf_e3 * 1000000
+               // (10000000 * tc.tf + 3000000
+                   + 9 * (dl.dl * (SELECT n_docs FROM tot) * 1000000
+                          // (SELECT t_tokens FROM tot))) AS term_e6
+    FROM tc JOIN idf USING (token) JOIN dl USING (doc_id)
+)
+SELECT doc_id, CAST(SUM(term_e6) AS BIGINT) AS bm25_e6
+FROM hits
+GROUP BY doc_id
+ORDER BY bm25_e6 DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
 QUERIES = {
     "text_postings": text_postings,
     "text_search": text_search,
@@ -620,6 +725,7 @@ QUERIES = {
     "documents_zipf": documents_zipf,
     "text_keywords": text_keywords,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "text_search_bm25": text_search_bm25,
 }
 
 ORACLE_SQL = {
@@ -630,4 +736,5 @@ ORACLE_SQL = {
     "documents_zipf": _zipf_oracle_sql(),
     "text_keywords": _keywords_oracle_sql(),
     "hybrid_search_rrf": _hybrid_rrf_oracle_sql(),
+    "text_search_bm25": _bm25_oracle_sql(),
 }
