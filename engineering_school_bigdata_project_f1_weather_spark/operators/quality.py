@@ -187,6 +187,31 @@ def _li_keyed(df: DataFrame) -> DataFrame:
     return df.select(key.alias("row_key"), digest.alias("digest"))
 
 
+def _li_old_snapshot(cur: DataFrame) -> DataFrame:
+    """The deterministically-derived 'old' snapshot both reconciliation
+    entries share (drop every DELETE_MODth key hash → registers as
+    *added*; bump l_quantity on every UPDATE_MODth → *changed*; add a
+    shifted-key phantom copy of every REMOVE_MODth → *removed*)."""
+    h = texts.hash32(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in ROW_KEY])
+    )
+    old_src = cur.withColumn("_h", h).where(
+        F.col("_h") % DIFF_DELETE_MOD != 0
+    )
+    old_src = old_src.withColumn(
+        "l_quantity",
+        F.when(
+            F.col("_h") % DIFF_UPDATE_MOD == 0, F.col("l_quantity") + 1
+        ).otherwise(F.col("l_quantity")),
+    ).drop("_h")
+    phantom = cur.withColumn("_h", h).where(
+        F.col("_h") % DIFF_REMOVE_MOD == 0
+    ).withColumn(
+        "l_linenumber", F.col("l_linenumber") + F.lit(100)
+    ).drop("_h")
+    return old_src.unionByName(phantom)
+
+
 def lineitem_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot RECONCILIATION: diff two versions of a table into
     added / removed / changed / unchanged counts — the CDC-audit /
@@ -205,22 +230,7 @@ def lineitem_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer would ingest.
     """
     cur = load_table(spark, sf_dir, "lineitem")
-    h = texts.hash32(F.concat_ws("|", *[F.col(c).cast("string") for c in ROW_KEY]))
-    old_src = cur.withColumn("_h", h).where(
-        F.col("_h") % DIFF_DELETE_MOD != 0
-    )
-    old_src = old_src.withColumn(
-        "l_quantity",
-        F.when(
-            F.col("_h") % DIFF_UPDATE_MOD == 0, F.col("l_quantity") + 1
-        ).otherwise(F.col("l_quantity")),
-    ).drop("_h")
-    phantom = cur.withColumn("_h", h).where(
-        F.col("_h") % DIFF_REMOVE_MOD == 0
-    ).withColumn(
-        "l_linenumber", F.col("l_linenumber") + F.lit(100)
-    ).drop("_h")
-    old_src = old_src.unionByName(phantom)
+    old_src = _li_old_snapshot(cur)
     new_k = _li_keyed(cur).alias("n")
     old_k = _li_keyed(old_src).alias("o")
     joined = new_k.join(old_k, F.col("n.row_key") == F.col("o.row_key"), "full_outer")
@@ -278,6 +288,96 @@ j AS (
     FROM cur n FULL OUTER JOIN old o ON n.row_key = o.row_key
 )
 SELECT op, COUNT(*) AS n_rows FROM j GROUP BY op ORDER BY op
+"""
+
+
+def _li_proj(df: DataFrame) -> DataFrame:
+    """The integer-safe projection both sides of the apply identity are
+    compared on: the documented row key + the mutated quantity (integral
+    by contract) + cents-quantized price — no float-to-string formatting
+    anywhere near the cross-engine hash (same contract as _li_keyed)."""
+    return df.select(
+        *ROW_KEY,
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+
+def _li_cdc_stream(cur: DataFrame) -> tuple:
+    """(old_keyed, cdc) — the keyed old snapshot and the row-level
+    insert/update/delete change stream old→cur that the apply entry
+    consumes (and whose op counts must equal the diff entry's census —
+    pinned in tests/test_snapshot_apply.py)."""
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in ROW_KEY]
+    )
+    curk = _li_proj(cur).withColumn("row_key", key).withColumn(
+        "_n", F.lit(1)
+    )
+    oldk = _li_proj(_li_old_snapshot(cur)).withColumn(
+        "row_key", key
+    ).withColumn("_o", F.lit(1))
+    j = curk.alias("n").join(oldk.alias("o"), "row_key", "full_outer")
+    op = (
+        F.when(F.col("o._o").isNull(), F.lit("insert"))
+        .when(F.col("n._n").isNull(), F.lit("delete"))
+        .when(
+            (F.col("n.quantity") != F.col("o.quantity"))
+            | (F.col("n.price_cents") != F.col("o.price_cents")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    cdc = j.select(
+        "row_key",
+        op.alias("op"),
+        *[F.col(f"n.{c}").alias(c) for c in ROW_KEY],
+        F.col("n.quantity").alias("quantity"),
+        F.col("n.price_cents").alias("price_cents"),
+    ).where(F.col("op") != "unchanged")
+    return oldk, cdc
+
+
+def lineitem_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — the MERGE INTO shape, and the inverse of
+    ``lineitem_snapshot_diff``: compute the row-level change stream
+    old→current (insert / update / delete, the rows the diff entry only
+    censuses), then apply it back onto the old snapshot —
+    delete+update keys anti-join out of the base, insert+update
+    payloads union in.  The ORACLE is simply the CURRENT snapshot's
+    projection read directly, so the hash gate proves the round-trip
+    law ``apply(old, diff(old, cur)) = cur`` — the property that makes
+    incremental lake maintenance (ingest a changeset instead of
+    rewriting the table) correct.
+
+    Plan: both the diff and the apply are keyed full-outer / anti joins
+    on the SAME row key — at 100 TB the base and the changeset shuffle
+    once each on that key (zero times if the lake layout buckets by it,
+    the layout SCALE.md §Joins pins), and the changeset side is
+    typically a tiny fraction of the base, which AQE broadcasts."""
+    cur = load_table(spark, sf_dir, "lineitem")
+    oldk, cdc = _li_cdc_stream(cur)
+    tombstones = cdc.where(
+        F.col("op").isin("delete", "update")
+    ).select("row_key")
+    kept = oldk.join(tombstones, "row_key", "left_anti").select(
+        *ROW_KEY, "quantity", "price_cents"
+    )
+    upserts = cdc.where(F.col("op").isin("insert", "update")).select(
+        *ROW_KEY, "quantity", "price_cents"
+    )
+    return kept.unionByName(upserts)
+
+
+def _snapshot_apply_oracle_sql() -> str:
+    cols = ", ".join(ROW_KEY)
+    return f"""
+SELECT {cols},
+       CAST(l_quantity AS BIGINT) AS quantity,
+       CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+FROM lineitem
 """
 
 
@@ -580,6 +680,7 @@ QUERIES = {
     "events_json_variant": events_json_variant,
     "quality_score": quality_score,
     "lineitem_snapshot_diff": lineitem_snapshot_diff,
+    "lineitem_snapshot_apply": lineitem_snapshot_apply,
     "lineitem_zorder_layout": lineitem_zorder_layout,
 }
 
@@ -595,5 +696,6 @@ ORACLE_SQL = {
     """,
     "quality_score": _quality_score_oracle_sql(),
     "lineitem_snapshot_diff": _snapshot_diff_oracle_sql(),
+    "lineitem_snapshot_apply": _snapshot_apply_oracle_sql(),
     "lineitem_zorder_layout": _zorder_oracle_sql(),
 }
