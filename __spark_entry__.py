@@ -84,6 +84,8 @@ _WINDOW_R7 = [
     "events_user_bloom_monthly", "orders_bloom_semi_join",
     "segment_overlap_hll", "events_value_hist_monthly",
     "hybrid_search_rrf", "stream_dau_hll",
+    "events_kmv_monthly", "segment_jaccard_kmv",
+    "text_search_bm25", "lineitem_snapshot_apply",
     # r3-vintage (yielded their r6 slots to the round-6 additions)
     "sim_clusters", "sim_ivf",
     # r4-vintage: the full reference-parity marts surface
@@ -98,13 +100,12 @@ _WINDOW_R7 = [
     "top_orders_per_customer", "join_anti_customers",
     "join_semi_customers", "join_outer_audit", "window_suite",
     "tpch_quantiles", "tpch_cube", "tpch_grouping_sets",
-    "tpch_distinct_parts", "tpch_quantiles_approx",
-    # r4-vintage fill: text heads (the dedup heads, text_quality, and
-    # text_langid_ngram yielded their slots to the four late-round-7
-    # additions — segment_overlap_hll / events_value_hist_monthly /
-    # hybrid_search_rrf / stream_dau_hll — and rotate into the r8
-    # window with the dedup tail)
-    "text_tokens", "text_langid",
+    # (the r4-vintage fill — text_tokens, text_langid, the dedup heads,
+    # and the two tolerance-gated analytics rows tpch_distinct_parts /
+    # tpch_quantiles_approx — yielded their slots to the eight
+    # late-round-7 additions, which are never-driver-witnessed and can
+    # only earn a row through this window; the displaced entries rotate
+    # into the r8 window with the dedup tail)
 ]
 
 

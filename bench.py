@@ -172,6 +172,13 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     # the sketch-as-streaming-state drain (register-MAX monoid state)
     "stream_dau_hll",
+    # KMV bottom-k: the order-statistic merge (min-k) + sketch-space
+    # Jaccard over (user, day) activity sets
+    "events_kmv_monthly",
+    "segment_jaccard_kmv",
+    # Okapi BM25 (exact-integer rational form) + the CDC MERGE apply
+    "text_search_bm25",
+    "lineitem_snapshot_apply",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 
@@ -394,6 +401,37 @@ def _bench_hist_index_update(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_kmv_index_update(spark, sf_dir: str) -> float:
+    """Incremental KMV batch cost (round 7 tail): bottom-k table built
+    on the first half of the time range OUTSIDE the measured span; timed
+    is one min-k merge batch — the steady-state cost of continuous
+    distinct-count-summary maintenance for the order-statistic merge."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import sketch
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        load_events,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_kmv_index_")
+    try:
+        src = load_events(spark, sf_dir)
+        mid = src.agg(
+            F.expr("percentile_approx(ts_us, 0.5, 10000)")
+        ).collect()[0][0]
+        sketch.kmv_index_init(spark, src.where(F.col("ts_us") < mid), tmp)
+        t0 = time.perf_counter()
+        sketch.kmv_index_update(
+            spark, src.where(F.col("ts_us") >= mid), tmp
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_zorder_write(spark, sf_dir: str) -> None:
     """The scale-safe Z-order writer path (round 7, VERDICT r6 item 1):
     repartitionByRange + sortWithinPartitions + per-file stats — the
@@ -414,6 +452,7 @@ EXTRA_BENCH = {
     "ann_index_update": _bench_ann_index_update,
     "hll_index_update": _bench_hll_index_update,
     "hist_index_update": _bench_hist_index_update,
+    "kmv_index_update": _bench_kmv_index_update,
     "text_bpe_train": _bench_bpe_train,
 }
 
