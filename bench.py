@@ -179,6 +179,10 @@ BENCH_QUERIES = [
     # Okapi BM25 (exact-integer rational form) + the CDC MERGE apply
     "text_search_bm25",
     "lineitem_snapshot_apply",
+    # char-level Levenshtein-threshold join (q-gram prefix filtering)
+    "dedup_edit_distance",
+    # fixed-size weighted sample (integer-replica bottom-k reservoir)
+    "sample_weighted_reservoir",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

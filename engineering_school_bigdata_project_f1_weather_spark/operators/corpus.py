@@ -599,6 +599,95 @@ WHERE {b} % {SPLIT_BUCKETS} < (CASE {arms} ELSE 0 END)
 """
 
 
+# ---------------------------------------- weighted reservoir (round 7)
+RESERVOIR_K = 100  # fixed sample size
+RESERVOIR_BAND_WEIGHT = {"high": 4, "mid": 2, "low": 1}  # sampling weights
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE weighted sample without replacement (k = RESERVOIR_K),
+    quality-band weighted — the missing facet next to the fixed-RATE
+    samplers (``sample_quality_weighted`` keeps a band-dependent
+    fraction; this keeps exactly k docs with band-proportional inclusion
+    odds), via deterministic integer-replica bottom-k.
+
+    Scheme (the exact-integer form of weighted priority sampling —
+    Efraimidis-Spirakis keys ``u^(1/w)`` / PPSWOR's ``Exp(w)``): give
+    each doc w(band) replicas, hash each replica independently, and let
+    the doc's key be the MIN replica hash. The min of w iid uniforms is
+    the discrete analog of an Exp(w) arrival — exactly the PPSWOR
+    priority in the small-key tail that decides a bottom-k — so a
+    doubled weight doubles the small-key density and (to first order)
+    the inclusion odds, without a single transcendental: ``ln``/``pow``
+    keys are NOT bit-reproducible across engines, ``min(md5-hash)`` is.
+
+    Why bottom-k and not Bernoulli: the sample size is exactly k no
+    matter how the corpus grows — the sampler a training pipeline uses
+    to hold out a fixed-budget eval slice. And the key is a MONOID
+    (min): per-partition bottom-k merge in ``TakeOrderedAndProject``
+    (no global sort), new ingest batches fold in by re-taking the
+    bottom-k of the union — the reservoir is mergeable across
+    partitions, days, and clusters like every sketch in
+    operators/sketch.py (tests pin the merge law).
+
+    100 TB shape: one scan (quality features are scan-bound literals),
+    a ≤4× replica explode collapsed by a map-side-combined min, and a
+    per-partition top-k merge — never a global sort, never a shuffle
+    proportional to corpus size beyond the (doc, min-key) rows."""
+    from .quality import quality_score
+
+    q = quality_score(spark, sf_dir)
+    w = F.lit(1)
+    for band, wt in RESERVOIR_BAND_WEIGHT.items():
+        w = F.when(F.col("band") == band, F.lit(wt)).otherwise(w)
+    keyed = (
+        q.select("doc_id", "band", "score", w.alias("w"))
+        .select(
+            "doc_id", "band", "score", "w",
+            F.explode(F.sequence(F.lit(1), F.col("w"))).alias("r"),
+        )
+        .select(
+            "doc_id", "band", "score", "w",
+            texts.hash32(
+                F.concat(
+                    F.lit("res:"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("rk"),
+        )
+        .groupBy("doc_id", "band", "score", "w")
+        .agg(F.min("rk").alias("res_key"))
+    )
+    return keyed.orderBy(F.asc("res_key"), F.asc("doc_id")).limit(RESERVOIR_K)
+
+
+def _weighted_reservoir_oracle_sql() -> str:
+    from .quality import _quality_score_oracle_sql
+
+    arms = " ".join(
+        f"WHEN band = '{band}' THEN {wt}"
+        for band, wt in RESERVOIR_BAND_WEIGHT.items()
+    )
+    h = texts.hash32_sql("'res:' || CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH q AS ({_quality_score_oracle_sql()}),
+w AS (
+    SELECT doc_id, band, score, (CASE {arms} ELSE 1 END) AS w FROM q
+),
+reps AS (
+    SELECT doc_id, band, score, w, unnest(range(1, w + 1)) AS r FROM w
+),
+keys AS (
+    SELECT doc_id, band, score, w, MIN({h}) AS res_key
+    FROM reps GROUP BY doc_id, band, score, w
+)
+SELECT doc_id, band, score, w, res_key
+FROM keys ORDER BY res_key ASC, doc_id ASC LIMIT {RESERVOIR_K}
+"""
+
+
 MIX_TOKENS_PER_WEIGHT = 600  # token budget bought by one unit of weight
 
 
@@ -894,6 +983,7 @@ QUERIES = {
     "corpus_shuffle": corpus_shuffle,
     "sample_stratified": sample_stratified,
     "sample_quality_weighted": sample_quality_weighted,
+    "sample_weighted_reservoir": sample_weighted_reservoir,
     "corpus_mix": corpus_mix,
     "corpus_forget": corpus_forget,
 }
@@ -910,6 +1000,7 @@ ORACLE_SQL = {
     "corpus_shuffle": _shuffle_oracle_sql(),
     "sample_stratified": _stratified_oracle_sql(),
     "sample_quality_weighted": _quality_weighted_oracle_sql(),
+    "sample_weighted_reservoir": _weighted_reservoir_oracle_sql(),
     "corpus_mix": _mix_oracle_sql(),
     "corpus_forget": _forget_oracle_sql(),
 }

@@ -198,6 +198,7 @@ def test_operators_handle_empty_corpus(spark, tmp_path):
         dedup.dedup_prefix_join, search.text_sparse_sim,
         sketch.events_dau_hll, sketch.events_mau_hll,
         sketch.events_user_cms, quality.lineitem_zorder_layout,
+        dedup.dedup_edit_distance,
     ]
     for fn in checks:
         assert fn(spark, sf).count() == 0, fn.__name__
@@ -636,6 +637,199 @@ def test_prefix_join_complete_and_pruning(spark, sf_dir):
     assert pos_cand < prefix_cand, (pos_cand, prefix_cand)
     # completeness of the positionally-filtered set is already pinned by
     # `got == want` above (the operator applies all three filters).
+
+
+def test_weighted_reservoir_merge_law_and_weighting(spark, sf_dir):
+    """sample_weighted_reservoir (round 7): (a) exactly k distinct docs;
+    (b) MERGE LAW — bottom-k keys are a mergeable sketch: taking the
+    bottom-k of the union of two halves' bottom-k sets equals sampling
+    the whole corpus in one pass (so the reservoir folds over ingest
+    batches / partitions / clusters); (c) WEIGHTING — the high band is
+    overrepresented and the low band underrepresented vs corpus shares
+    (w = 4 vs 1)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import corpus
+    from engineering_school_bigdata_project_f1_weather_spark.operators.quality import (
+        quality_score,
+    )
+
+    full = corpus.sample_weighted_reservoir(spark, sf_dir).collect()
+    assert len(full) == corpus.RESERVOIR_K
+    assert len({r.doc_id for r in full}) == corpus.RESERVOIR_K
+
+    # (b) split by doc parity, bottom-k each half on the SAME keys, merge
+    from engineering_school_bigdata_project_f1_weather_spark.functions import texts
+
+    q = quality_score(spark, sf_dir)
+    w = F.lit(1)
+    for band, wt in corpus.RESERVOIR_BAND_WEIGHT.items():
+        w = F.when(F.col("band") == band, F.lit(wt)).otherwise(w)
+    keyed = (
+        q.select("doc_id", "band", "score", w.alias("w"))
+        .select(
+            "doc_id", "band", "score", "w",
+            F.explode(F.sequence(F.lit(1), F.col("w"))).alias("r"),
+        )
+        .select(
+            "doc_id", "band", "score", "w",
+            texts.hash32(
+                F.concat(
+                    F.lit("res:"), F.col("r").cast("string"),
+                    F.lit(":"), F.col("doc_id").cast("string"),
+                )
+            ).alias("rk"),
+        )
+        .groupBy("doc_id", "band", "score", "w")
+        .agg(F.min("rk").alias("res_key"))
+    )
+    halves = [
+        keyed.where(F.col("doc_id") % 2 == i)
+        .orderBy(F.asc("res_key"), F.asc("doc_id"))
+        .limit(corpus.RESERVOIR_K)
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .orderBy(F.asc("res_key"), F.asc("doc_id"))
+        .limit(corpus.RESERVOIR_K)
+        .collect()
+    )
+    assert {(r.doc_id, r.res_key) for r in merged} == {
+        (r.doc_id, r.res_key) for r in full
+    }
+
+    # (c) band weighting shifts the mix in the weighted direction
+    corpus_shares = {
+        r.band: r.cnt
+        for r in q.groupBy("band").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_corpus = sum(corpus_shares.values())
+    sampled = {b: 0 for b in corpus_shares}
+    for r in full:
+        sampled[r.band] += 1
+    assert sampled["high"] / len(full) > corpus_shares["high"] / n_corpus
+    assert sampled["low"] / len(full) < corpus_shares["low"] / n_corpus
+
+
+def test_edit_distance_join_complete_and_pruning(spark, sf_dir):
+    """dedup_edit_distance (round 7): (a) COMPLETENESS — the q-gram
+    prefix-filter join returns exactly the pairs a quadratic
+    length-filtered levenshtein sweep finds at the same threshold (the
+    q·τ distinct-gram erasure bound must have no false negatives);
+    (b) PRUNING — its candidate volume is a small fraction of the
+    length-filter-only pair volume, which is why the operator scales."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import load_table
+
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in dedup.dedup_edit_distance(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    want = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in (
+            d.alias("a")
+            .join(
+                d.alias("b"),
+                (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.abs(F.col("a.len") - F.col("b.len")) <= dedup.EDIT_TAU),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.levenshtein("a.text", "b.text", dedup.EDIT_TAU)
+                .cast("long")
+                .alias("edit_dist"),
+            )
+            .where(F.col("edit_dist") >= 0)
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
+
+    # pruning: candidate pairs from the q-gram prefix join vs the
+    # length-filter-only quadratic pair count
+    len_pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= dedup.EDIT_TAU),
+        )
+        .count()
+    )
+    qg = (
+        d.where(F.col("len") >= dedup.EDIT_Q)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.col("len") - (dedup.EDIT_Q - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"substring(text, pos, {dedup.EDIT_Q})").alias("g"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    dfreq = qg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        qg.join(dfreq, "g")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
+            ),
+        )
+        .where(F.col("rk") <= dedup.EDIT_Q * dedup.EDIT_TAU + 1)
+        .join(d.select("doc_id", "len"), "doc_id")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "g")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= dedup.EDIT_TAU)
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert cand < 0.2 * len_pairs, (cand, len_pairs)
+
+
+def test_edit_distance_rescues_sub_qgram_docs(spark, tmp_path):
+    """Docs shorter than EDIT_Q chars have no q-grams and can never meet
+    the candidate join — the degenerate-regime rescue branch must still
+    pair them (here: 'ab' vs 'abc' at distance 1, plus a tiny-vs-long
+    non-pair that the length theorem excludes)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import load_table
+
+    sf = str(tmp_path / "tiny_lake")
+    rows = [
+        (1, "ab", "en", "src1", 2),
+        (2, "abc", "en", "src1", 3),
+        (3, "a completely different long document body " * 3, "en", "src1", 129),
+    ]
+    base = load_table(spark, "/root/testdata/sf0.001", "documents").limit(0)
+    spark.createDataFrame(rows, base.schema).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in dedup.dedup_edit_distance(spark, sf).collect()
+    }
+    assert got == {(1, 2, 1)}
 
 
 def test_shingle_frame_matches_per_row_transform(spark):
