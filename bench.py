@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "dedup_edit_distance",
     # fixed-size weighted sample (integer-replica bottom-k reservoir)
     "sample_weighted_reservoir",
+    # Misra-Gries truncating-union month merge (error bracket in-output)
+    "events_heavy_hitters_monthly",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

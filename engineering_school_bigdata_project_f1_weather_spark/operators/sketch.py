@@ -6,7 +6,12 @@ merge) — plus the persisted-index and runtime-filter patterns built on
 them.  The HLL/CMS/Bloom merge laws are proved IN-ENGINE: the Spark
 side composes day-grain summaries to the month grid with the sketch's
 merge operator while the DuckDB oracle sketches the month directly, so
-the driver's hash gate passes iff the merge law holds.
+the driver's hash gate passes iff the merge law holds.  MG's merge is
+not idempotent-to-direct (the algebra, not the implementation), so its
+month entry (``events_heavy_hitters_monthly``) instead hash-gates the
+truncating-union computation itself and carries the merge's
+deterministic error bracket — n_true − slack ≤ est ≤ n_true — as
+output columns, with the bracket/superset guarantees pytest-pinned.
 
 Extension surface (the reference — Martin-JMP F1/Weather — has no
 frequency-sketch analytics; its only "top" queries are full groupBy +
@@ -129,6 +134,176 @@ FROM events
 GROUP BY user_id
 HAVING COUNT(*) * {MG_CAPACITY + 1} > (SELECT n_total FROM tot)
 ORDER BY n_events DESC, user_id ASC
+"""
+
+
+# ------------------------------------- Misra-Gries month merge (round 7)
+# Smaller capacity than the exact-verify entry so the truncations are
+# REAL at test scale (the ~150-user domain exceeds C and both truncation
+# steps subtract nonzero thresholds).
+MG_MONTHLY_CAPACITY = 32
+
+
+def events_heavy_hitters_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain Misra-Gries summaries by MERGING daily MG summaries
+    with the truncating union (Agarwal et al., "Mergeable Summaries",
+    PODS'12: add counters keyed by item, subtract the (C+1)-th largest
+    merged value, keep positive) — the fourth and last merge law made
+    hash-visible in-engine, with one honest difference in KIND from the
+    HLL/CMS/Bloom proofs:
+
+    MG merge is NOT idempotent-to-direct — the merged summary is a
+    different (still error-bounded) object than sketching the month in
+    one pass, so "oracle sketches directly, hash gate = merge law" is
+    unavailable by the algebra itself, not by implementation weakness.
+    What IS deterministic, and what this entry makes the oracle
+    replicate bit-exactly and the output witness row-by-row, is the
+    merge's ERROR CONTRACT: each truncation subtracts its threshold
+    from every count it keeps, so
+
+        n_true − slack  ≤  mg_est  ≤  n_true,
+        slack = Σ_days t_d + t_month
+
+    where t_d is the (C+1)-th largest per-day count (0 when the day has
+    ≤ C keys) and t_month the (C+1)-th largest merged value. The
+    ``slack`` column carries that bracket into the hash-gated result;
+    tests/test_sketch.py pins the bracket, the ≤ C summary size at both
+    grains, and the heavy-hitter superset guarantee (every user with
+    month count > slack survives the merge).
+
+    Day summaries are the canonical OFFLINE MG summary (exact per-day
+    counts minus the day threshold) — the order-free normal form every
+    arrival-order MG run error-dominates, which is what a production
+    pipeline persists per ingest day (≤ C rows/day, the whole point:
+    the month merge shuffles ≤ C × days sketch rows, never data rows).
+
+    100 TB shape: one (day, user) partial-agg shuffle (the same frame
+    the DAU entries build), a per-day window on that grain for t_d, and
+    everything after operates on ≤ C-row-per-day summaries. Ties at the
+    threshold use the value at row C+1 under (count DESC, user ASC) —
+    a pure order statistic, identical in both engines.
+    """
+    return _mg_monthly_of(load_events(spark, sf_dir))
+
+
+def _mg_monthly_of(events_df: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`events_heavy_hitters_monthly` — also
+    driven by the synthetic truncation-regime pytest."""
+    from .events import MONTH_DAYS_US
+
+    C = MG_MONTHLY_CAPACITY
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    per_day = (
+        events_df
+        .groupBy(day_us.alias("day_us"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wd = Window.partitionBy("day_us").orderBy(F.desc("n"), F.asc("user_id"))
+    ranked = per_day.withColumn("rk", F.row_number().over(wd))
+    dthr = ranked.groupBy("day_us").agg(
+        F.max(F.when(F.col("rk") == C + 1, F.col("n")).otherwise(0)).alias("t")
+    )
+    dsum = (
+        per_day.join(dthr, "day_us")
+        .withColumn("c", F.col("n") - F.col("t"))
+        .where(F.col("c") > 0)
+        .select("day_us", "user_id", "c")
+    )
+    month_of = lambda c: F.col(c) - F.col(c) % F.lit(MONTH_DAYS_US)  # noqa: E731
+    merged = (
+        dsum.groupBy(month_of("day_us").alias("month_us"), F.col("user_id"))
+        .agg(F.sum("c").alias("s"))
+    )
+    wm = Window.partitionBy("month_us").orderBy(F.desc("s"), F.asc("user_id"))
+    mthr = (
+        merged.withColumn("rk", F.row_number().over(wm))
+        .groupBy("month_us")
+        .agg(
+            F.max(
+                F.when(F.col("rk") == C + 1, F.col("s")).otherwise(F.lit(0).cast("long"))
+            ).alias("tm")
+        )
+    )
+    slack_d = dthr.groupBy(month_of("day_us").alias("month_us")).agg(
+        F.sum("t").alias("td")
+    )
+    # month truth = SUM of the per-day counts (the day grid divides the
+    # 30-day month grid, both floored from epoch 0) — reuses per_day
+    truth = (
+        per_day.groupBy(month_of("day_us").alias("month_us"), F.col("user_id"))
+        .agg(F.sum("n").alias("n_true"))
+    )
+    return (
+        merged.join(F.broadcast(mthr), "month_us")
+        .withColumn("mg_est", F.col("s") - F.col("tm"))
+        .where(F.col("mg_est") > 0)
+        .join(F.broadcast(slack_d), "month_us")
+        .withColumn("slack", F.col("td") + F.col("tm"))
+        .join(truth, ["month_us", "user_id"])
+        .select("month_us", "user_id", "mg_est", "n_true", "slack")
+        .orderBy("month_us", "user_id")
+    )
+
+
+def _mg_monthly_oracle_sql() -> str:
+    from .events import MONTH_DAYS_US
+
+    C = MG_MONTHLY_CAPACITY
+    return f"""
+WITH per_day AS (
+    SELECT epoch_us(ts) - epoch_us(ts) % {24 * 3600 * 1_000_000} AS day_us,
+           user_id, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT day_us, user_id, n,
+           row_number() OVER (PARTITION BY day_us
+                              ORDER BY n DESC, user_id ASC) AS rk
+    FROM per_day
+),
+dthr AS (
+    SELECT day_us, MAX(CASE WHEN rk = {C + 1} THEN n ELSE 0 END) AS t
+    FROM ranked GROUP BY day_us
+),
+dsum AS (
+    SELECT p.day_us, p.user_id, p.n - d.t AS c
+    FROM per_day p JOIN dthr d USING (day_us)
+    WHERE p.n - d.t > 0
+),
+merged AS (
+    SELECT day_us - day_us % {MONTH_DAYS_US} AS month_us, user_id,
+           SUM(c) AS s
+    FROM dsum GROUP BY 1, 2
+),
+mrank AS (
+    SELECT month_us, user_id, s,
+           row_number() OVER (PARTITION BY month_us
+                              ORDER BY s DESC, user_id ASC) AS rk
+    FROM merged
+),
+mthr AS (
+    SELECT month_us, MAX(CASE WHEN rk = {C + 1} THEN s ELSE 0 END) AS tm
+    FROM mrank GROUP BY month_us
+),
+slack_d AS (
+    SELECT day_us - day_us % {MONTH_DAYS_US} AS month_us, SUM(t) AS td
+    FROM dthr GROUP BY 1
+),
+truth AS (
+    SELECT day_us - day_us % {MONTH_DAYS_US} AS month_us,
+           user_id, SUM(n) AS n_true
+    FROM per_day GROUP BY 1, 2
+)
+SELECT m.month_us, m.user_id,
+       CAST(m.s - h.tm AS BIGINT) AS mg_est,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       CAST(sd.td + h.tm AS BIGINT) AS slack
+FROM merged m
+JOIN mthr h USING (month_us)
+JOIN slack_d sd USING (month_us)
+JOIN truth t ON t.month_us = m.month_us AND t.user_id = m.user_id
+WHERE m.s - h.tm > 0
+ORDER BY m.month_us, m.user_id
 """
 
 
@@ -1741,6 +1916,7 @@ FROM est
 
 QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
+    "events_heavy_hitters_monthly": events_heavy_hitters_monthly,
     "events_dau_hll": events_dau_hll,
     "events_mau_hll": events_mau_hll,
     "events_user_cms": events_user_cms,
@@ -1755,6 +1931,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "events_heavy_hitters": _HH_ORACLE,
+    "events_heavy_hitters_monthly": _mg_monthly_oracle_sql(),
     "events_dau_hll": _HLL_ORACLE,
     "events_mau_hll": _MAU_HLL_ORACLE,
     "events_user_cms": _CMS_ORACLE,

@@ -808,3 +808,70 @@ def test_kmv_index_update_merges_and_is_idempotent(spark, sf_dir, tmp_path):
     sketch.kmv_index_update(spark, second, idx)
     snaps = [d for d in os.listdir(idx) if d.startswith("kmv_v")]
     assert snaps == [sketch._snap_live(idx)]
+
+
+# ------------------------------ Misra-Gries month merge (round 7)
+
+
+def test_mg_monthly_bracket_on_sf_data(spark, sf_dir):
+    """events_heavy_hitters_monthly: the deterministic error bracket the
+    output carries — n_true − slack ≤ mg_est ≤ n_true — plus ≤ C
+    surviving counters per month (the summary-size invariant)."""
+    rows = sketch.events_heavy_hitters_monthly(spark, sf_dir).collect()
+    assert rows
+    per_month: dict = {}
+    for r in rows:
+        assert r.mg_est <= r.n_true, r
+        assert r.n_true - r.mg_est <= r.slack, r
+        assert r.mg_est > 0, r
+        per_month[r.month_us] = per_month.get(r.month_us, 0) + 1
+    assert all(v <= sketch.MG_MONTHLY_CAPACITY for v in per_month.values())
+
+
+def test_mg_monthly_truncation_regime_and_superset(spark):
+    """The interesting regime — more active users per day than C — on a
+    skewed synthetic month: truncations are REAL (slack > 0, estimates
+    strictly undercount), and the mergeable-summaries superset guarantee
+    holds: every user whose month count exceeds the month's slack
+    survives the truncating-union merge."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 3 days x (5 heavy users with 40 events each + 200 light users with
+    # 1-2 events): ~145 distinct users/day >> C=32, so every day truncates.
+    for day in range(3):
+        for u in range(5):
+            for _ in range(40):
+                rows.append((eid, base + datetime.timedelta(days=day, seconds=eid % 86399), u, "view", 1.0, "{}"))
+                eid += 1
+        for u in range(200):
+            for _ in range(1 + (u + day) % 2):
+                rows.append((eid, base + datetime.timedelta(days=day, seconds=eid % 86399), 100 + u, "view", 1.0, "{}"))
+                eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = sketch._mg_monthly_of(e).collect()
+    assert out
+    assert all(r.slack > 0 for r in out)
+    assert any(r.mg_est < r.n_true for r in out)
+    # superset guarantee per month
+    slack = {r.month_us: r.slack for r in out}
+    present = {(r.month_us, r.user_id) for r in out}
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        MONTH_DAYS_US,
+    )
+
+    truth = (
+        e.groupBy((day_us - day_us % MONTH_DAYS_US).alias("month_us"), "user_id")
+        .count()
+        .collect()
+    )
+    for r in truth:
+        if r.month_us in slack and r["count"] > slack[r.month_us]:
+            assert (r.month_us, r.user_id) in present, r
+    # the heavy users clear the slack and must all be present
+    assert {u for (_, u) in present} >= {0, 1, 2, 3, 4}
