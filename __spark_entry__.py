@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from engineering_school_bigdata_project_f1_weather_spark.operators import (
     analytics,
+    bpe,
     corpus,
     curate,
     dedup,
@@ -59,7 +60,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 _MODULES = [
     marts, analytics, dedup, text, events, temporal, multimodal,
     curate, corpus, reshape, quality, search, streamq, similarity,
-    sketch, graph, olap_deep,
+    sketch, graph, olap_deep, bpe,
 ]
 
 # First-50 driver window for round 7 (VERDICT r6 item 5): with the
@@ -87,7 +88,7 @@ _WINDOW_R7 = [
     "events_kmv_monthly", "segment_jaccard_kmv",
     "text_search_bm25", "lineitem_snapshot_apply",
     "dedup_edit_distance", "sample_weighted_reservoir",
-    "events_heavy_hitters_monthly",
+    "events_heavy_hitters_monthly", "text_bpe_apply",
     # r3-vintage (yielded their r6 slots to the round-6 additions)
     "sim_clusters", "sim_ivf",
     # r4-vintage: the full reference-parity marts surface
@@ -100,7 +101,7 @@ _WINDOW_R7 = [
     "tpch_revenue_by_nation", "tpch_shipping_priority", "tpch_big_orders",
     "orders_above_avg", "orders_rolling_7d", "tpch_revenue_rollup",
     "top_orders_per_customer", "join_anti_customers",
-    "join_semi_customers", "join_outer_audit", "window_suite",
+    "join_semi_customers", "join_outer_audit",
     # (the r4-vintage fill — text_tokens, text_langid, the dedup heads,
     # tpch_quantiles, tpch_cube, tpch_grouping_sets, and the two
     # tolerance-gated analytics rows tpch_distinct_parts /

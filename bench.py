@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "sample_weighted_reservoir",
     # Misra-Gries truncating-union month merge (error bracket in-output)
     "events_heavy_hitters_monthly",
+    # frozen-artifact BPE tokenizer apply (hash-gated via the replace twin)
+    "text_bpe_apply",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 
@@ -483,6 +485,9 @@ SLOPE_QUERIES = [
     # aggregate), the month-grain CMS merge, and the scale-safe Z-order
     # writer (EXTRA_BENCH dispatch) — sf0.5 side tables exist since r7
     "tpch_product_profit", "events_user_cms_monthly", "zorder_write",
+    # round-7 third wave: the q-gram prefix-filtered edit-distance join
+    # (the one new entry above the 5 s probe bar) and the MG month merge
+    "dedup_edit_distance", "events_heavy_hitters_monthly",
 ]
 
 

@@ -22,8 +22,12 @@ Distributed structure (the part that matters at 100 TB):
   as a single DuckDB SQL statement, so this extension is pytest-parity
   verified rather than oracle_sql-checked; COVERAGE.md records which).
 
-Not registered in ``__spark_entry__`` (no SQL oracle); benched as
-``text_bpe_train`` in bench.py's EXTRA_BENCH.
+Training is not registered in ``__spark_entry__`` (no SQL oracle — the
+iterative merge is pytest-parity verified instead); round 7 registers
+the APPLY side: for a frozen merge table the tokenizer is a pure
+function of the text and the greedy fold has an exact string-replace
+twin, so ``text_bpe_apply`` is a full hash-gated entry. Training is
+benched as ``text_bpe_train`` in bench.py's EXTRA_BENCH.
 """
 
 from __future__ import annotations
@@ -170,6 +174,79 @@ def train_bpe_from_words(
     return merges
 
 
+# ------------------------------------ frozen-artifact apply (round 7)
+# A production tokenizer SERVES a frozen artifact — training provenance
+# is the pytest-parity story above; application for a FIXED merge table
+# is a pure function of the text and therefore oracle-checkable. This
+# table is train_bpe(sf0.01, 8 merges) hard-coded with that provenance
+# (apply is total for ANY table, so testdata drift cannot break the
+# entry — only make the compression column less flattering).
+BPE_FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+]
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: tokenize the corpus with the frozen merge table.
+
+    Why this is oracle-checkable when training is not: each greedy
+    left-to-right single-pair merge over a symbol sequence is EXACTLY a
+    leftmost non-overlapping string replace on the separator-delimited
+    symbol string — replace() consumes its match and resumes after the
+    replacement, which is the same rule as the fold's "merging consumes
+    both symbols" (both leave ``a a a`` as ``aa a`` for pair (a, a)).
+    The Spark side keeps the JVM ``aggregate`` fold (no strings rebuilt
+    per merge round); the DuckDB oracle nests eight literal replaces on
+    ``\\x1f``-delimited symbols (the separator can never occur inside a
+    symbol — symbols are corpus characters + the </w> marker). The hash
+    gate therefore proves fold semantics ≡ replace semantics on every
+    word of the corpus, on top of the python-reference parity pinned in
+    tests/test_bpe.py."""
+    return apply_bpe(spark, sf_dir, BPE_FROZEN_MERGES)
+
+
+def _bpe_apply_oracle_sql() -> str:
+    # DOUBLED \x1f boundaries between symbols; each replace pattern
+    # consumes the inner boundary plus HALF of each outer boundary, so
+    # back-to-back merges keep their shared boundary — a plain
+    # single-separator replace eats it and under-merges runs of the
+    # same symbol (aaaa -> (aa,a,a) instead of the fold's (aa,aa));
+    # the equivalence is property-tested in tests/test_bpe.py.
+    us = "\x1f"
+    us2 = us * 2
+    seg = (
+        f"'{us2}' || regexp_replace(word, '(.)', '\\1{us2}', 'g') "
+        f"|| '{END_OF_WORD}{us2}'"
+    )
+    for left, right in BPE_FROZEN_MERGES:
+        seg = (
+            f"replace({seg}, '{us}{left}{us2}{right}{us}', "
+            f"'{us}{left}{right}{us}')"
+        )
+    return f"""
+WITH words AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+seg AS (
+    SELECT doc_id, n_chars, {seg} AS s
+    FROM words WHERE length(word) > 0
+),
+per_word AS (
+    SELECT doc_id, n_chars,
+           CAST(len(string_split(s, '{us2}')) - 2 AS BIGINT) AS n_pieces
+    FROM seg
+)
+SELECT doc_id, CAST(SUM(n_pieces) AS BIGINT) AS n_bpe_tokens,
+       CAST(CASE WHEN SUM(n_pieces) = 0 THEN 0
+                 ELSE n_chars * 1000000 // SUM(n_pieces) END AS BIGINT)
+           AS chars_per_token_e6
+FROM per_word GROUP BY doc_id, n_chars
+"""
+
+
 def apply_bpe(
     spark: SparkSession, sf_dir: str, merges: list[tuple[str, str]]
 ) -> DataFrame:
@@ -203,3 +280,12 @@ def apply_bpe(
             ).alias("chars_per_token_e6"),
         )
     )
+
+
+QUERIES = {
+    "text_bpe_apply": text_bpe_apply,
+}
+
+ORACLE_SQL = {
+    "text_bpe_apply": _bpe_apply_oracle_sql(),
+}

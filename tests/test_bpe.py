@@ -138,3 +138,59 @@ def test_bpe_apply_matches_python_reference(spark, sf_dir):
     # compression signal sanity: BPE tokens never exceed chars+1 per word
     # and at least one merge actually fired (tokens < raw char count)
     assert all(v > 0 for v in got.values())
+
+
+def test_merge_fold_equals_replace_twin_property():
+    """The oracle for text_bpe_apply rewrites each greedy single-pair
+    merge as a leftmost non-overlapping string replace on the
+    \\x1f-delimited symbol string; this property test pins that the two
+    rules agree on adversarial symbol sequences (runs of the pair,
+    overlapping occurrences, merged-symbol collisions) — the equivalence
+    the hash gate then re-proves on every corpus word."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    us = "\x1f"
+    us2 = us * 2
+
+    def replace_twin(seg: tuple, left: str, right: str) -> tuple:
+        # DOUBLED boundaries: the pattern consumes only the INNER
+        # boundary plus half of each outer one, so back-to-back merges
+        # keep their shared boundary (plain single-separator replace
+        # eats it and under-merges runs: aaaa -> (aa,a,a), not (aa,aa))
+        s = us2 + us2.join(seg) + us2
+        s = s.replace(
+            f"{us}{left}{us2}{right}{us}", f"{us}{left}{right}{us}"
+        )
+        body = s[2:-2]
+        return tuple(body.split(us2)) if body else ()
+
+    symbols = st.sampled_from(["a", "b", "ab", "ba", "aa", bpe.END_OF_WORD])
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        seg=st.lists(symbols, min_size=0, max_size=12).map(tuple),
+        left=symbols,
+        right=symbols,
+    )
+    def check(seg, left, right):
+        assert _py_merge(seg, left, right) == replace_twin(seg, left, right)
+
+    check()
+
+
+def test_frozen_apply_matches_dynamic_apply_on_frozen_table(spark, sf_dir):
+    """text_bpe_apply is apply_bpe at the frozen artifact — and the
+    frozen table is itself a valid training output shape (each merged
+    token is the concatenation of its pair)."""
+    for left, right in bpe.BPE_FROZEN_MERGES:
+        assert left and right
+    got = {
+        (r.doc_id, r.n_bpe_tokens, r.chars_per_token_e6)
+        for r in bpe.text_bpe_apply(spark, sf_dir).collect()
+    }
+    want = {
+        (r.doc_id, r.n_bpe_tokens, r.chars_per_token_e6)
+        for r in bpe.apply_bpe(spark, sf_dir, bpe.BPE_FROZEN_MERGES).collect()
+    }
+    assert got == want and len(got) > 0

@@ -46,6 +46,11 @@ ALLOWED = {
     # audit operator: the TRUTH side is the brute-force all-pairs cosine
     # by definition (verification-scale, like dedup_embedding).
     "sim_recall_report": {"nested_loop_inner"},
+    # the sub-q-gram rescue branch: docs shorter than EDIT_Q chars have
+    # no q-grams, so pairs whose smaller side is that short self-join
+    # directly — both sides filtered to < q + tau (= 12) chars, a
+    # degenerate near-empty-doc regime, bounded and by design.
+    "dedup_edit_distance": {"nested_loop_inner"},
     # Q22's scalar threshold: a ONE-ROW aggregate broadcast-cross-joined
     # onto customers — the textbook decorrelated scalar subquery.
     "tpch_idle_customers": {"nested_loop_inner"},
