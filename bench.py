@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "events_heavy_hitters_monthly",
     # frozen-artifact BPE tokenizer apply (hash-gated via the replace twin)
     "text_bpe_apply",
+    # MMR diversified re-rank (retrieve -> pair -> per-query Arrow greedy)
+    "sim_mmr",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

@@ -2069,6 +2069,221 @@ FROM counts
 """
 
 
+# ----------------------------------- MMR diversified re-rank (round 7)
+MMR_POOL = 24  # relevance shortlist per query (the re-rank input)
+MMR_K = 8  # diversified picks per query
+# lambda = 7/10 kept as exact integers: score10 = 7*rel_e6 - 3*maxsim_e6
+MMR_LAMBDA_NUM, MMR_LAMBDA_DEN = 7, 10
+
+
+def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell-Goldstein
+    SIGIR'98): after retrieval, greedily pick k results balancing
+    relevance against redundancy with what's already picked —
+    ``score = λ·rel(q, d) − (1−λ)·max_{s∈S} sim(d, s)`` — the
+    diversification step between ANN retrieval (sim_topk/IVF/PQ) and
+    serving, missing from the ladder until now.
+
+    Decomposition for Spark:
+
+    1. RETRIEVE — exact top-``MMR_POOL`` shortlist per query (same
+       broadcast-queries ⨯ one-corpus-scan shape as sim_topk).
+    2. PAIR — quantized cosines among shortlist members, per query:
+       bounded at POOL² rows/query, computed JVM-side so the greedy
+       stage consumes exact integers only.
+    3. GREEDY — the inherently sequential part is k = 8 argmax steps
+       over ≤ 24 candidates: per-QUERY compute, so it runs as one
+       Arrow-batched ``applyInPandas`` group per query, parallel
+       across queries (the sanctioned Python boundary — same rationale
+       as the MG partition summaries; a declarative unroll would cost
+       8 windows × 2 shuffles of latency for no added correctness).
+       All arithmetic is int64: score10 = 7·rel_e6 − 3·maxsim_e6, ties
+       (score10 DESC, cand ASC); the empty-set max-sim is 0 by
+       convention, so pick 1 is argmax relevance.
+
+    The ORACLE unrolls the same 8 greedy steps as generated CTEs (the
+    sim_ivf_trained unrolled-Lloyd's precedent) — the hash gate proves
+    the Arrow greedy equals the declarative fixpoint step-for-step,
+    including the score at selection time.
+
+    100 TB shape: the corpus is scanned once (retrieval); everything
+    downstream is O(queries × POOL²) broadcast-sized frames; the greedy
+    never sees more than POOL rows per group."""
+    base = _quantized(spark, sf_dir)
+    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    rel = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand"),
+            vectors.sim_e6(
+                vectors.dot(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")
+            ).alias("rel_e6"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("rel_e6"), F.asc("cand")
+                )
+            ),
+        )
+        .where(F.col("rk") <= MMR_POOL)
+        .select("query_id", "cand", "rel_e6")
+    )
+    pq = rel.join(
+        base.select(F.col("vec_id").alias("cand"), "q", "n2"), "cand"
+    )
+    pp = (
+        pq.alias("a")
+        .join(
+            pq.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cand") != F.col("b.cand")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cand").alias("ca"),
+            F.col("a.rel_e6").alias("rel_a"),
+            F.col("b.cand").alias("cb"),
+            vectors.sim_e6(
+                vectors.dot(F.col("a.q"), F.col("b.q")),
+                F.col("a.n2"),
+                F.col("b.n2"),
+            ).alias("s_e6"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel_of = {
+            int(c): int(r)
+            for c, r in zip(pdf["ca"], pdf["rel_a"])
+        }
+        sim_of = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(pdf["ca"], pdf["cb"], pdf["s_e6"])
+        }
+        remaining = set(rel_of)
+        picked: list[tuple] = []
+        # TRUE max-sim over the selected set — cosines can be NEGATIVE
+        # and an anti-correlated candidate earns a bonus (the textbook
+        # formula; clamping at 0 diverges from the oracle's MAX and
+        # was caught by the hash gate). None = empty set, scored as 0,
+        # so pick 1 is pure argmax relevance in both engines.
+        maxsim: dict = {c: None for c in remaining}
+
+        def score10_of(c):
+            pen = 0 if maxsim[c] is None else maxsim[c]
+            return (
+                MMR_LAMBDA_NUM * rel_of[c]
+                - (MMR_LAMBDA_DEN - MMR_LAMBDA_NUM) * pen
+            )
+
+        for rank in range(1, MMR_K + 1):
+            if not remaining:
+                break
+            best = min(remaining, key=lambda c: (-score10_of(c), c))
+            picked.append((qid, rank, best, rel_of[best], score10_of(best)))
+            remaining.discard(best)
+            for c in remaining:
+                s = sim_of[(c, best)]
+                if maxsim[c] is None or s > maxsim[c]:
+                    maxsim[c] = s
+        return pd.DataFrame(
+            picked,
+            columns=["query_id", "rank", "neighbor_id", "rel_e6", "mmr_score10"],
+        )
+
+    return (
+        pp.groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            "query_id long, rank int, neighbor_id long, rel_e6 long, "
+            "mmr_score10 long",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _mmr_oracle_sql() -> str:
+    q = vectors.quantize_sql("embedding")
+    lam, rest = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    rel_sim = vectors.sim_e6_sql(vectors.dot_sql("q.q", "c.q"), "q.n2", "c.n2")
+    pair_sim = vectors.sim_e6_sql(vectors.dot_sql("a.q", "b.q"), "a.n2", "b.n2")
+    parts = [f"""
+WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+en AS MATERIALIZED (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
+rel AS MATERIALIZED (
+    SELECT query_id, cand, rel_e6 FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand, {rel_sim} AS rel_e6,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {rel_sim} DESC, c.vec_id ASC) AS rk
+        FROM en q JOIN en c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ) WHERE rk <= {MMR_POOL}
+),
+pq AS (
+    SELECT r.query_id, r.cand, r.rel_e6, en.q, en.n2
+    FROM rel r JOIN en ON en.vec_id = r.cand
+),
+pp AS MATERIALIZED (
+    SELECT a.query_id, a.cand AS ca, b.cand AS cb, {pair_sim} AS s_e6
+    FROM pq a JOIN pq b
+      ON a.query_id = b.query_id AND a.cand <> b.cand
+),
+sel_1 AS (
+    SELECT query_id, cand, rel_e6, {lam} * rel_e6 AS score10, 1 AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel_e6 DESC, cand ASC) AS rn
+        FROM rel
+    ) WHERE rn = 1
+),
+sels_1 AS MATERIALIZED (SELECT query_id, cand FROM sel_1)"""]
+    for k in range(2, MMR_K + 1):
+        parts.append(f""",
+scored_{k} AS (
+    SELECT p.query_id, p.cand, p.rel_e6,
+           {lam} * p.rel_e6 - {rest} * MAX(pp.s_e6) AS score10
+    FROM rel p
+    JOIN pp ON pp.query_id = p.query_id AND pp.ca = p.cand
+    JOIN sels_{k - 1} s
+      ON s.query_id = pp.query_id AND s.cand = pp.cb
+    LEFT JOIN sels_{k - 1} ex
+      ON ex.query_id = p.query_id AND ex.cand = p.cand
+    WHERE ex.cand IS NULL
+    GROUP BY p.query_id, p.cand, p.rel_e6
+),
+sel_{k} AS MATERIALIZED (
+    SELECT query_id, cand, rel_e6, score10, {k} AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score10 DESC, cand ASC) AS rn
+        FROM scored_{k}
+    ) WHERE rn = 1
+),
+sels_{k} AS MATERIALIZED (
+    SELECT query_id, cand FROM sels_{k - 1}
+    UNION ALL SELECT query_id, cand FROM sel_{k}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, cand, rel_e6, score10, rank FROM sel_{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    parts.append(f"""
+SELECT query_id, cand AS neighbor_id,
+       CAST(rel_e6 AS BIGINT) AS rel_e6,
+       CAST(score10 AS BIGINT) AS mmr_score10,
+       CAST(rank AS INT) AS rank
+FROM ({union})
+ORDER BY query_id, rank""")
+    return "".join(parts)
+
+
 QUERIES = {
     "sim_ivf_pq": sim_ivf_pq,
     "sim_recall_report": sim_recall_report,
@@ -2083,6 +2298,7 @@ QUERIES = {
     "dedup_embedding_ann": dedup_embedding_ann,
     "sim_clusters": sim_clusters,
     "sim_knn_graph": sim_knn_graph,
+    "sim_mmr": sim_mmr,
 }
 
 ORACLE_SQL = {
@@ -2099,4 +2315,5 @@ ORACLE_SQL = {
     "dedup_embedding_ann": _embedding_ann_oracle_sql(),
     "sim_clusters": _clusters_oracle_sql(),
     "sim_knn_graph": _knn_graph_oracle_sql(),
+    "sim_mmr": _mmr_oracle_sql(),
 }

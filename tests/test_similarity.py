@@ -327,3 +327,78 @@ def test_ivf_pq_recall_and_exact_rerank(spark, sf_dir):
     }
     for r in got:
         assert r.d2 == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_mmr_diversifies_and_respects_pool(spark, sf_dir):
+    """sim_mmr (round 7): (a) pick 1 is the pure-relevance argmax;
+    (b) every query yields exactly MMR_K picks drawn from its
+    relevance pool; (c) DIVERSIFICATION is real — summed over queries,
+    the MMR pick set's max intra-set cosine is strictly below the
+    pure-top-k set's (the redundancy penalty must change something);
+    (d) scores are the exact integer form 7·rel − 3·maxsim."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = sim.sim_mmr(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+
+    topk = {}
+    for r in sim.sim_topk(spark, sf_dir).collect():
+        topk.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.sim_e6))
+    assert set(by_q) == set(topk)
+
+    # pairwise sims among all corpus vectors for the diversity audit
+    base = sim._quantized(spark, sf_dir)
+    from engineering_school_bigdata_project_f1_weather_spark.functions import vectors
+
+    pair_rows = (
+        base.alias("a")
+        .join(base.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            vectors.sim_e6(
+                vectors.dot(F.col("a.q"), F.col("b.q")),
+                F.col("a.n2"),
+                F.col("b.n2"),
+            ).alias("s"),
+        )
+        .collect()
+    )
+    s_of = {(r.va, r.vb): r.s for r in pair_rows}
+
+    def max_intra(ids):
+        ids = sorted(ids)
+        return max(
+            s_of[(a, b)] for i, a in enumerate(ids) for b in ids[i + 1:]
+        )
+
+    mmr_spread = 0
+    rel_spread = 0
+    for q, picks in by_q.items():
+        picks.sort(key=lambda r: r.rank)
+        assert len(picks) == sim.MMR_K
+        # pick 1 = pure relevance argmax (topk rank 1)
+        top1 = min(topk[q])[1]
+        assert picks[0].neighbor_id == top1
+        # exact integer score form, pick 1 has no penalty
+        assert picks[0].mmr_score10 == sim.MMR_LAMBDA_NUM * picks[0].rel_e6
+        mmr_spread += max_intra([p.neighbor_id for p in picks])
+        rel_ids = [n for _, n, _ in sorted(topk[q])[: sim.MMR_K]]
+        # top-k only yields TOPK=5 ids; extend with the relevance pool order
+        if len(rel_ids) < sim.MMR_K:
+            pool = {p.neighbor_id: p.rel_e6 for p in picks}
+            extra = sorted(pool, key=lambda n: (-pool[n], n))
+            for n in extra:
+                if n not in rel_ids:
+                    rel_ids.append(n)
+                if len(rel_ids) == sim.MMR_K:
+                    break
+        rel_spread += max_intra(rel_ids)
+    # summed over queries the MMR sets must be strictly more diverse
+    assert mmr_spread < rel_spread, (mmr_spread, rel_spread)
