@@ -89,6 +89,7 @@ _WINDOW_R7 = [
     "text_search_bm25", "lineitem_snapshot_apply",
     "dedup_edit_distance", "sample_weighted_reservoir",
     "events_heavy_hitters_monthly", "text_bpe_apply", "sim_mmr",
+    "dedup_entity_resolution",
     # r3-vintage (yielded their r6 slots to the round-6 additions)
     "sim_clusters", "sim_ivf",
     # r4-vintage: the full reference-parity marts surface
@@ -101,14 +102,14 @@ _WINDOW_R7 = [
     "tpch_revenue_by_nation", "tpch_shipping_priority", "tpch_big_orders",
     "orders_above_avg", "orders_rolling_7d", "tpch_revenue_rollup",
     "top_orders_per_customer", "join_anti_customers",
-    "join_semi_customers",
     # (the r4-vintage fill — text_tokens, text_langid, the dedup heads,
-    # join_outer_audit, window_suite, tpch_quantiles, tpch_cube,
-    # tpch_grouping_sets, and the two tolerance-gated analytics rows
-    # tpch_distinct_parts / tpch_quantiles_approx — yielded their slots
-    # to the late-round-7 additions, which are never-driver-witnessed
-    # and can only earn a row through this window; the displaced
-    # entries rotate into the r8 window with the dedup tail)
+    # join_semi_customers, join_outer_audit, window_suite,
+    # tpch_quantiles, tpch_cube, tpch_grouping_sets, and the two
+    # tolerance-gated analytics rows tpch_distinct_parts /
+    # tpch_quantiles_approx — yielded their slots to the late-round-7
+    # additions, which are never-driver-witnessed and can only earn a
+    # row through this window; the displaced entries rotate into the r8
+    # window with the dedup tail)
 ]
 
 

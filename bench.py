@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     "text_bpe_apply",
     # MMR diversified re-rank (retrieve -> pair -> per-query Arrow greedy)
     "sim_mmr",
+    # entity-resolution capstone (3 evidence signals -> closure -> pick;
+    # the heaviest composed plan in the suite — it IS the sum of its parts)
+    "dedup_entity_resolution",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 
@@ -490,6 +493,8 @@ SLOPE_QUERIES = [
     # round-7 third wave: the q-gram prefix-filtered edit-distance join
     # (the one new entry above the 5 s probe bar) and the MG month merge
     "dedup_edit_distance", "events_heavy_hitters_monthly",
+    # the composed entity-resolution capstone (slowest entry in the suite)
+    "dedup_entity_resolution",
 ]
 
 

@@ -1165,7 +1165,15 @@ def propagate_components(
     clusters — see dedup_components' docstring for the measured design
     rationale (edge-restricted frontier, one pointer jump per round,
     loop-scoped conf, checkpoint cadence)."""
-    half = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    # Checkpoint the directed half FIRST: the symmetrizing union below
+    # references it twice, and without the cut the whole upstream pair
+    # GENERATOR evaluates twice into the edges checkpoint — harmless for
+    # the 1 s minhash feed, but the round-7 entity-resolution caller
+    # feeds three generators (~9 s at sf0.1) and paid both copies
+    # (measured 22.5 → ~14 s at sf0.1 with the cut).
+    half = pairs.select(
+        F.col(a_col).alias("s"), F.col(b_col).alias("d")
+    ).localCheckpoint()
     edges = (
         half.union(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
@@ -1323,6 +1331,127 @@ SELECT c.doc_id, c.component, q.score,
        ROW_NUMBER() OVER (
            PARTITION BY c.component ORDER BY q.score DESC, c.doc_id ASC
        ) = 1 AS keep
+FROM comp c JOIN q USING (doc_id)
+"""
+
+
+# ------------------------------------ entity resolution capstone (round 7)
+def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal entity resolution — the composition the dedup family
+    exists for: three independent evidence generators, one transitive
+    closure, one canonical-record pick.
+
+    Evidence edges (each already scale-shaped on its own):
+
+    - EXACT   : byte-identical content (md5 hub edges — every dup points
+                at its group's min id; hubs and cliques close to the
+                same components, hubs shuffle O(n) not O(n²)).
+    - NEAR    : minhash-LSH verified Jaccard ≥ the component threshold
+                (token-level paraphrase/boilerplate overlap).
+    - TYPO    : edit distance ≤ τ via the q-gram prefix join
+                (character-level corruption the token signals miss).
+
+    The union is the match graph; entities are its connected components
+    (the shared Hash-Min + pointer-jump engine), because match evidence
+    is pairwise but identity is transitive: A≈B (typo), B≈C (near-dup)
+    ⇒ one entity {A,B,C} even though no single signal links A to C —
+    the reason ER systems run closure rather than threshold pairs
+    directly. Canonical record per entity = best quality_score (ties to
+    min doc_id), the dedup_keep_best rule applied to the multi-signal
+    entity.
+
+    Output: (doc_id, entity, score, n_members, canonical) for every
+    document — singletons are their own entity.
+
+    The ORACLE composes the three signals' own oracle SQL verbatim
+    (UNION), closes over DuckDB's recursive CTE, and re-ranks — so the
+    hash gate simultaneously re-proves each generator AND pins that the
+    composition semantics (union → closure → pick) match.
+
+    100 TB shape: nothing new is shuffled beyond the parts — hub edges
+    ride the exact-dedup groupBy, the pair generators are the bucketed/
+    prefix-filtered scale paths, closure runs on edge endpoints only,
+    and the final rank is one doc_id join + per-entity window."""
+    from .quality import quality_score
+
+    docs = _docs(spark, sf_dir)
+    hashes = docs.select(F.md5("text").alias("h"), "doc_id")
+    keeper = hashes.groupBy("h").agg(F.min("doc_id").alias("k"))
+    exact_e = (
+        hashes.join(keeper, "h")
+        .where(F.col("doc_id") != F.col("k"))
+        .select(F.col("k").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    near_e = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("jaccard_e6") >= COMPONENT_MIN_JACCARD_E6)
+        .select("doc_a", "doc_b")
+    )
+    typo_e = dedup_edit_distance(spark, sf_dir).select("doc_a", "doc_b")
+    edges = exact_e.unionByName(near_e).unionByName(typo_e).distinct()
+    labels = propagate_components(spark, edges, "doc_a", "doc_b")
+    comp = (
+        docs.select("doc_id")
+        .join(labels, F.col("doc_id") == labels.node, "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("entity")
+        )
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "score")
+    wrank = Window.partitionBy("entity").orderBy(F.desc("score"), F.asc("doc_id"))
+    wsize = Window.partitionBy("entity")
+    return comp.join(q, "doc_id").select(
+        "doc_id",
+        "entity",
+        "score",
+        F.count(F.lit(1)).over(wsize).alias("n_members"),
+        (F.row_number().over(wrank) == 1).alias("canonical"),
+    )
+
+
+def _entity_resolution_oracle_sql() -> str:
+    from .quality import _quality_score_oracle_sql
+
+    return f"""
+WITH RECURSIVE exact_pairs AS (
+    SELECT k.k AS doc_a, d.doc_id AS doc_b
+    FROM documents d
+    JOIN (SELECT md5(text) AS h, MIN(doc_id) AS k
+          FROM documents GROUP BY md5(text)) k
+      ON md5(d.text) = k.h AND d.doc_id <> k.k
+),
+near_pairs AS (
+    SELECT doc_a, doc_b FROM ({_minhash_oracle_sql()})
+    WHERE jaccard_e6 >= {COMPONENT_MIN_JACCARD_E6}
+),
+typo_pairs AS (
+    SELECT doc_a, doc_b FROM ({_edit_distance_oracle_sql()})
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM exact_pairs
+    UNION SELECT doc_a, doc_b FROM near_pairs
+    UNION SELECT doc_a, doc_b FROM typo_pairs
+),
+e AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.s, r.label FROM reach r JOIN e ON r.doc_id = e.d
+),
+comp AS (
+    SELECT doc_id, MIN(label) AS entity FROM reach GROUP BY doc_id
+),
+q AS (
+    SELECT doc_id, score FROM ({_quality_score_oracle_sql()})
+)
+SELECT c.doc_id, c.entity, q.score,
+       CAST(COUNT(*) OVER (PARTITION BY c.entity) AS BIGINT) AS n_members,
+       ROW_NUMBER() OVER (
+           PARTITION BY c.entity ORDER BY q.score DESC, c.doc_id ASC
+       ) = 1 AS canonical
 FROM comp c JOIN q USING (doc_id)
 """
 
@@ -1545,6 +1674,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_components": dedup_components,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_entity_resolution": dedup_entity_resolution,
 }
 
 ORACLE_SQL = {
@@ -1572,4 +1702,5 @@ ORACLE_SQL = {
     "dedup_embedding": _embedding_oracle_sql(),
     "dedup_components": _components_oracle_sql(),
     "dedup_keep_best": _keep_best_oracle_sql(),
+    "dedup_entity_resolution": _entity_resolution_oracle_sql(),
 }

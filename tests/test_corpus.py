@@ -884,3 +884,62 @@ def test_shingle_frame_matches_per_row_transform(spark):
         .collect()
     }
     assert bi == {"a b", "b c", "c d"}
+
+
+def test_entity_resolution_composes_all_three_signals(spark, sf_dir):
+    """dedup_entity_resolution (round 7): every doc appears exactly once
+    with one canonical per entity; entity = min member id (Hash-Min
+    closure invariant); and each evidence signal's pairs land inside one
+    entity — exact dups, verified near-dups at the component threshold,
+    and edit-distance pairs all agree with the closure."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import load_table
+
+    rows = dedup.dedup_entity_resolution(spark, sf_dir).collect()
+    ent_of = {r.doc_id: r.entity for r in rows}
+    assert len(rows) == len(ent_of)  # one row per doc
+
+    members: dict = {}
+    canon: dict = {}
+    for r in rows:
+        members.setdefault(r.entity, []).append(r.doc_id)
+        if r.canonical:
+            canon[r.entity] = canon.get(r.entity, 0) + 1
+        assert r.n_members >= 1
+    for e, ms in members.items():
+        assert e == min(ms), (e, ms)  # entity label = min member id
+        assert canon.get(e) == 1  # exactly one canonical
+    n_members_of = {r.entity: r.n_members for r in rows}
+    for e, ms in members.items():
+        assert n_members_of[e] == len(ms)
+
+    # signal consistency: every evidence pair shares an entity
+    d = load_table(spark, sf_dir, "documents")
+    exact_pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.md5("a.text") == F.md5("b.text"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .collect()
+    )
+    near_pairs = (
+        dedup.dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("jaccard_e6") >= dedup.COMPONENT_MIN_JACCARD_E6)
+        .collect()
+    )
+    typo_pairs = dedup.dedup_edit_distance(spark, sf_dir).collect()
+    # the synthetic corpus has no byte-identical dups at sf0.001 — the
+    # exact signal's consistency still holds vacuously; the two fuzzy
+    # signals must actually fire
+    assert near_pairs and typo_pairs
+    for p in exact_pairs:
+        assert ent_of[p.x] == ent_of[p.y]
+    for p in near_pairs:
+        assert ent_of[p.doc_a] == ent_of[p.doc_b]
+    for p in typo_pairs:
+        assert ent_of[p.doc_a] == ent_of[p.doc_b]
