@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     # entity-resolution capstone (3 evidence signals -> closure -> pick;
     # the heaviest composed plan in the suite — it IS the sum of its parts)
     "dedup_entity_resolution",
+    # tolerance-windowed last-touch attribution (asof carry + filter)
+    "events_attribution",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

@@ -188,22 +188,60 @@ BPE_FROZEN_MERGES: list[tuple[str, str]] = [
 
 
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: tokenize the corpus with the frozen merge table.
+    """Registry entry: tokenize the corpus with the frozen merge table —
+    via the CODEGEN string-replace chain, not the interpreted fold.
 
-    Why this is oracle-checkable when training is not: each greedy
+    Why replace is both correct and the production path: each greedy
     left-to-right single-pair merge over a symbol sequence is EXACTLY a
-    leftmost non-overlapping string replace on the separator-delimited
-    symbol string — replace() consumes its match and resumes after the
-    replacement, which is the same rule as the fold's "merging consumes
-    both symbols" (both leave ``a a a`` as ``aa a`` for pair (a, a)).
-    The Spark side keeps the JVM ``aggregate`` fold (no strings rebuilt
-    per merge round); the DuckDB oracle nests eight literal replaces on
-    ``\\x1f``-delimited symbols (the separator can never occur inside a
-    symbol — symbols are corpus characters + the </w> marker). The hash
-    gate therefore proves fold semantics ≡ replace semantics on every
-    word of the corpus, on top of the python-reference parity pinned in
-    tests/test_bpe.py."""
-    return apply_bpe(spark, sf_dir, BPE_FROZEN_MERGES)
+    leftmost non-overlapping string replace on DOUBLED-separator symbol
+    strings (each pattern consumes the inner boundary plus half of each
+    outer one, so back-to-back merges keep their shared boundary; the
+    fold ≡ replace equivalence is property-tested in tests/test_bpe.py,
+    and :func:`apply_bpe`'s fold form remains pinned against the pure-
+    python reference). Higher-order ``aggregate`` lambdas are
+    INTERPRETED per element — the round-6 shingle lesson — and the
+    fold-based apply measured 16 s at sf0.1 (8 chained folds × ~60
+    interpreted steps per word); the replace chain is whole-stage
+    codegen end-to-end and runs the same corpus in ~1 s. The DuckDB
+    oracle is the same replace chain, so the hash gate pins the shared
+    replace semantics; the fold ≡ replace ≡ python-reference triangle
+    closes through the tests."""
+    us = "\x1f"
+    us2 = us * 2
+    d = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+    word = (
+        d.select(
+            "doc_id", "n_chars",
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        .where(F.length("word") > 0)
+    )
+    seg = F.concat(
+        F.lit(us2),
+        F.regexp_replace(F.col("word"), "(.)", f"$1{us2}"),
+        F.lit(f"{END_OF_WORD}{us2}"),
+    )
+    for left, right in BPE_FROZEN_MERGES:
+        seg = F.replace(
+            seg, F.lit(f"{us}{left}{us2}{right}{us}"), F.lit(f"{us}{left}{right}{us}")
+        )
+    per_word = word.select(
+        "doc_id", "n_chars",
+        (F.size(F.split(seg, us2)) - 2).cast("long").alias("n_pieces"),
+    )
+    return (
+        per_word.groupBy("doc_id", "n_chars")
+        .agg(F.sum("n_pieces").alias("n_bpe_tokens"))
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            F.expr(
+                "if(n_bpe_tokens = 0, 0L, div(n_chars * 1000000, n_bpe_tokens))"
+            ).alias("chars_per_token_e6"),
+        )
+    )
 
 
 def _bpe_apply_oracle_sql() -> str:

@@ -2076,7 +2076,39 @@ MMR_K = 8  # diversified picks per query
 MMR_LAMBDA_NUM, MMR_LAMBDA_DEN = 7, 10
 
 
-def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mmr_exact_pool(base: DataFrame) -> DataFrame:
+    """The exact brute-force relevance shortlist: every stride-th vector
+    queries the corpus, top MMR_POOL per query by quantized cosine."""
+    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    return (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand"),
+            vectors.sim_e6(
+                vectors.dot(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")
+            ).alias("rel_e6"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("rel_e6"), F.asc("cand")
+                )
+            ),
+        )
+        .where(F.col("rk") <= MMR_POOL)
+        .select("query_id", "cand", "rel_e6")
+    )
+
+
+def sim_mmr(
+    spark: SparkSession, sf_dir: str, pool: DataFrame | None = None
+) -> DataFrame:
     """Maximal Marginal Relevance re-rank (Carbonell-Goldstein
     SIGIR'98): after retrieval, greedily pick k results balancing
     relevance against redundancy with what's already picked —
@@ -2106,35 +2138,17 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow greedy equals the declarative fixpoint step-for-step,
     including the score at selection time.
 
-    100 TB shape: the corpus is scanned once (retrieval); everything
-    downstream is O(queries × POOL²) broadcast-sized frames; the greedy
-    never sees more than POOL rows per group."""
+    100 TB shape: the RE-RANK is O(queries × POOL²) broadcast-sized
+    frames and the greedy never sees more than POOL rows per group —
+    its cost is set by the serving rate, not the corpus. The default
+    ``pool`` is the EXACT brute-force shortlist (the oracle-checkable
+    retrieve, same status as sim_topk's baseline: with stride-derived
+    queries its pair count grows ∝ n²/stride, the sf0.5 probe's 8.4×);
+    a deployment passes its ANN shortlist — any (query_id, cand,
+    rel_e6) frame from sim_ivf/sim_pq/IVF-PQ serving — and the re-rank
+    is unchanged (tests pin pool-injection equivalence)."""
     base = _quantized(spark, sf_dir)
-    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("n2").alias("qn2"),
-    )
-    rel = (
-        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand"),
-            vectors.sim_e6(
-                vectors.dot(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")
-            ).alias("rel_e6"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("rel_e6"), F.asc("cand")
-                )
-            ),
-        )
-        .where(F.col("rk") <= MMR_POOL)
-        .select("query_id", "cand", "rel_e6")
-    )
+    rel = pool if pool is not None else _mmr_exact_pool(base)
     pq = rel.join(
         base.select(F.col("vec_id").alias("cand"), "q", "n2"), "cand"
     )

@@ -405,8 +405,134 @@ ORDER BY f.event_id
 """
 
 
+# ------------------------------- last-touch attribution (round 7)
+ATTRIB_WINDOW_US = 24 * HOUR_US  # purchases attribute to a view ≤ 24h back
+ATTRIB_CHANNELS = 8  # channel = props.k % 8
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION — the tolerance-windowed as-of join the
+    plain as-of can't express: each purchase attributes its
+    integer-cents value to the CHANNEL (``props.k % 8``) of the user's
+    most recent VIEW at-or-before the purchase, but only if that view
+    falls inside the 24 h attribution window; otherwise the purchase is
+    unattributed (NULL channel) — the report every marketing/traffic
+    pipeline runs.
+
+    Composition: the asof union-marker trick (views as markers carrying
+    (view_ts, channel), markers sorted before facts at equal ts for
+    inclusive semantics, one last-non-null window per user) — then the
+    TOLERANCE is a plain filter on the carried timestamp: the carried
+    view is the LATEST one ≤ the purchase, so "latest view inside the
+    window" ≡ "carried view inside the window" (if the max is outside,
+    every view is). Ties at the same (user, ts): max event_id, same
+    rule as the asof markers. One shuffle on user_id; the aggregate is
+    a CHANNELS-row frame.
+
+    Output: (channel, n_purchases, attributed_cents) — channel NULL =
+    the unattributed bucket.  The oracle is the DEFINITIONAL correlated
+    form (rank views per purchase inside the window), so the hash gate
+    proves the carry-forward + filter implements exactly those
+    semantics."""
+    from .events import _cents
+
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .select("user_id", "ts_us", "event_id", (k % ATTRIB_CHANNELS).alias("channel"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts_us").orderBy(F.desc("event_id"))
+            ),
+        )
+        .where(F.col("rn") == 1)  # one marker per (user, ts): max event_id
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", _cents("value").alias("cents")
+    )
+    left = purchases.select(
+        "user_id", "ts_us", "event_id", "cents",
+        F.lit(0).alias("is_marker"),
+        F.lit(None).cast("long").alias("channel"),
+        F.lit(None).cast("long").alias("view_ts_us"),
+    )
+    right = views.select(
+        "user_id", "ts_us",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(1).alias("is_marker"),
+        "channel",
+        F.col("ts_us").alias("view_ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("is_marker").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        left.unionByName(right)
+        .select(
+            "*",
+            F.last("channel", ignorenulls=True).over(w).alias("last_channel"),
+            F.last("view_ts_us", ignorenulls=True).over(w).alias("last_view_ts_us"),
+        )
+        .where(F.col("is_marker") == 0)
+    )
+    attributed = carried.select(
+        "cents",
+        F.when(
+            F.col("last_view_ts_us") >= F.col("ts_us") - ATTRIB_WINDOW_US,
+            F.col("last_channel"),
+        ).alias("channel"),  # NULL carried ts stays NULL (no view at all)
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+        .orderBy(F.asc_nulls_last("channel"))
+    )
+
+
+ATTRIBUTION_ORACLE = f"""
+WITH p AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)
+               % {ATTRIB_CHANNELS} AS channel
+    FROM events WHERE event_type = 'view'
+),
+ranked AS (
+    SELECT p.event_id AS pid, p.cents, v.channel,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+               ORDER BY v.ts_us DESC, v.event_id DESC) AS rn
+    FROM p JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts_us <= p.ts_us
+     AND v.ts_us >= p.ts_us - {ATTRIB_WINDOW_US}
+),
+att AS (SELECT pid, cents, channel FROM ranked WHERE rn = 1),
+labeled AS (
+    SELECT p.cents, att.channel
+    FROM p LEFT JOIN att ON att.pid = p.event_id
+)
+SELECT channel, COUNT(*) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS attributed_cents
+FROM labeled GROUP BY channel
+ORDER BY channel ASC NULLS LAST
+"""
+
+
 QUERIES = {
     "events_asof_purchase": events_asof_purchase,
+    "events_attribution": events_attribution,
     "events_value_bands": events_value_bands,
     "events_multigrain": events_multigrain,
     "events_scd2": events_scd2,
@@ -415,6 +541,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "events_asof_purchase": ASOF_ORACLE,
+    "events_attribution": ATTRIBUTION_ORACLE,
     "events_value_bands": BANDS_ORACLE,
     "events_multigrain": MULTIGRAIN_ORACLE,
     "events_scd2": SCD2_ORACLE,

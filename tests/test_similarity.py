@@ -402,3 +402,22 @@ def test_mmr_diversifies_and_respects_pool(spark, sf_dir):
         rel_spread += max_intra(rel_ids)
     # summed over queries the MMR sets must be strictly more diverse
     assert mmr_spread < rel_spread, (mmr_spread, rel_spread)
+
+
+def test_mmr_pool_injection_equivalence(spark, sf_dir):
+    """The re-rank is independent of where the shortlist came from:
+    injecting the exact pool explicitly reproduces the default entry
+    bit-for-bit (the seam where a deployment plugs its ANN serving
+    frame in front of the greedy)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        similarity as sim,
+    )
+
+    base = sim._quantized(spark, sf_dir)
+    pool = sim._mmr_exact_pool(base)
+    got = {
+        tuple(r)
+        for r in sim.sim_mmr(spark, sf_dir, pool=pool).collect()
+    }
+    want = {tuple(r) for r in sim.sim_mmr(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0

@@ -136,3 +136,37 @@ def test_cluster_stats_census_accounting(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == n_docs
     n_clusters = sum(r.n_clusters for r in rows)
     assert sum(r.n_removable for r in rows) == n_docs - n_clusters
+
+
+def test_attribution_conserves_purchases_and_revenue(spark, sf_dir):
+    """events_attribution (round 7): attribution must neither create nor
+    lose purchases or revenue — the per-channel counts and cents sum to
+    the raw purchase totals exactly (integer cents), the unattributed
+    bucket is the NULL channel, and every attributed channel is one of
+    the k % ATTRIB_CHANNELS values."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import temporal
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        _cents,
+        load_events,
+    )
+
+    rows = temporal.events_attribution(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    tot = (
+        load_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("value")).alias("cents"),
+        )
+        .collect()[0]
+    )
+    assert sum(r.n_purchases for r in rows) == tot.n
+    assert sum(r.attributed_cents for r in rows) == tot.cents
+    channels = {r.channel for r in rows}
+    assert all(
+        c is None or 0 <= c < temporal.ATTRIB_CHANNELS for c in channels
+    )
+    assert any(c is not None for c in channels)
