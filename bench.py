@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "dedup_entity_resolution",
     # tolerance-windowed last-touch attribution (asof carry + filter)
     "events_attribution",
+    # bottom-k sample quantile sketch (min-k merge, rank-exact serving)
+    "events_value_quantiles_monthly",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

@@ -1914,9 +1914,209 @@ FROM est
 """
 
 
+# --------------------- bottom-k sample quantile sketch (round 7)
+# The QUANTILE member of the mergeable-summary family: a deterministic
+# uniform row sample via bottom-k on a per-row hash. The histogram path
+# (events_value_hist_monthly) serves percentiles from FIXED-RANGE
+# equi-width bins — resolution-bounded and needing known bounds; the
+# sample path serves RANK-error-bounded quantiles over any value range:
+# the k smallest row hashes are a uniform k-sample of the rows, so the
+# ceil(q·n)-th order statistic of the sample estimates the q-quantile
+# with binomial rank error √(q(1−q)/k), independent of the value
+# distribution. Mergeable by min-k of the union — the same
+# order-statistic semilattice as KMV, proved in-engine the same way
+# (the oracle sketches the month DIRECTLY; the quantile columns are
+# functions of the sample, so the hash gate covers the law end-to-end).
+QSAMPLE_K = 256
+
+
+def _row_hash60() -> Column:
+    """60-bit per-event sample key (md5 prefix of the unique event_id) —
+    wide enough that ties are out of the operating range (birthday at
+    2^30 rows per day), so the bottom-k order is total in practice and
+    bit-identical across engines."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qs:"), F.col("event_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+_ROW_HASH60_SQL = (
+    "CAST('0x' || substr(md5('qs:' || CAST(event_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT)"
+)
+
+
+def _pick_rank(qnum: int, qden: int) -> Column:
+    """Value at the exact-integer rank ceil(q·n) of the (cents, h)-sorted
+    frame — aggregate form: the single row whose rn equals the rank."""
+    rank = F.expr(f"div(n * {qnum} + {qden - 1}, {qden})")
+    return F.max(F.when(F.col("rn") == rank, F.col("cents")))
+
+
+def events_value_quantiles_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain value quantiles from MERGED daily bottom-k row
+    samples — the quantile sketch completing the merge-algebra matrix
+    (HLL register-MAX, CMS counter-SUM, Bloom bit-OR, histogram
+    bin-SUM, KMV/sample min-k).
+
+    Day grain: every event row gets a 60-bit hash key; the k smallest
+    keyed rows (with their integer-cents values) are the day's sketch —
+    ≤ k rows/day regardless of volume, built with the exact salted
+    two-level rank (no task ever sorts a whole day). Month grain: min-k
+    of the union of the days' sketches — the order-statistic merge, so
+    persisted daily samples roll up to any window without re-reading
+    events. Serving: the ceil(q·n)-th order statistic of the merged
+    sample (exact integer ranks, no float percentile). The ORACLE
+    sketches the month directly from events, so the hash gate proves
+    min-k-of-union = direct-sample — and because the p50/p90/p99
+    columns are functions of the sample, the law is proved through to
+    the served quantiles.
+
+    Exact companions p*_true (the same order statistics over ALL month
+    rows) ride along so the rank-error envelope stays visible —
+    verification-scale by design, like every n_true companion; the
+    sketch side never touches more than k rows per grain after the
+    per-day rank. tests/test_sketch.py pins the binomial rank-error
+    envelope and the sub-k exact regime (sample = population ⇒
+    estimate ≡ truth)."""
+    return _qsample_monthly_of(load_events(spark, sf_dir))
+
+
+def _qsample_monthly_of(e: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`events_value_quantiles_monthly` — also
+    driven by the sub-k exact-regime pytest."""
+    from .events import MONTH_DAYS_US, _cents
+
+    day_us = F.col("ts_us") - F.col("ts_us") % (24 * 3600 * 1_000_000)
+    rows = e.select(
+        day_us.alias("day_us"),
+        _row_hash60().alias("h"),
+        _cents("value").alias("cents"),
+    )
+    daily = _bottom_k(rows, ["day_us"], QSAMPLE_K)
+    month_of = lambda c: F.col(c) - F.col(c) % F.lit(MONTH_DAYS_US)  # noqa: E731
+    merged = _bottom_k(
+        daily.select(month_of("day_us").alias("month_us"), "h", "cents"),
+        ["month_us"],
+        QSAMPLE_K,
+    )
+    west = Window.partitionBy("month_us").orderBy(F.asc("cents"), F.asc("h"))
+    est = (
+        merged.withColumn("rn", F.row_number().over(west))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("month_us")))
+        .groupBy("month_us")
+        .agg(
+            F.max("n").alias("n_sample"),
+            _pick_rank(1, 2).alias("p50_est"),
+            _pick_rank(9, 10).alias("p90_est"),
+            _pick_rank(99, 100).alias("p99_est"),
+        )
+    )
+    # Exact truth WITHOUT a per-month single-partition row sort (the ×5
+    # probe caught the row_number form at 3.8× — the zorder-ntile
+    # anti-pattern): aggregate to the (month, cents) VALUE grain first
+    # (a partial-agg shuffle; cardinality bounded by the value DOMAIN,
+    # not data volume), then one cumulative window over the aggregated
+    # frame picks the min cents whose running count reaches ceil(q·n) —
+    # the identical order-statistic value, since ranks within equal
+    # cents all carry the same cents.
+    per_val = (
+        rows.groupBy(month_of("day_us").alias("month_us"), F.col("cents"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("month_us")
+        .orderBy(F.asc("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_val.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("month_us"))
+    )
+
+    def pick_true(qnum: int, qden: int) -> Column:
+        rank = F.expr(f"div(n * {qnum} + {qden - 1}, {qden})")
+        return F.min(F.when(F.col("cum") >= rank, F.col("cents")))
+
+    truth = cum.groupBy("month_us").agg(
+        F.max("n").alias("n_events"),
+        pick_true(1, 2).alias("p50_true"),
+        pick_true(9, 10).alias("p90_true"),
+        pick_true(99, 100).alias("p99_true"),
+    )
+    return (
+        est.join(truth, "month_us")
+        .select(
+            "month_us", "n_events", "n_sample",
+            "p50_est", "p90_est", "p99_est",
+            "p50_true", "p90_true", "p99_true",
+        )
+        .orderBy("month_us")
+    )
+
+
+def _qsample_monthly_oracle_sql() -> str:
+    from .events import MONTH_DAYS_US
+
+    month = f"day_us - day_us % {MONTH_DAYS_US}"
+    return f"""
+WITH rows AS MATERIALIZED (
+    SELECT epoch_us(ts) - epoch_us(ts) % {24 * 3600 * 1_000_000} AS day_us,
+           {_ROW_HASH60_SQL} AS h,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+-- the oracle sketches the MONTH directly: bottom-k by hash per month
+msk AS (
+    SELECT month_us, h, cents FROM (
+        SELECT {month} AS month_us, h, cents,
+               ROW_NUMBER() OVER (PARTITION BY {month} ORDER BY h) AS rk
+        FROM rows
+    ) WHERE rk <= {QSAMPLE_K}
+),
+est AS (
+    SELECT month_us, MAX(n) AS n_sample,
+           MAX(CASE WHEN rn = (n * 1 + 1) // 2 THEN cents END) AS p50_est,
+           MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END) AS p90_est,
+           MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_est
+    FROM (
+        SELECT month_us, cents,
+               ROW_NUMBER() OVER (PARTITION BY month_us
+                   ORDER BY cents ASC, h ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY month_us) AS n
+        FROM msk
+    ) GROUP BY month_us
+),
+truth AS (
+    SELECT month_us, MAX(n) AS n_events,
+           MAX(CASE WHEN rn = (n * 1 + 1) // 2 THEN cents END) AS p50_true,
+           MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END) AS p90_true,
+           MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_true
+    FROM (
+        SELECT {month} AS month_us, cents,
+               ROW_NUMBER() OVER (PARTITION BY {month}
+                   ORDER BY cents ASC, h ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY {month}) AS n
+        FROM rows
+    ) GROUP BY month_us
+)
+SELECT e.month_us, t.n_events, e.n_sample,
+       e.p50_est, e.p90_est, e.p99_est,
+       t.p50_true, t.p90_true, t.p99_true
+FROM est e JOIN truth t USING (month_us)
+ORDER BY e.month_us
+"""
+
+
 QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_heavy_hitters_monthly": events_heavy_hitters_monthly,
+    "events_value_quantiles_monthly": events_value_quantiles_monthly,
     "events_dau_hll": events_dau_hll,
     "events_mau_hll": events_mau_hll,
     "events_user_cms": events_user_cms,
@@ -1932,6 +2132,7 @@ QUERIES = {
 ORACLE_SQL = {
     "events_heavy_hitters": _HH_ORACLE,
     "events_heavy_hitters_monthly": _mg_monthly_oracle_sql(),
+    "events_value_quantiles_monthly": _qsample_monthly_oracle_sql(),
     "events_dau_hll": _HLL_ORACLE,
     "events_mau_hll": _MAU_HLL_ORACLE,
     "events_user_cms": _CMS_ORACLE,

@@ -875,3 +875,73 @@ def test_mg_monthly_truncation_regime_and_superset(spark):
             assert (r.month_us, r.user_id) in present, r
     # the heavy users clear the slack and must all be present
     assert {u for (_, u) in present} >= {0, 1, 2, 3, 4}
+
+
+# --------------------- bottom-k sample quantile sketch (round 7)
+
+
+def test_qsample_quantiles_within_binomial_envelope(spark, sf_dir):
+    """events_value_quantiles_monthly: the served quantile's TRUE rank
+    fraction must sit within 3σ binomial rank error of q
+    (σ = √(q(1−q)/k)) — the guarantee a uniform k-sample's order
+    statistic actually carries; plus the structural pins (sample ≤ k,
+    estimates are real data values)."""
+    import math
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        MONTH_DAYS_US,
+        _cents,
+        load_events,
+    )
+
+    rows = sketch.events_value_quantiles_monthly(spark, sf_dir).collect()
+    assert rows
+    e = load_events(spark, sf_dir).select(
+        (
+            F.col("ts_us") - F.col("ts_us") % MONTH_DAYS_US
+        ).alias("month_us"),
+        _cents("value").alias("cents"),
+    )
+    cents_by_month: dict = {}
+    for r in e.collect():
+        cents_by_month.setdefault(r.month_us, []).append(r.cents)
+    for r in rows:
+        assert r.n_sample <= sketch.QSAMPLE_K
+        vals = sorted(cents_by_month[r.month_us])
+        n = len(vals)
+        assert n == r.n_events
+        for q, est in ((0.5, r.p50_est), (0.9, r.p90_est), (0.99, r.p99_est)):
+            lo = sum(1 for v in vals if v < est) / n
+            hi = sum(1 for v in vals if v <= est) / n
+            sigma = math.sqrt(q * (1 - q) / r.n_sample)
+            # est's true CDF position bracket must intersect q ± 3σ
+            assert lo - 3 * sigma <= q <= hi + 3 * sigma, (q, lo, hi, sigma)
+            assert est in cents_by_month[r.month_us]  # a real data value
+
+
+def test_qsample_sub_k_regime_is_exact(spark):
+    """With fewer rows than k per month the sample IS the population and
+    every estimate equals the exact order statistic."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    for i in range(120):  # 120 < QSAMPLE_K = 256
+        rows.append(
+            (i, base + datetime.timedelta(hours=i), i % 7, "view",
+             float(i) * 0.25, "{}")
+        )
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts_us", F.unix_micros("ts"))
+    out = sketch._qsample_monthly_of(e).collect()
+    assert out
+    for r in out:
+        assert r.n_sample == r.n_events
+        assert (r.p50_est, r.p90_est, r.p99_est) == (
+            r.p50_true, r.p90_true, r.p99_true,
+        )
