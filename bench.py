@@ -449,6 +449,36 @@ def _bench_kmv_index_update(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_qsample_index_update(spark, sf_dir: str) -> float:
+    """Incremental row-sample batch cost (round 7 third wave): the
+    quantile sketch's persisted-index twin — init on the first half
+    outside the span, time one min-k merge batch."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import sketch
+    from engineering_school_bigdata_project_f1_weather_spark.operators.events import (
+        load_events,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_qs_index_")
+    try:
+        src = load_events(spark, sf_dir)
+        mid = src.agg(
+            F.expr("percentile_approx(ts_us, 0.5, 10000)")
+        ).collect()[0][0]
+        sketch.qsample_index_init(spark, src.where(F.col("ts_us") < mid), tmp)
+        t0 = time.perf_counter()
+        sketch.qsample_index_update(
+            spark, src.where(F.col("ts_us") >= mid), tmp
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_zorder_write(spark, sf_dir: str) -> None:
     """The scale-safe Z-order writer path (round 7, VERDICT r6 item 1):
     repartitionByRange + sortWithinPartitions + per-file stats — the
@@ -470,6 +500,7 @@ EXTRA_BENCH = {
     "hll_index_update": _bench_hll_index_update,
     "hist_index_update": _bench_hist_index_update,
     "kmv_index_update": _bench_kmv_index_update,
+    "qsample_index_update": _bench_qsample_index_update,
     "text_bpe_train": _bench_bpe_train,
 }
 

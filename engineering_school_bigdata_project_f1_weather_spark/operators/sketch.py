@@ -1959,6 +1959,62 @@ def _pick_rank(qnum: int, qden: int) -> Column:
     return F.max(F.when(F.col("rn") == rank, F.col("cents")))
 
 
+def _daily_qsample_of(events_df: DataFrame) -> DataFrame:
+    """(day_us, h, cents) daily bottom-k row-sample frame — the persisted
+    sketch the month entry and the qsample_index twins derive from."""
+    from .events import _cents
+
+    day_us = F.col("ts_us") - F.col("ts_us") % (24 * 3600 * 1_000_000)
+    rows = events_df.select(
+        day_us.alias("day_us"),
+        _row_hash60().alias("h"),
+        _cents("value").alias("cents"),
+    )
+    return _bottom_k(rows, ["day_us"], QSAMPLE_K)
+
+
+def qsample_index_init(
+    spark: SparkSession, events_df: DataFrame, path: str
+) -> None:
+    """Materialize the per-day bottom-k ROW-SAMPLE table (h, cents) — the
+    continuous-ingest twin for the quantile sketch: ≤ QSAMPLE_K rows per
+    day kept forever, any window's rank quantiles served by min-k merge
+    of its days (same semilattice and snapshot durability as the KMV
+    twin; the carried ``cents`` payload is what turns the membership
+    sketch into a quantile sketch)."""
+    os.makedirs(path, exist_ok=True)
+    snap = "qs_v0"
+    _daily_qsample_of(events_df).write.mode("overwrite").parquet(
+        os.path.join(path, snap)
+    )
+    _snap_commit(path, snap, "qs_v")
+
+
+def qsample_index_update(
+    spark: SparkSession, new_events: DataFrame, path: str
+) -> DataFrame:
+    """Merge a new event batch into the row-sample table: sketch the
+    batch, min-k the union per day, write a NEW snapshot, atomically
+    swap CURRENT. IDEMPOTENT — min-k(S ∪ S) = min-k(S) and the 60-bit
+    key makes the per-row (h, cents) pair unique, so a re-delivered
+    batch is a no-op (no ledger; contrast hist_index_update's SUM).
+    Per-batch work is O(|batch| + k·days-touched), never corpus-sized."""
+    live = _snap_live(path)
+    old = spark.read.parquet(os.path.join(path, live))
+    w = Window.partitionBy("day_us").orderBy("h")
+    merged = (
+        old.unionByName(_daily_qsample_of(new_events))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= QSAMPLE_K)
+        .drop("rn")
+    )
+    nxt = f"qs_v{int(live.rsplit('_v', 1)[1]) + 1}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, nxt))
+    _snap_commit(path, nxt, "qs_v")
+    return spark.read.parquet(os.path.join(path, nxt))
+
+
 def events_value_quantiles_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-grain value quantiles from MERGED daily bottom-k row
     samples — the quantile sketch completing the merge-algebra matrix
@@ -1999,7 +2055,7 @@ def _qsample_monthly_of(e: DataFrame) -> DataFrame:
         _row_hash60().alias("h"),
         _cents("value").alias("cents"),
     )
-    daily = _bottom_k(rows, ["day_us"], QSAMPLE_K)
+    daily = _daily_qsample_of(e)
     month_of = lambda c: F.col(c) - F.col(c) % F.lit(MONTH_DAYS_US)  # noqa: E731
     merged = _bottom_k(
         daily.select(month_of("day_us").alias("month_us"), "h", "cents"),

@@ -945,3 +945,41 @@ def test_qsample_sub_k_regime_is_exact(spark):
         assert (r.p50_est, r.p90_est, r.p99_est) == (
             r.p50_true, r.p90_true, r.p99_true,
         )
+
+
+def test_qsample_index_update_merges_and_is_idempotent(spark, sf_dir, tmp_path):
+    """Continuous-ingest twin for the quantile row sample: init on the
+    first half of the time range, update with the second — the merged
+    table must BIT-EQUAL the full-corpus daily sketches including the
+    carried cents payload; a re-delivered batch is a no-op; shared
+    snapshot durability/GC contract."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    src = ev.load_events(spark, sf_dir)
+    mid = src.agg(F.expr("percentile_approx(ts_us, 0.5, 10000)")).collect()[0][0]
+    first = src.where(F.col("ts_us") < mid)
+    second = src.where(F.col("ts_us") >= mid)
+    idx = str(tmp_path / "qs_index")
+
+    sketch.qsample_index_init(spark, first, idx)
+    merged = sketch.qsample_index_update(spark, second, idx)
+    got = {(r.day_us, r.h, r.cents) for r in merged.collect()}
+    want = {
+        (r.day_us, r.h, r.cents) for r in sketch._daily_qsample_of(src).collect()
+    }
+    assert got == want
+
+    again = sketch.qsample_index_update(spark, second, idx)
+    assert {(r.day_us, r.h, r.cents) for r in again.collect()} == want
+
+    live = sketch._snap_live(idx)
+    snaps = [d for d in os.listdir(idx) if d.startswith("qs_v")]
+    assert snaps == [live]
+    os.makedirs(os.path.join(idx, "qs_v99"))  # simulated crash debris
+    sketch.qsample_index_update(spark, second, idx)
+    snaps = [d for d in os.listdir(idx) if d.startswith("qs_v")]
+    assert snaps == [sketch._snap_live(idx)]
