@@ -36,6 +36,10 @@ RED_FLAGS = {
 ALLOWED = {
     "dedup_embedding": {"nested_loop_inner"},  # quadratic baseline (guarded)
     "sim_topk": {"nested_loop_inner"},  # brute-force kNN baseline
+    # MMR's default retrieve is the same brute-force baseline shape as
+    # sim_topk (broadcast queries x corpus); deployments inject an ANN
+    # shortlist through the pool seam (equivalence pytest-pinned).
+    "sim_mmr": {"nested_loop_inner"},
     "sim_ivf": {"nested_loop_inner"},  # broadcast-centroid assignment, K=16
     "sim_ivf_trained": {"nested_loop_inner"},  # same fan-out, trained cents
     "dedup_embedding_ann": {"nested_loop_inner"},  # same K=16 fan-out
