@@ -90,7 +90,7 @@ _WINDOW_R7 = [
     "dedup_edit_distance", "sample_weighted_reservoir",
     "events_heavy_hitters_monthly", "text_bpe_apply", "sim_mmr",
     "dedup_entity_resolution", "events_attribution",
-    "events_value_quantiles_monthly",
+    "events_value_quantiles_monthly", "events_funnel_windowed",
     # r3-vintage (yielded their r6 slots to the round-6 additions)
     "sim_clusters", "sim_ivf",
     # r4-vintage: the full reference-parity marts surface
@@ -101,10 +101,10 @@ _WINDOW_R7 = [
     # r4-vintage: the full analytics module
     "orders_skyline", "orders_distribution", "tpch_pricing_summary",
     "tpch_revenue_by_nation", "tpch_shipping_priority", "tpch_big_orders",
-    "orders_above_avg", "orders_rolling_7d", "tpch_revenue_rollup",
+    "orders_above_avg", "orders_rolling_7d",
     # (the r4-vintage fill — text_tokens, text_langid, the dedup heads,
-    # top_orders_per_customer, join_anti_customers, join_semi_customers,
-    # join_outer_audit, window_suite,
+    # tpch_revenue_rollup, top_orders_per_customer, join_anti_customers,
+    # join_semi_customers, join_outer_audit, window_suite,
     # tpch_quantiles, tpch_cube, tpch_grouping_sets, and the two
     # tolerance-gated analytics rows tpch_distinct_parts /
     # tpch_quantiles_approx — yielded their slots to the late-round-7

@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "events_attribution",
     # bottom-k sample quantile sketch (min-k merge, rank-exact serving)
     "events_value_quantiles_monthly",
+    # time-constrained funnel (two chained tolerance carries, one sort)
+    "events_funnel_windowed",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

@@ -199,6 +199,96 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000  # max gap between funnel steps
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED funnel at EVENT grain — the MATCH_RECOGNIZE /
+    sequential-pattern shape ``events_funnel`` can't express: a click
+    counts only with a view at most 6 h before it, a purchase only with
+    a QUALIFYING click at most 6 h before it (existential semantics —
+    any in-window predecessor qualifies, not just the user's first).
+
+    Why two chained carries implement the existential check exactly:
+    "∃ view in [c − W, c]" ⟺ "the LATEST view ≤ c is ≥ c − W" (the max
+    argument, same as events_attribution) — so pass 1 carries the
+    latest view timestamp per user and click rows test it; pass 2
+    carries the latest QUALIFYING-click timestamp (a pass-1 result) and
+    purchase rows test that. Both passes share ONE user-keyed sort
+    (same window spec ⇒ one exchange, two window operators); step ties
+    at equal ts resolve view < click < purchase so the inclusive ≤
+    chain is deterministic. No joins, no per-row range probing.
+
+    Output: one row per step with the matched EVENT count and the ratio
+    to step 1 (event grain keeps the funnel non-degenerate — at user
+    grain every user in this fixture eventually converts).
+
+    The ORACLE is the definitional EXISTS form (a correlated in-window
+    predecessor per event), so the hash gate proves carry ≡ exists."""
+    e = load_events(spark, sf_dir).where(
+        F.col("event_type").isin(*FUNNEL_STEPS)
+    )
+    prio = (
+        F.when(F.col("event_type") == FUNNEL_STEPS[0], 0)
+        .when(F.col("event_type") == FUNNEL_STEPS[1], 1)
+        .otherwise(2)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), prio.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p1 = e.select(
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts_us")),
+            ignorenulls=True,
+        ).over(w).alias("v_ts"),
+    )
+    is_qc = (
+        (F.col("event_type") == FUNNEL_STEPS[1])
+        & (F.col("v_ts") >= F.col("ts_us") - FUNNEL_WINDOW_US)
+    )
+    p2 = p1.select(
+        "user_id",
+        "ts_us",
+        "event_type",
+        is_qc.alias("is_qc"),
+        F.last(
+            F.when(is_qc, F.col("ts_us")), ignorenulls=True
+        ).over(w).alias("qc_ts"),
+    )
+    converts = (
+        (F.col("event_type") == FUNNEL_STEPS[2])
+        & (F.col("qc_ts") >= F.col("ts_us") - FUNNEL_WINDOW_US)
+    )
+    agg = p2.agg(
+        F.coalesce(
+            F.sum((F.col("event_type") == FUNNEL_STEPS[0]).cast("long")),
+            F.lit(0),
+        ).alias("n0"),
+        F.coalesce(F.sum(F.col("is_qc").cast("long")), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(converts.cast("long")), F.lit(0)).alias("n2"),
+    )
+    rows = [
+        agg.select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col(f"n{i}").alias("n_events"),
+            F.when(
+                F.col("n0") > 0, F.expr(f"div(n{i} * 1000000, n0)")
+            ).alias("match_e6"),
+        )
+        for i, s in enumerate(FUNNEL_STEPS)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion (view → click → purchase): a user reaches
     step k when their earliest step-k event is AFTER their earliest
@@ -761,6 +851,7 @@ QUERIES = {
     "events_json": events_json,
     "events_anomaly": events_anomaly,
     "events_funnel": events_funnel,
+    "events_funnel_windowed": events_funnel_windowed,
     "events_retention": events_retention,
     "events_resample": events_resample,
     "events_user_spend_salted": events_user_spend_salted,
@@ -769,6 +860,50 @@ QUERIES = {
 
 ORACLE_SQL = {
     "events_ewma": _EWMA_ORACLE,
+    "events_funnel_windowed": f"""
+        WITH e AS MATERIALIZED (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+            WHERE event_type IN ('{FUNNEL_STEPS[0]}', '{FUNNEL_STEPS[1]}',
+                                 '{FUNNEL_STEPS[2]}')
+        ),
+        qc AS MATERIALIZED (
+            SELECT c.user_id, c.ts_us FROM e c
+            WHERE c.event_type = '{FUNNEL_STEPS[1]}' AND EXISTS (
+                SELECT 1 FROM e v
+                WHERE v.user_id = c.user_id
+                  AND v.event_type = '{FUNNEL_STEPS[0]}'
+                  AND v.ts_us <= c.ts_us
+                  AND v.ts_us >= c.ts_us - {FUNNEL_WINDOW_US})
+        ),
+        cp AS (
+            SELECT p.user_id FROM e p
+            WHERE p.event_type = '{FUNNEL_STEPS[2]}' AND EXISTS (
+                SELECT 1 FROM qc
+                WHERE qc.user_id = p.user_id
+                  AND qc.ts_us <= p.ts_us
+                  AND qc.ts_us >= p.ts_us - {FUNNEL_WINDOW_US})
+        ),
+        counts AS (
+            SELECT
+              (SELECT COUNT(*) FROM e
+                WHERE event_type = '{FUNNEL_STEPS[0]}') AS n0,
+              (SELECT COUNT(*) FROM qc) AS n1,
+              (SELECT COUNT(*) FROM cp) AS n2
+        )
+        SELECT CAST(1 AS INT) AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+               CAST(n0 AS BIGINT) AS n_events,
+               CASE WHEN n0 > 0 THEN CAST(n0 * 1000000 // n0 AS BIGINT) END
+                   AS match_e6
+        FROM counts
+        UNION ALL
+        SELECT CAST(2 AS INT), '{FUNNEL_STEPS[1]}', CAST(n1 AS BIGINT),
+               CASE WHEN n0 > 0 THEN CAST(n1 * 1000000 // n0 AS BIGINT) END
+        FROM counts
+        UNION ALL
+        SELECT CAST(3 AS INT), '{FUNNEL_STEPS[2]}', CAST(n2 AS BIGINT),
+               CASE WHEN n0 > 0 THEN CAST(n2 * 1000000 // n0 AS BIGINT) END
+        FROM counts
+    """,
     "events_dau_mau": _DAU_MAU_ORACLE,
     "events_ab_test": _AB_ORACLE,
     "events_transitions": """

@@ -170,3 +170,59 @@ def test_attribution_conserves_purchases_and_revenue(spark, sf_dir):
         c is None or 0 <= c < temporal.ATTRIB_CHANNELS for c in channels
     )
     assert any(c is not None for c in channels)
+
+
+def test_funnel_windowed_boundaries_and_chaining(spark, sf_dir):
+    """events_funnel_windowed: exact boundary semantics on a constructed
+    user timeline — a click exactly W after a view qualifies, one µs
+    past W does not; a purchase converts only through a QUALIFYING
+    click (a click with no in-window view cannot carry a purchase even
+    if the purchase is within W of it); counts are monotone."""
+    import datetime
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import events
+
+    W = events.FUNNEL_WINDOW_US
+    base = datetime.datetime(2024, 5, 1)
+
+    def at(us):
+        return base + datetime.timedelta(microseconds=us)
+
+    rows = [
+        # user 1: view -> click exactly at W (qualifies) -> purchase at
+        # click + W (converts)
+        (1, at(0), 1, "view", 1.0, "{}"),
+        (2, at(W), 1, "click", 1.0, "{}"),
+        (3, at(2 * W), 1, "purchase", 1.0, "{}"),
+        # user 2: view -> click at W + 1 us (does NOT qualify) ->
+        # purchase right after (does NOT convert: no qualifying click)
+        (4, at(0), 2, "view", 1.0, "{}"),
+        (5, at(W + 1), 2, "click", 1.0, "{}"),
+        (6, at(W + 2), 2, "purchase", 1.0, "{}"),
+        # user 3: qualifying click but the purchase is W + 1 us after it
+        (7, at(0), 3, "view", 1.0, "{}"),
+        (8, at(10), 3, "click", 1.0, "{}"),
+        (9, at(10 + W + 1), 3, "purchase", 1.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts_us", F.unix_micros("ts"))
+
+    import engineering_school_bigdata_project_f1_weather_spark.operators.events as ev
+
+    orig = ev.load_events
+    try:
+        ev.load_events = lambda _s, _d: e
+        out = {r.step: r.n_events for r in ev.events_funnel_windowed(spark, "x").collect()}
+    finally:
+        ev.load_events = orig
+    assert out == {1: 3, 2: 2, 3: 1}, out
+
+    # fixture-level monotonicity
+    full = {r.step: r.n_events for r in events.events_funnel_windowed(spark, sf_dir).collect()}
+    assert full[1] >= full[2] >= full[3] >= 0
+    assert full[2] > 0
