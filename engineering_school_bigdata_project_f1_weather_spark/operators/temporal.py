@@ -452,19 +452,27 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = e.where(F.col("event_type") == "purchase").select(
         "user_id", "ts_us", "event_id", _cents("value").alias("cents")
     )
+    # The marker payload rides as ONE struct (ADVICE r7): a single
+    # last(ignorenulls) carry guarantees the timestamp and the channel
+    # always come from the SAME latest view — two independent carries
+    # could diverge if a view ever had a NULL channel (the timestamp
+    # would advance while the channel came from an older view),
+    # breaking the oracle's rn=1 latest-view semantics.
     left = purchases.select(
         "user_id", "ts_us", "event_id", "cents",
         F.lit(0).alias("is_marker"),
-        F.lit(None).cast("long").alias("channel"),
-        F.lit(None).cast("long").alias("view_ts_us"),
+        F.lit(None)
+        .cast("struct<view_ts_us:long,channel:long>")
+        .alias("mk"),
     )
     right = views.select(
         "user_id", "ts_us",
         F.lit(None).cast("long").alias("event_id"),
         F.lit(None).cast("long").alias("cents"),
         F.lit(1).alias("is_marker"),
-        "channel",
-        F.col("ts_us").alias("view_ts_us"),
+        F.struct(
+            F.col("ts_us").alias("view_ts_us"), F.col("channel")
+        ).alias("mk"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -473,19 +481,15 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     carried = (
         left.unionByName(right)
-        .select(
-            "*",
-            F.last("channel", ignorenulls=True).over(w).alias("last_channel"),
-            F.last("view_ts_us", ignorenulls=True).over(w).alias("last_view_ts_us"),
-        )
+        .select("*", F.last("mk", ignorenulls=True).over(w).alias("last_mk"))
         .where(F.col("is_marker") == 0)
     )
     attributed = carried.select(
         "cents",
         F.when(
-            F.col("last_view_ts_us") >= F.col("ts_us") - ATTRIB_WINDOW_US,
-            F.col("last_channel"),
-        ).alias("channel"),  # NULL carried ts stays NULL (no view at all)
+            F.col("last_mk.view_ts_us") >= F.col("ts_us") - ATTRIB_WINDOW_US,
+            F.col("last_mk.channel"),
+        ).alias("channel"),  # NULL carried marker stays NULL (no view at all)
     )
     return (
         attributed.groupBy("channel")

@@ -347,9 +347,17 @@ def test_mmr_diversifies_and_respects_pool(spark, sf_dir):
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r)
 
+    # The relevance reference is the served retrieve leg itself (round
+    # 8: _mmr_ivf_pool — rank candidates by (rel DESC, cand ASC), the
+    # same order the pool's rk already encodes).
     topk = {}
-    for r in sim.sim_topk(spark, sf_dir).collect():
-        topk.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.sim_e6))
+    for r in sim._mmr_ivf_pool(sim._quantized(spark, sf_dir)).collect():
+        topk.setdefault(r.query_id, []).append((-r.rel_e6, r.cand))
+    for q in topk:
+        topk[q] = [
+            (i + 1, c, -negrel)
+            for i, (negrel, c) in enumerate(sorted(topk[q]))
+        ]
     assert set(by_q) == set(topk)
 
     # pairwise sims among all corpus vectors for the diversity audit
@@ -406,18 +414,63 @@ def test_mmr_diversifies_and_respects_pool(spark, sf_dir):
 
 def test_mmr_pool_injection_equivalence(spark, sf_dir):
     """The re-rank is independent of where the shortlist came from:
-    injecting the exact pool explicitly reproduces the default entry
-    bit-for-bit (the seam where a deployment plugs its ANN serving
-    frame in front of the greedy)."""
+    injecting the served IVF pool explicitly reproduces the default
+    entry bit-for-bit (the seam where a deployment plugs its ANN
+    serving frame in front of the greedy)."""
     from engineering_school_bigdata_project_f1_weather_spark.operators import (
         similarity as sim,
     )
 
     base = sim._quantized(spark, sf_dir)
-    pool = sim._mmr_exact_pool(base)
+    pool = sim._mmr_ivf_pool(base)
     got = {
         tuple(r)
         for r in sim.sim_mmr(spark, sf_dir, pool=pool).collect()
     }
     want = {tuple(r) for r in sim.sim_mmr(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_mmr_ivf_pool_recall_vs_exact(spark, sf_dir):
+    """The served IVF retrieve leg is an APPROXIMATION of the exact
+    brute-force shortlist — pin its recall so quantizer/probe changes
+    that silently crater retrieval quality fail loudly.  Measured on
+    the round-8 corpus: identical pools at sf0.001/sf0.01; the pin is
+    set below that with headroom for regenerated testdata."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        similarity as sim,
+    )
+
+    base = sim._quantized(spark, sf_dir)
+    exact = {
+        (r.query_id, r.cand) for r in sim._mmr_exact_pool(base).collect()
+    }
+    served = {
+        (r.query_id, r.cand) for r in sim._mmr_ivf_pool(base).collect()
+    }
+    assert exact
+    recall = len(exact & served) / len(exact)
+    assert recall >= 0.85, recall
+
+
+def test_mmr_singleton_pool_emits_rank1(spark, sf_dir):
+    """ADVICE r7: a query whose pool holds exactly ONE candidate has no
+    pair rows — the left-joined pair frame must still deliver it to the
+    greedy stage so rank 1 is emitted (matching the oracle, whose sel_1
+    draws from the rel frame directly)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        similarity as sim,
+    )
+
+    base = sim._quantized(spark, sf_dir)
+    ids = [r.vec_id for r in base.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    qid, cand = ids[0], ids[1]
+    pool = spark.createDataFrame(
+        [(int(qid), int(cand), 777_000)],
+        "query_id long, cand long, rel_e6 long",
+    )
+    rows = sim.sim_mmr(spark, sf_dir, pool=pool).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.query_id, r.rank, r.neighbor_id, r.rel_e6) == (qid, 1, cand, 777_000)
+    assert r.mmr_score10 == sim.MMR_LAMBDA_NUM * 777_000

@@ -224,15 +224,26 @@ def test_cms_overestimates_and_merges_by_sum(spark, sf_dir):
     assert rows
     n_total = ev.load_events(spark, sf_dir).count()
     eps_n = math.e / sketch.CMS_W * n_total
+    over_envelope = []
     for r in rows:
         # The HARD pin: est >= true is the deterministic CMS guarantee.
         assert r.cms_est >= r.n_true, r
-        # EMPIRICAL ENVELOPE ONLY (ADVICE r6): the epsilon-N bound is
+        # EMPIRICAL ENVELOPE ONLY (ADVICE r6/r7): the epsilon-N bound is
         # probabilistic per hash row (deterministic worst case is N), so
-        # this inequality is not a CMS guarantee — it documents the
-        # observed error on the fixed-seed testdata with a d× slack and
-        # may need loosening if the generator's seed/skew ever changes.
-        assert r.cms_est <= r.n_true + eps_n * sketch.CMS_D, r
+        # this inequality is NOT a CMS guarantee — it documents the
+        # observed error on the current testdata. A reseeded generation
+        # may legitimately exceed it, so exceeding it is a WARNING (the
+        # envelope stays visible in test output), never a failure.
+        if r.cms_est > r.n_true + eps_n * sketch.CMS_D:
+            over_envelope.append(r)
+    if over_envelope:
+        import warnings
+
+        warnings.warn(
+            "CMS estimates exceeded the empirical eps*N*d envelope "
+            f"(seed-dependent, not a CMS guarantee): {over_envelope}",
+            stacklevel=1,
+        )
 
     e = ev.load_events(spark, sf_dir).select("user_id")
     buck = (
