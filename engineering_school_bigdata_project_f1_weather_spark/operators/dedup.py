@@ -24,10 +24,12 @@ oracle reproduces it bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import texts, vectors
+from ..functions import snapshots, texts, vectors
 from ..sources.tables import load_table, load_table_spread
 
 # MinHash parameters — shared between the Spark plan and the generated
@@ -874,9 +876,22 @@ def minhash_signatures(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_live_dir(index_path: str) -> str:
+    return os.path.join(index_path, snapshots.snap_live(index_path))
+
+
 def minhash_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None:
-    """Materialize the signature index for an initial corpus."""
-    minhash_signatures(spark, docs).write.mode("overwrite").parquet(index_path)
+    """Materialize the signature index for an initial corpus, as the
+    first snapshot of the shared versioned-snapshot convention
+    (functions/snapshots.py — CURRENT pointer, atomic swap, orphan GC):
+    the same durability contract as the sketch index twins since round
+    8 (VERDICT r7 item 1)."""
+    os.makedirs(index_path, exist_ok=True)
+    snap = "sig_v0"
+    minhash_signatures(spark, docs).write.mode("overwrite").parquet(
+        os.path.join(index_path, snap)
+    )
+    snapshots.snap_commit(index_path, snap, "sig_v")
 
 
 def minhash_index_update(
@@ -884,15 +899,25 @@ def minhash_index_update(
 ) -> DataFrame:
     """Incremental dedup step: sign only NEW docs, find near-dup pairs
     involving them (new×index ∪ new×new — never index×index, which was
-    already reported), append their signatures to the index.
+    already reported), commit old∪new signatures as a NEW snapshot.
 
     THE scale property of continuous dedup: per-batch work is
     O(|new| + candidate pairs), independent of corpus size — the corpus
-    is touched only through the banded signature join, never re-shingled.
+    is touched only through the banded signature join, never
+    re-shingled.  Durability (round 8): the batch's signatures are
+    WRITTEN to a fresh version directory (previous snapshot's immutable
+    data files carried by hard link — per-batch I/O stays ∝ batch) and
+    become visible only at the atomic CURRENT swap, so a crash at any
+    point leaves the index at the complete previous state and the retry
+    re-processes the batch from scratch (the anti-join keeps that a
+    no-op for already-committed docs).  This replaces the round-4
+    append-in-place path, whose crash window could leave a
+    partially-visible batch.
     Returns the same (doc_a, doc_b, inter, un, jaccard_e6) shape as
     :func:`dedup_minhash_lsh`, restricted to pairs with a new member.
     """
-    old_sig = spark.read.parquet(index_path)
+    live = snapshots.snap_live(index_path)
+    old_sig = spark.read.parquet(os.path.join(index_path, live))
     # Idempotency guard: drop docs already in the index BEFORE signing-in.
     # An orchestrator retry after the append (or a re-submitted doc_id)
     # would otherwise duplicate signature rows, multiplying candidate/pair
@@ -956,7 +981,15 @@ def minhash_index_update(
         )
     )
     result = pairs.localCheckpoint()  # materialize BEFORE mutating the index
-    new_sig.write.mode("append").parquet(index_path)
+    # Commit protocol: write the batch to the NEXT version dir (mode
+    # overwrite clears any crash debris reusing the name), hard-link the
+    # live snapshot's data files in, swap CURRENT. Nothing under the
+    # live dir is ever touched.
+    nxt = snapshots.snap_next(live, "sig_v")
+    nxt_dir = os.path.join(index_path, nxt)
+    new_sig.write.mode("overwrite").parquet(nxt_dir)
+    snapshots.link_parquet_files(os.path.join(index_path, live), nxt_dir)
+    snapshots.snap_commit(index_path, nxt, "sig_v")
     return result
 
 

@@ -24,7 +24,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import vectors
+from ..functions import snapshots, vectors
 from ..sources.tables import load_table_spread
 from .dedup import EMBED_DUP_MIN_E6
 
@@ -1074,22 +1074,32 @@ def ann_index_init(
     quadratically growing per-list candidate enumeration (measured
     ×7.6 wall on ×2.6 vectors at sf0.5 — SCALE.md round-6 note);
     scaling k with n is what holds the list size, and therefore the
-    steady-state batch cost, roughly constant."""
+    steady-state batch cost, roughly constant.
+
+    Layout (round 8, VERDICT r7 item 1 — the shared versioned-snapshot
+    convention of functions/snapshots.py): ``centroids/`` and ``meta/``
+    are frozen at init; the MUTABLE state — ``vectors/`` + ``assign/``
+    — lives together under one ``state_v{n}/`` snapshot named by the
+    CURRENT pointer, so an update commits BOTH tables in one atomic
+    swap (the old split-append path had a crash window between the two
+    appends that could leave a partially-visible batch)."""
     base = _quantize_vectors(vectors_df).cache()
     if k is None:
         k, _ = scaled_ann_params(base.count())
     cents = _train_centroids(spark, base, k=k)
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
-    base.write.mode("overwrite").parquet(f"{index_path}/vectors")
+    snap = "state_v0"
+    base.write.mode("overwrite").parquet(f"{index_path}/{snap}/vectors")
     _assign_lists(base, cents, ASSIGN_LISTS, k=k).write.mode(
         "overwrite"
-    ).parquet(f"{index_path}/assign")
+    ).parquet(f"{index_path}/{snap}/assign")
     # Persist k as index metadata (round 7, VERDICT r6 item 6 / ADVICE
     # r5): the update path dispatches assignment strategy on k, and
     # without metadata it re-counted the centroid frame on every batch.
     spark.createDataFrame([(int(k),)], "k long").write.mode(
         "overwrite"
     ).parquet(f"{index_path}/meta")
+    snapshots.snap_commit(index_path, snap, "state_v")
 
 
 def ann_index_update(
@@ -1097,8 +1107,8 @@ def ann_index_update(
 ) -> DataFrame:
     """Incremental embedding-dedup step: assign only NEW vectors to the
     FROZEN trained quantizer, find near-dup pairs involving them
-    (new×index ∪ new×new — never index×index, already reported), append
-    their rows to the index.
+    (new×index ∪ new×new — never index×index, already reported), commit
+    old∪new state as a new snapshot.
 
     THE scale property of continuous embedding dedup: per-batch work is
     O(|new|·k + candidate pairs) — the corpus is touched only through the
@@ -1107,14 +1117,23 @@ def ann_index_update(
     (FAISS-style); drift degrades recall, not correctness, because every
     reported pair is exact-verified. Idempotent: vec_ids already indexed
     are dropped before assignment, so an orchestrator retry is a no-op.
+    Durability (round 8, VERDICT r7 item 1): the batch's vectors AND
+    assign rows land together in a fresh ``state_v{n+1}`` snapshot
+    (previous snapshot's immutable data files carried by hard link, so
+    per-batch I/O stays ∝ batch) made visible by ONE atomic CURRENT
+    swap — replacing the round-4 split-append path, whose crash window
+    between the assign and vectors appends could leave a
+    partially-visible batch.
     Returns (vec_a, vec_b, sim_e6) pairs at the near-dup threshold with
     at least one new member — same contract as
     :func:`dedup.minhash_index_update`."""
     import functools
 
+    live = snapshots.snap_live(index_path)
+    live_dir = f"{index_path}/{live}"
     cents = spark.read.parquet(f"{index_path}/centroids")
-    old_vecs = spark.read.parquet(f"{index_path}/vectors")
-    old_assign = spark.read.parquet(f"{index_path}/assign")
+    old_vecs = spark.read.parquet(f"{live_dir}/vectors")
+    old_assign = spark.read.parquet(f"{live_dir}/assign")
     # k from the index metadata ann_index_init persisted (round 7): the
     # one-row meta read replaces a per-batch count job over the centroid
     # table as the strategy-dispatch hint. Indexes written before meta
@@ -1160,16 +1179,20 @@ def ann_index_update(
         )
     )
     result = pairs.localCheckpoint()  # materialize BEFORE mutating the index
-    # Append ORDER matters for crash recovery (round-4 review): assign/
-    # first, vectors/ last. Idempotency keys on vectors/, so a crash
-    # between the two appends leaves assign rows whose vectors are
-    # missing — the retry re-processes the batch (anti-join passes),
-    # re-appending assign: duplicate ASSIGN rows are harmless (candidate
-    # generation is `.distinct()`), whereas the reverse order would
-    # permanently drop the batch's assignments and silently miss every
-    # future near-dup involving those vectors.
-    new_assign.write.mode("append").parquet(f"{index_path}/assign")
-    new_base.write.mode("append").parquet(f"{index_path}/vectors")
+    # Commit protocol (shared convention, functions/snapshots.py): write
+    # the batch's rows into the NEXT version dir (mode overwrite clears
+    # any crash debris reusing the name), hard-link the live snapshot's
+    # data files in, then swap CURRENT once for both tables. Nothing
+    # under the live dir is ever touched, so a crash at any point —
+    # including between the two writes below — leaves the previous
+    # state fully intact and the retry redoes the whole batch.
+    nxt = snapshots.snap_next(live, "state_v")
+    nxt_dir = f"{index_path}/{nxt}"
+    new_assign.write.mode("overwrite").parquet(f"{nxt_dir}/assign")
+    new_base.write.mode("overwrite").parquet(f"{nxt_dir}/vectors")
+    snapshots.link_parquet_files(f"{live_dir}/assign", f"{nxt_dir}/assign")
+    snapshots.link_parquet_files(f"{live_dir}/vectors", f"{nxt_dir}/vectors")
+    snapshots.snap_commit(index_path, nxt, "state_v")
     return result
 
 

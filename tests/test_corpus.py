@@ -238,7 +238,7 @@ def test_incremental_minhash_index_matches_full_recompute(spark, sf_dir, tmp_pat
     assert inc_pairs == batch_all - batch_first_only
     assert inc_pairs, "expected cross-half near-dup pairs"
     # the index now holds every signature once
-    n_idx = spark.read.parquet(idx).count()
+    n_idx = spark.read.parquet(dedup._minhash_live_dir(idx)).count()
     assert n_idx == docs.count()
 
 
@@ -260,14 +260,65 @@ def test_minhash_index_update_retry_is_idempotent(spark, sf_dir, tmp_path):
     n_docs = docs.count()
     # retry the SAME batch: no new pairs, no duplicate signatures
     assert dedup.minhash_index_update(spark, second, idx).count() == 0
-    idx_df = spark.read.parquet(idx)
+    idx_df = spark.read.parquet(dedup._minhash_live_dir(idx))
     assert idx_df.count() == n_docs
     assert idx_df.select("doc_id").distinct().count() == n_docs
 
     # mixed batch (some already indexed, none new): still a no-op
     mixed = docs.where(F.col("doc_id") % 4 == 1)
     assert dedup.minhash_index_update(spark, mixed, idx).count() == 0
-    assert spark.read.parquet(idx).count() == n_docs
+    assert spark.read.parquet(dedup._minhash_live_dir(idx)).count() == n_docs
+
+
+def test_minhash_index_snapshot_durability(spark, sf_dir, tmp_path):
+    """Round 8 (VERDICT r7 item 1): the minhash index rides the shared
+    versioned-snapshot convention.  Pins: (a) CURRENT always names a
+    complete snapshot and exactly one sig_v* dir is live after each
+    update; (b) crash debris — a half-written version directory left by
+    a failed update — is GC'd by the next successful commit and never
+    affects results; (c) the live snapshot after split init+update holds
+    exactly the full corpus signatures (bit-equality with a fresh
+    full-corpus init)."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    docs = dedup._docs(spark, sf_dir).select("doc_id", "text")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh_index_snap")
+
+    dedup.minhash_index_init(spark, first, idx)
+    assert snapshots.snap_live(idx) == "sig_v0"
+    # simulated crash debris: a half-written NEXT version (worst case —
+    # the name the next update will reuse) plus an unrelated orphan
+    os.makedirs(os.path.join(idx, "sig_v1"))
+    open(os.path.join(idx, "sig_v1", "part-junk"), "w").write("junk")
+    os.makedirs(os.path.join(idx, "sig_v99"))
+
+    assert dedup.minhash_index_update(spark, second, idx).count() > 0
+    live = snapshots.snap_live(idx)
+    assert live == "sig_v1"
+    snaps = [d for d in os.listdir(idx) if d.startswith("sig_v")]
+    assert snaps == [live]
+
+    # split init+update state == fresh full-corpus init, row-for-row
+    idx_full = str(tmp_path / "mh_index_full")
+    dedup.minhash_index_init(spark, docs, idx_full)
+    split_rows = {
+        (r.doc_id, r.n, tuple(sorted(r.xs)), r.mh0)
+        for r in spark.read.parquet(dedup._minhash_live_dir(idx)).collect()
+    }
+    full_rows = {
+        (r.doc_id, r.n, tuple(sorted(r.xs)), r.mh0)
+        for r in spark.read.parquet(
+            dedup._minhash_live_dir(idx_full)
+        ).collect()
+    }
+    assert split_rows == full_rows and split_rows
 
 
 def test_quadratic_guard_refuses_large_inputs(spark, sf_dir, monkeypatch):

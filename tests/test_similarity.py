@@ -284,7 +284,65 @@ def test_ann_index_incremental_update(spark, sf_dir, tmp_path):
 
     # retry: same batch again → no pairs, no index growth
     assert similarity.ann_index_update(spark, second, idx).count() == 0
-    assert spark.read.parquet(idx + "/vectors").count() == emb.count()
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+
+    live = snapshots.snap_live(idx)
+    assert spark.read.parquet(f"{idx}/{live}/vectors").count() == emb.count()
+
+
+def test_ann_index_snapshot_durability(spark, sf_dir, tmp_path):
+    """Round 8 (VERDICT r7 item 1): the ANN index's mutable state
+    (vectors + assign) commits as ONE versioned snapshot under an atomic
+    CURRENT swap — no window where only one of the two tables reflects a
+    batch.  Pins: (a) exactly one state_v* dir is live after each
+    update; (b) crash debris (a half-written next version, worst-case
+    name collision included) is cleared by the next successful commit
+    and never affects results; (c) vectors and assign stay consistent:
+    every vector has exactly ASSIGN_LISTS assign rows (or k, if
+    smaller)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table_spread,
+    )
+
+    emb = load_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ann_index_snap")
+
+    similarity.ann_index_init(spark, first, idx)
+    assert snapshots.snap_live(idx) == "state_v0"
+    # simulated crash debris, including the name the next commit reuses
+    os.makedirs(os.path.join(idx, "state_v1", "vectors"))
+    open(os.path.join(idx, "state_v1", "vectors", "part-junk"), "w").write("x")
+    os.makedirs(os.path.join(idx, "state_v99"))
+
+    assert similarity.ann_index_update(spark, second, idx).count() >= 0
+    live = snapshots.snap_live(idx)
+    assert live == "state_v1"
+    snaps = [d for d in os.listdir(idx) if d.startswith("state_v")]
+    assert snaps == [live]
+
+    vecs = spark.read.parquet(f"{idx}/{live}/vectors")
+    assign = spark.read.parquet(f"{idx}/{live}/assign")
+    n = emb.count()
+    assert vecs.count() == n
+    assert vecs.select("vec_id").distinct().count() == n
+    k = int(spark.read.parquet(f"{idx}/meta").first()["k"])
+    per_vec = min(similarity.ASSIGN_LISTS, k)
+    counts = assign.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [per_vec]
+    assert assign.select("vec_id").distinct().count() == n
 
 
 def test_ivf_pq_recall_and_exact_rerank(spark, sf_dir):
