@@ -198,6 +198,10 @@ BENCH_QUERIES = [
     "events_value_quantiles_monthly",
     # time-constrained funnel (two chained tolerance carries, one sort)
     "events_funnel_windowed",
+    # round-8 additions: the remaining sketch-as-streaming-state twins —
+    # CMS counter-SUM state and the Misra-Gries GroupState fold
+    "stream_user_cms",
+    "stream_heavy_hitters",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

@@ -651,6 +651,182 @@ def dau_hll_pipeline(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-frequency where the CMS COUNTER TABLE IS THE
+    STREAMING STATE (round 8, VERDICT r7 item 4): per-(r, bucket) COUNT
+    as the streaming aggregation, drained complete-mode, point queries
+    served from the drained counters — the counter-SUM analog of
+    ``stream_dau_hll``'s register-MAX.
+
+    State is ≤ d·w = 1536 counter rows REGARDLESS of user cardinality
+    (the linearity that makes CMS the streaming frequency summary:
+    each micro-batch's partial counts fold into the store by per-cell
+    SUM — the same merge law ``events_user_cms_monthly`` proves across
+    day→month grains, here across MICRO-BATCHES).  No watermark: SUM
+    over an exactly-once replay is insensitive to batch boundaries.
+    The query/serving side (stride users joined for their exact counts)
+    is batch post-processing of the drained state, same split as
+    stream_dau_hll's estimator.  Oracle: ``_CMS_ORACLE`` verbatim —
+    streaming/batch parity and the cross-engine sketch contract in one
+    hash gate."""
+    ev = events_stream.stream_events(spark, sf_dir)
+    counters = _drain(cms_pipeline(ev), "stream_user_cms", spark)
+    per_user = (
+        _load_events_batch(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    qkeys = per_user.where(F.col("user_id") % _sketch.CMS_QUERY_STRIDE == 0)
+    return (
+        _sketch._cms_expand(qkeys)
+        .join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("user_id", F.col("n_events").alias("n_true"))
+        .agg(F.min("cnt").alias("cms_est"))
+        .select("user_id", "n_true", "cms_est")
+        .orderBy("user_id")
+    )
+
+
+def cms_pipeline(events: DataFrame) -> DataFrame:
+    """(r, bucket, cnt) streaming CMS counter aggregation — the same
+    exact-integer bucket function as the batch ``sketch._cms_expand``,
+    as a single streaming groupBy so each micro-batch's partials
+    SUM-merge into the state store (factored for the multi-micro-batch
+    replay pytest).  The batch entry's per-user pre-aggregation is a
+    chained agg (unsupported on streams); the map-side partial combine
+    of the single groupBy bounds the per-batch shuffle at d·w rows
+    either way."""
+    return (
+        _sketch._cms_expand(events.select("user_id"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _load_events_batch(spark: SparkSession, sf_dir: str):
+    from .events import load_events
+
+    return load_events(spark, sf_dir)
+
+
+# --------------------------- streaming Misra-Gries state (round 8)
+# Key space is partitioned into MG_STREAM_GROUPS by user-id hash; each
+# group holds ONE Misra-Gries summary of capacity MG_CAPACITY in
+# GroupState, folded per micro-batch by the truncating union.  State is
+# bounded at GROUPS × CAPACITY rows forever.
+MG_STREAM_GROUPS = 8
+
+
+def mg_state_stream(events: DataFrame, capacity: int = _sketch.MG_CAPACITY) -> DataFrame:
+    """Streaming MG candidate generation: (grp, ver, user_id) rows, one
+    snapshot of each group's surviving keys per micro-batch the group
+    appears in (``ver`` increments per fold; the LATEST version is the
+    final summary — append-mode file sinks can't retract, so snapshots
+    are versioned instead).  Factored for the replay pytest."""
+    import pyspark.sql.types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.IntegerType()),
+            T.StructField("ver", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ver", T.LongType()),
+            T.StructField("keys", T.ArrayType(T.LongType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (grp,) = key
+        if state.exists:
+            ver, keys, counts = state.get
+            counters = dict(zip(keys, counts))
+        else:
+            ver, counters = 0, {}
+        for pdf in pdfs:
+            counters = _sketch._mg_merge(counters, pdf["key"], capacity)
+        ver += 1
+        state.update((ver, list(counters), list(counters.values())))
+        yield pd.DataFrame(
+            {
+                "grp": grp,
+                "ver": ver,
+                "user_id": pd.Series(list(counters), dtype="int64"),
+            }
+        )
+
+    grouped = events.select(
+        F.pmod(F.col("user_id"), F.lit(MG_STREAM_GROUPS))
+        .cast("int")
+        .alias("grp"),
+        F.col("user_id").alias("key"),
+    )
+    return grouped.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters where the MISRA-GRIES SUMMARY IS THE
+    STREAMING STATE (round 8, VERDICT r7 item 4 — the MG analog of
+    stream_dau_hll, completing streaming twins for the mergeable-summary
+    family): per-group MG summaries of capacity MG_CAPACITY folded by
+    the truncating union across micro-batches in ``GroupState``
+    (``applyInPandasWithState`` — MG's subtract step is not an SQL
+    aggregate), state bounded at GROUPS × C rows forever.
+
+    Determinism despite MG's batch-boundary sensitivity: the drained
+    summary is only the CANDIDATE set, and it is a guaranteed SUPERSET
+    of the true heavy hitters under ANY batching — a user's events all
+    hash to one group, so its group count equals its total count, and
+    the mergeable-summaries bound (Agarwal et al., PODS'12) keeps every
+    key with count > N_grp/(C+1) ≥ its survival threshold in the
+    summary.  The exact verify pass (the same second pass the batch
+    ``events_heavy_hitters`` runs) then counts candidates exactly and
+    thresholds at N/(C+1) — so the OUTPUT is deterministic and the
+    oracle is the batch ``_HH_ORACLE`` verbatim: streaming/batch parity
+    and the superset guarantee in one hash gate."""
+    ev = events_stream.stream_events(spark, sf_dir).select("user_id")
+    drained = _drain_append(
+        mg_state_stream(ev), "stream_heavy_hitters", spark
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("grp")
+    cand = (
+        drained.withColumn("mv", F.max("ver").over(wv))
+        .where(F.col("ver") == F.col("mv"))
+        .select("user_id")
+        .distinct()
+    )
+    e = _load_events_batch(spark, sf_dir).select("user_id")
+    n_total = e.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        e.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .where(
+            F.col("n_events") * (_sketch.MG_CAPACITY + 1) > F.col("n_total")
+        )
+        .select("user_id", "n_events")
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+
+
 QUERIES = {
     "stream_transitions": stream_transitions,
     "stream_view_purchase_join": stream_view_purchase_join,
@@ -662,6 +838,8 @@ QUERIES = {
     "stream_enriched": stream_enriched,
     "stream_dedup": stream_dedup,
     "stream_dau_hll": stream_dau_hll,
+    "stream_user_cms": stream_user_cms,
+    "stream_heavy_hitters": stream_heavy_hitters,
 }
 
 # stream_transitions "shares its oracle" with the batch twin — make
@@ -684,4 +862,10 @@ ORACLE_SQL = {
     # the batch HLL oracle, verbatim: streaming/batch parity and the
     # cross-engine register contract in one gate (see stream_dau_hll).
     "stream_dau_hll": _sketch._HLL_ORACLE,
+    # the batch CMS / heavy-hitter oracles, verbatim (round 8): the
+    # streaming sketch-state twins must reproduce the batch results
+    # bit-for-bit (see the entries' docstrings for why that holds
+    # despite MG's batch-boundary sensitivity).
+    "stream_user_cms": _sketch._CMS_ORACLE,
+    "stream_heavy_hitters": _sketch._HH_ORACLE,
 }

@@ -1161,3 +1161,167 @@ def test_stream_dau_hll_registers_merge_across_microbatches(spark, sf_dir, tmp_p
         for r in sketch._daily_registers(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def _two_time_halves(spark, sf_dir, tmp_path, name):
+    """Split events into two event-time halves as separate parquet files
+    with pinned mtimes so maxFilesPerTrigger=1 replays them as two
+    ordered micro-batches (the shared fixture move of the replay tests)."""
+    import glob
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    src_df = ev.load_events(spark, sf_dir)
+    mid = src_df.agg(
+        F.expr("percentile_approx(ts_us, 0.5, 10000)")
+    ).collect()[0][0]
+    half_dir = str(tmp_path / name)
+    base = src_df.drop("ts_us")
+    base.where(F.unix_micros("ts") < mid).coalesce(1).write.parquet(
+        half_dir, mode="overwrite"
+    )
+    base.where(F.unix_micros("ts") >= mid).coalesce(1).write.parquet(
+        half_dir, mode="append"
+    )
+    parts = glob.glob(f"{half_dir}/part-*.parquet")
+    assert len(parts) == 2, parts
+
+    def _max_ts(p):
+        return spark.read.parquet(p).agg(
+            F.max(F.unix_micros("ts"))
+        ).collect()[0][0]
+
+    early, late = sorted(parts, key=_max_ts)
+    os.utime(early, (1_000_000_000, 1_000_000_000))
+    os.utime(late, (1_000_000_100, 1_000_000_100))
+    return half_dir
+
+
+def test_stream_cms_counters_merge_across_microbatches(spark, sf_dir, tmp_path):
+    """stream_user_cms (round 8): replaying the events as two event-time
+    micro-batches must leave the state store holding EXACTLY the
+    whole-corpus counter table — each batch's partial counts SUM-merge
+    into the store (the CMS linearity/merge law as streaming state)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        sketch,
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+        events_stream,
+    )
+
+    half_dir = _two_time_halves(spark, sf_dir, tmp_path, "cms_halves")
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+    )
+    out_dir = str(tmp_path / "cms_out")
+    got = {
+        (r.r, r.bucket): r.cnt
+        for r in events_stream.run_available_now_to_parquet(
+            streamq.cms_pipeline(stream), out_dir, spark
+        ).collect()
+    }
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+    )
+
+    want = {
+        (r.r, r.bucket): r.cnt
+        for r in sketch._cms_expand(
+            ev.load_events(spark, sf_dir).select("user_id")
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_mg_state_folds_across_microbatches(spark, sf_dir, tmp_path):
+    """stream_heavy_hitters (round 8): replay the events as two
+    micro-batches with a DELIBERATELY small capacity so the truncating
+    union is real, and pin (a) state actually bridges batches (groups
+    re-emit a higher version in batch 2), (b) every group's final
+    summary is within capacity, (c) the final candidate set is a
+    SUPERSET of the true heavy hitters at that capacity's N/(C+1)
+    threshold — the guarantee that makes the entry's exact verify pass
+    deterministic under any batching."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+        events_stream,
+    )
+
+    import os
+
+    cap = 4  # tiny: forces real truncation on the synthetic skew below
+    # Synthetic skewed corpus (the sf0.001 fixture has only ~15 users —
+    # too few to truncate): one dominant user plus a long tail, split
+    # into two mtime-ordered files so each is one micro-batch.
+    half_dir = str(tmp_path / "mg_halves")
+    spark.createDataFrame(
+        [(7,)] * 50 + [(100 + i,) for i in range(20) for _ in range(3)],
+        "user_id long",
+    ).coalesce(1).write.parquet(half_dir, mode="overwrite")
+    spark.createDataFrame(
+        [(7,)] * 40 + [(200 + i,) for i in range(20) for _ in range(2)],
+        "user_id long",
+    ).coalesce(1).write.parquet(half_dir, mode="append")
+    import glob
+
+    parts = sorted(glob.glob(f"{half_dir}/part-*.parquet"))
+    assert len(parts) == 2
+
+    def _n_rows(pth):
+        return spark.read.parquet(pth).count()
+
+    first, second = sorted(parts, key=_n_rows, reverse=True)  # 110 vs 80
+    os.utime(first, (1_000_000_000, 1_000_000_000))
+    os.utime(second, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+    )
+    out_dir = str(tmp_path / "mg_out")
+    drained = events_stream.run_available_now_append_to_parquet(
+        streamq.mg_state_stream(stream, capacity=cap), out_dir, spark
+    ).collect()
+    by_grp: dict = {}
+    for r in drained:
+        by_grp.setdefault(r.grp, {}).setdefault(r.ver, set()).add(r.user_id)
+    # (a) at least one group saw both batches (ver reaches 2), and ver
+    # only ever increments by 1 per appearance
+    assert any(max(vers) == 2 for vers in by_grp.values())
+    for vers in by_grp.values():
+        assert set(vers) == set(range(1, max(vers) + 1))
+        # (b) every snapshot within capacity
+        for users in vers.values():
+            assert len(users) <= cap
+    final_cand = set()
+    for vers in by_grp.values():
+        final_cand |= vers[max(vers)]
+
+    counts = {
+        r.user_id: r.n
+        for r in spark.read.parquet(half_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    heavy = {u for u, n in counts.items() if n * (cap + 1) > n_total}
+    # (c) superset guarantee, non-vacuously: the dominant user IS heavy,
+    # and the truncating union really dropped tail users somewhere
+    assert heavy and heavy <= final_cand
+    assert len(final_cand) < len(counts), "no truncation: capacity too big"
