@@ -63,60 +63,45 @@ _MODULES = [
     sketch, graph, olap_deep, bpe,
 ]
 
-# First-50 driver window for round 7 (VERDICT r6 item 5): with the
-# cross-round driver-witnessed union at 152/152 after round 6, the
-# freshness gradient is the target — slots 1-9 are the nine round-7
-# additions (never witnessed by construction: the five TPC-H shapes
-# Q2/Q9/Q11/Q12/Q20, the month-grain CMS merge proof, the full-outer
-# stream-stream join, and the Bloom pair); next are the two r3-vintage
-# entries that yielded their r6 slots (sim_clusters, sim_ivf); the
-# remaining 41 slots are the least-recently-witnessed r4-vintage
-# entries — the whole marts surface (q1-q9, p1-p3, t6, t10), the whole
-# analytics module, and the r4 text/dedup heads that fit.  The
-# r4-vintage dedup tail (components/minhash/keep_best/…) rotates into
-# the r8 window; every entry is additionally re-verified on current
-# data via tools/selfcheck.py → SELFCHECK_r07.json.
-_WINDOW_R7 = [
-    # round-7 additions (never driver-witnessed)
-    "tpch_min_cost_supplier", "tpch_product_profit",
-    "tpch_important_stock", "tpch_shipmode_priority",
-    "tpch_promo_suppliers", "events_user_cms_monthly",
-    "stream_view_purchase_full",
-    "events_user_bloom_monthly", "orders_bloom_semi_join",
-    "segment_overlap_hll", "events_value_hist_monthly",
-    "hybrid_search_rrf", "stream_dau_hll",
-    "events_kmv_monthly", "segment_jaccard_kmv",
-    "text_search_bm25", "lineitem_snapshot_apply",
-    "dedup_edit_distance", "sample_weighted_reservoir",
-    "events_heavy_hitters_monthly", "text_bpe_apply", "sim_mmr",
-    "dedup_entity_resolution", "events_attribution",
-    "events_value_quantiles_monthly", "events_funnel_windowed",
-    # r3-vintage (yielded their r6 slots to the round-6 additions)
-    "sim_clusters", "sim_ivf",
-    # r4-vintage: the full reference-parity marts surface
-    "q1_wins", "q2_fastestlap", "q3_filter", "q4_weather",
-    "q5_evopoints", "q6_constructor", "q7_pitstops", "q8_circuit_stats",
-    "q9_top10", "p1_f1_formatted", "p2_weather_daily", "p3_combined",
-    "t6_parse_time", "t10_weather_filled",
-    # r4-vintage: the full analytics module
-    "orders_skyline", "orders_distribution", "tpch_pricing_summary",
-    "tpch_revenue_by_nation", "tpch_shipping_priority", "tpch_big_orders",
-    "orders_above_avg", "orders_rolling_7d",
-    # (the r4-vintage fill — text_tokens, text_langid, the dedup heads,
-    # tpch_revenue_rollup, top_orders_per_customer, join_anti_customers,
-    # join_semi_customers, join_outer_audit, window_suite,
-    # tpch_quantiles, tpch_cube, tpch_grouping_sets, and the two
-    # tolerance-gated analytics rows tpch_distinct_parts /
-    # tpch_quantiles_approx — yielded their slots to the late-round-7
-    # additions, which are never-driver-witnessed and can only earn a
-    # row through this window; the displaced entries rotate into the r8
-    # window with the dedup tail)
+# First-50 driver window for round 8 (VERDICT r7 item 6): slots 1-3 are
+# the three round-8 additions (never driver-witnessed by construction:
+# the incremental entity-resolution entry and the two sketch-as-
+# streaming-state twins); the rest is the least-recently-witnessed
+# fill — ALL 28 r4-vintage entries (the dedup tail, the text heads,
+# window_suite, the tpch quantiles/cube/grouping-sets block, the join
+# trio, and the two tolerance-gated analytics rows), then the 19
+# oldest r5-vintage entries in module order.  Every entry is
+# additionally re-verified on current data via tools/selfcheck.py →
+# SELFCHECK_r08.json.
+_WINDOW_R8 = [
+    # round-8 additions (never driver-witnessed)
+    "dedup_er_incremental", "stream_user_cms", "stream_heavy_hitters",
+    # r4-vintage: the displaced fill + the dedup tail (complete)
+    "tpch_revenue_rollup", "top_orders_per_customer",
+    "join_anti_customers", "join_semi_customers", "join_outer_audit",
+    "window_suite", "tpch_quantiles", "tpch_cube", "tpch_grouping_sets",
+    "tpch_distinct_parts", "tpch_quantiles_approx",
+    "dedup_recall_report", "dedup_cluster_stats", "dedup_exact",
+    "dedup_fingerprint", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_winnow", "winnow_matches",
+    "doc_pagerank", "dedup_embedding", "dedup_components",
+    "dedup_keep_best", "text_tokens", "text_langid",
+    "text_langid_ngram", "text_quality",
+    # r5-vintage: the oldest remaining, module order
+    "text_collocations", "events_ewma", "events_dau_mau",
+    "events_transitions", "events_ab_test", "events_scd2",
+    "events_scd2_lookup", "multimodal_dedup", "multimodal_fingerprint",
+    "multimodal_segments", "corpus_card", "sample_balanced",
+    "sample_quality_weighted", "text_sparse_sim", "documents_zipf",
+    "text_keywords", "stream_transitions", "stream_view_purchase_join",
+    "stream_dau",
 ]
+_WINDOW = _WINDOW_R8
 
 
 def _ordered(merged: dict) -> dict:
-    """Reorder a merged registry dict: _WINDOW_R7 first, rest in module order."""
-    out = {k: merged[k] for k in _WINDOW_R7 if k in merged}
+    """Reorder a merged registry dict: _WINDOW first, rest in module order."""
+    out = {k: merged[k] for k in _WINDOW if k in merged}
     out.update({k: v for k, v in merged.items() if k not in out})
     return out
 

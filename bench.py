@@ -317,6 +317,35 @@ def _bench_ann_index_update(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_er_index_update(spark, sf_dir: str) -> float:
+    """Incremental entity-resolution batch cost (round 8): the ER index
+    is bootstrapped on half the corpus OUTSIDE the measured span; timed
+    is one update batch + the serving view — the steady-state cost of
+    continuous ER ingest (the incremental answer to the suite's
+    heaviest entry, the batch dedup_entity_resolution)."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    tmp = tempfile.mkdtemp(prefix="bench_er_index_")
+    try:
+        docs = dedup._docs(spark, sf_dir).select("doc_id", "lang", "text")
+        dedup.er_index_init(spark, docs.where(F.col("doc_id") % 2 == 0), tmp)
+        t0 = time.perf_counter()
+        dedup.er_index_update(
+            spark, docs.where(F.col("doc_id") % 2 == 1), tmp
+        )
+        dedup.er_resolve(spark, tmp).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_hll_index_update(spark, sf_dir: str) -> float:
     """Incremental distinct-count batch cost (round 6): the register
     table is built on the first half of the time range OUTSIDE the
@@ -503,6 +532,7 @@ EXTRA_BENCH = {
     "stream_stateful_drain": _bench_stream_stateful_drain,
     "dedup_embedding_ann": _bench_embedding_ann_scaled_k,
     "ann_index_update": _bench_ann_index_update,
+    "er_index_update": _bench_er_index_update,
     "hll_index_update": _bench_hll_index_update,
     "hist_index_update": _bench_hist_index_update,
     "kmv_index_update": _bench_kmv_index_update,
@@ -536,6 +566,8 @@ SLOPE_QUERIES = [
     "dedup_edit_distance", "events_heavy_hitters_monthly",
     # the composed entity-resolution capstone (slowest entry in the suite)
     "dedup_entity_resolution",
+    # round-8: its continuous-ingest twin's steady-state batch cost
+    "er_index_update",
 ]
 
 
@@ -681,7 +713,47 @@ def compare(prior_path: str, current: dict[str, float], factor: float = 1.5) -> 
     return 0
 
 
-def main(compare_path: str | None = None) -> None:
+def main(compare_path: str | None = None, median_runs: int = 1) -> None:
+    """One bench pass by default; ``--median N`` repeats the WHOLE pass N
+    times — each in a fresh SparkSession — and reports per-query medians
+    ACROSS passes (VERDICT r7 item 7: single full-suite passes on this
+    host spanned 178-256 s with disjoint slow sets from noisy-neighbor
+    interference; the within-pass repeat median cannot see session-level
+    noise, the cross-pass median can, making --compare trustworthy)."""
+    if median_runs > 1:
+        import statistics as _st
+
+        runs = [_run_pass() for _ in range(median_runs)]
+        timings = {
+            name: round(_st.median([r[name] for r in runs]), 3)
+            for name in runs[0]
+        }
+        _emit(timings, median_runs=median_runs)
+        if compare_path is not None:
+            sys.exit(compare(compare_path, timings))
+        return
+    timings = _run_pass()
+    _emit(timings)
+    if compare_path is not None:
+        sys.exit(compare(compare_path, timings))
+
+
+def _emit(timings: dict[str, float], median_runs: int = 1) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if median_runs > 1:
+        out["median_runs"] = median_runs
+    print(json.dumps(out))
+
+
+def _run_pass() -> dict[str, float]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -760,31 +832,27 @@ def main(compare_path: str | None = None) -> None:
         )
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
     spark.stop()
-    if compare_path is not None:
-        sys.exit(compare(compare_path, timings))
+    return timings
 
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if "--scale-slope" in argv:
         scale_slope()
-    elif "--compare" in argv:
-        i = argv.index("--compare")
-        if i + 1 >= len(argv):
-            sys.exit("usage: bench.py --compare PRIOR_BENCH.json")
-        main(compare_path=argv[i + 1])
+    elif "--compare" in argv or "--median" in argv:
+        cmp_path = None
+        runs = 1
+        if "--compare" in argv:
+            i = argv.index("--compare")
+            if i + 1 >= len(argv):
+                sys.exit("usage: bench.py --compare PRIOR_BENCH.json")
+            cmp_path = argv[i + 1]
+        if "--median" in argv:
+            i = argv.index("--median")
+            if i + 1 >= len(argv):
+                sys.exit("usage: bench.py --median N")
+            runs = int(argv[i + 1])
+        main(compare_path=cmp_path, median_runs=runs)
     else:
         main()

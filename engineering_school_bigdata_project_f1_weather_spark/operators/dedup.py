@@ -1489,6 +1489,376 @@ FROM comp c JOIN q USING (doc_id)
 """
 
 
+
+# ------------------------ incremental entity resolution (round 8)
+# The continuous-ingest twin of the dedup_entity_resolution capstone
+# (VERDICT r7 item 2): a persisted multi-signal ER index on the shared
+# versioned-snapshot convention (functions/snapshots.py). Per-batch work
+# is bounded by the batch and its candidates: new docs probe the three
+# persisted generator structures (md5 hash rows for EXACT, minhash
+# signatures for NEAR, an x-ordered q-gram prefix index for TYPO) —
+# never index×index — and the transitive closure runs only over the
+# AFFECTED subgraph (new docs + the entity labels their edges touch),
+# with old→new entity merges recorded in a composed remap table instead
+# of rewriting the corpus-sized label table.
+#
+# TYPO prefix ordering: the batch dedup_edit_distance ranks each doc's
+# q-grams by global document frequency before cutting the q·τ+1 prefix —
+# a frequency-optimized CANDIDATE heuristic whose ordering shifts as the
+# corpus grows, which would break the shared-prefix guarantee across
+# batches. The index instead orders by the gram hash itself (fixed
+# forever): the prefix-filter theorem (Chaudhuri et al., ICDE'06) needs
+# only a CONSISTENT global order — τ edits destroy ≤ q·τ grams, so two
+# within-τ docs share a gram among each one's q·τ+1 smallest — so the
+# candidate set stays a lossless superset under any ingest schedule,
+# and the exact banded-levenshtein verify makes the final edges
+# identical to the batch generator's.
+ER_PREFIX_LEN = EDIT_Q * EDIT_TAU + 1
+_ER_EMPTY_REMAP = "old_label long, new_label long"
+
+
+def _er_doc_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, lang, h, len, score) persisted doc-state rows."""
+    from .quality import quality_score_of
+
+    scored = quality_score_of(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "score"
+    )
+    return docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.md5("text").alias("h"),
+        F.length("text").cast("long").alias("len"),
+    ).join(scored, "doc_id")
+
+
+def _er_qgram_prefix(d: DataFrame) -> DataFrame:
+    """x-ascending q-gram prefix rows (doc_id, x, len) over a
+    (doc_id, text, len) frame — the persisted TYPO candidate index."""
+    qg = (
+        d.where(F.col("len") >= EDIT_Q)
+        .select(
+            "doc_id",
+            "len",
+            F.explode(
+                F.sequence(F.lit(1), F.col("len") - (EDIT_Q - 1))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "len",
+            texts.hash32(F.expr(f"substring(text, pos, {EDIT_Q})")).alias("x"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("x"))
+    return (
+        qg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ER_PREFIX_LEN)
+        .select("doc_id", "x", "len")
+    )
+
+
+def _er_edges(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    all_docs: DataFrame,
+    new_sig: DataFrame,
+    all_sig: DataFrame,
+    new_qg: DataFrame,
+    all_qg: DataFrame,
+) -> DataFrame:
+    """Match-graph edges with at least one NEW member, from the three
+    evidence signals, probed new×all (doc_a < doc_b, distinct).  Passing
+    new == all computes the full batch edge set (the init bootstrap)."""
+    # EXACT: content-hash equality.
+    exact_e = (
+        new_docs.select(F.col("h"), F.col("doc_id").alias("na"))
+        .join(all_docs.select("h", F.col("doc_id").alias("nb")), "h")
+        .where(F.col("na") != F.col("nb"))
+        .select(
+            F.least("na", "nb").alias("doc_a"),
+            F.greatest("na", "nb").alias("doc_b"),
+        )
+    )
+    # NEAR: shared-minhash-band candidates, exact-Jaccard verified at the
+    # component threshold (same arithmetic as dedup_minhash_lsh).
+    n_h = len(MINHASH_A)
+    stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "doc_id", F.expr(f"stack({n_h}, {stack_args}) AS (bh, bv)")
+        )
+
+    near_cand = (
+        _bands(new_sig)
+        .alias("a")
+        .join(
+            _bands(all_sig).alias("b"),
+            (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    nx = all_sig.select("doc_id", "n", "xs")
+    near_e = (
+        near_cand.join(
+            nx.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("nna"),
+                F.col("xs").alias("xa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            nx.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nnb"),
+                F.col("xs").alias("xb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("xa", "xb")).cast("long"))
+        .where(
+            F.expr("div(inter * 1000000, nna + nnb - inter)")
+            >= COMPONENT_MIN_JACCARD_E6
+        )
+        .select("doc_a", "doc_b")
+    )
+    # TYPO: shared-prefix-gram candidates + the tiny-string rescue, exact
+    # banded-levenshtein verified (same predicate as dedup_edit_distance).
+    typo_cand = (
+        new_qg.alias("a")
+        .join(all_qg.alias("b"), "x")
+        .where(
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= EDIT_TAU)
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+    )
+    new_tiny = new_docs.where(F.col("len") < EDIT_Q + EDIT_TAU)
+    all_tiny = all_docs.where(F.col("len") < EDIT_Q + EDIT_TAU)
+    rescue = (
+        new_tiny.alias("a")
+        .join(
+            all_tiny.alias("b"),
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= EDIT_TAU)
+            & (F.least(F.col("a.len"), F.col("b.len")) < EDIT_Q),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+    )
+    ta = all_docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = all_docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    typo_e = (
+        typo_cand.unionByName(rescue)
+        .distinct()
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(F.levenshtein("_ta", "_tb", EDIT_TAU) >= 0)
+        .select("doc_a", "doc_b")
+    )
+    return exact_e.unionByName(near_e).unionByName(typo_e).distinct()
+
+
+def er_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None:
+    """Bootstrap the ER index on an initial corpus: persist the doc
+    state, the NEAR/TYPO candidate structures, the per-doc entity labels
+    from a full closure, and an empty remap — as snapshot ``er_v0``."""
+    os.makedirs(index_path, exist_ok=True)
+    snap = "er_v0"
+    base = os.path.join(index_path, snap)
+    drows = _er_doc_rows(docs).localCheckpoint()
+    sig = minhash_signatures(spark, docs).localCheckpoint()
+    qg = _er_qgram_prefix(drows).localCheckpoint()
+    edges = _er_edges(spark, drows, drows, sig, sig, qg, qg)
+    labels = propagate_components(spark, edges, "doc_a", "doc_b")
+    ent = (
+        drows.select("doc_id")
+        .join(labels, F.col("doc_id") == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("entity"),
+        )
+    )
+    drows.write.mode("overwrite").parquet(f"{base}/docs")
+    sig.write.mode("overwrite").parquet(f"{base}/sig")
+    qg.write.mode("overwrite").parquet(f"{base}/qg")
+    ent.write.mode("overwrite").parquet(f"{base}/labels")
+    spark.createDataFrame([], _ER_EMPTY_REMAP).write.mode("overwrite").parquet(
+        f"{base}/remap"
+    )
+    snapshots.snap_commit(index_path, snap, "er_v")
+
+
+def er_index_update(
+    spark: SparkSession, new_docs: DataFrame, index_path: str
+) -> DataFrame:
+    """Incremental ER step: probe the persisted generator structures with
+    the NEW batch only, close over the AFFECTED subgraph (new docs +
+    touched entity labels — edges to old docs are contracted onto their
+    current labels first, so closure cost scales with the batch's blast
+    radius, not the corpus), record old→new entity merges in the
+    composed remap table, and commit everything as one atomic snapshot.
+
+    Label algebra: a stored entity label IS the min doc_id of its
+    component, so closing over the contracted graph (labels + new ids)
+    yields exactly the min doc_id of each merged component — the same
+    labels a batch closure over the unioned corpus produces, which is
+    what lets the serving view (:func:`er_resolve`) hash-match the batch
+    ``dedup_entity_resolution`` oracle on the union.
+
+    Idempotent (anti-join on doc_id); returns the batch's new match
+    edges (doc_a, doc_b) — empty on a retry."""
+    live = snapshots.snap_live(index_path)
+    base = os.path.join(index_path, live)
+    old_docs = spark.read.parquet(f"{base}/docs")
+    old_sig = spark.read.parquet(f"{base}/sig")
+    old_qg = spark.read.parquet(f"{base}/qg")
+    old_labels = spark.read.parquet(f"{base}/labels")
+    old_remap = spark.read.parquet(f"{base}/remap")
+
+    fresh = new_docs.join(old_docs.select("doc_id"), "doc_id", "left_anti")
+    drows = _er_doc_rows(fresh).localCheckpoint()
+    sig = minhash_signatures(spark, fresh).localCheckpoint()
+    qg = _er_qgram_prefix(drows).localCheckpoint()
+
+    all_docs = old_docs.unionByName(drows)
+    edges = _er_edges(
+        spark, drows, all_docs, sig, old_sig.unionByName(sig),
+        qg, old_qg.unionByName(qg),
+    ).localCheckpoint()
+
+    # Contract old endpoints onto their CURRENT entity labels.
+    lbl = old_labels.select(
+        F.col("doc_id").alias("_d"), F.col("entity").alias("_e")
+    )
+    contracted = (
+        edges.join(lbl.withColumnRenamed("_d", "doc_a"), "doc_a", "left")
+        .withColumn("ca", F.coalesce("_e", "doc_a"))
+        .drop("_e")
+        .join(lbl.withColumnRenamed("_d", "doc_b"), "doc_b", "left")
+        .withColumn("cb", F.coalesce("_e", "doc_b"))
+        .select("ca", "cb")
+        .where(F.col("ca") != F.col("cb"))
+    )
+    closure = propagate_components(spark, contracted, "ca", "cb")
+
+    # New docs: label from the affected closure, else themselves.
+    new_labels = (
+        drows.select("doc_id")
+        .join(closure, F.col("doc_id") == closure.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("entity"),
+        )
+        .localCheckpoint()
+    )
+    # Old entities whose label moved: remap entries for this batch.
+    batch_remap = (
+        closure.join(
+            old_labels.select(F.col("entity").alias("node")).distinct(),
+            "node",
+        )
+        .where(F.col("node") != F.col("component"))
+        .select(
+            F.col("node").alias("old_label"),
+            F.col("component").alias("new_label"),
+        )
+    )
+    # Compose with the stored remap so every historical label maps to a
+    # CURRENT one in a single hop at serve time.
+    br = batch_remap.select(
+        F.col("old_label").alias("_o"), F.col("new_label").alias("_n")
+    )
+    remap = (
+        old_remap.join(br.withColumnRenamed("_o", "new_label"), "new_label", "left")
+        .select(
+            "old_label",
+            F.coalesce("_n", F.col("new_label")).alias("new_label"),
+        )
+        .unionByName(batch_remap)
+        .localCheckpoint()
+    )
+
+    nxt = snapshots.snap_next(live, "er_v")
+    nbase = os.path.join(index_path, nxt)
+    drows.write.mode("overwrite").parquet(f"{nbase}/docs")
+    sig.write.mode("overwrite").parquet(f"{nbase}/sig")
+    qg.write.mode("overwrite").parquet(f"{nbase}/qg")
+    new_labels.write.mode("overwrite").parquet(f"{nbase}/labels")
+    remap.write.mode("overwrite").parquet(f"{nbase}/remap")
+    for sub in ("docs", "sig", "qg", "labels"):
+        snapshots.link_parquet_files(f"{base}/{sub}", f"{nbase}/{sub}")
+    snapshots.snap_commit(index_path, nxt, "er_v")
+    return edges
+
+
+def er_resolve(spark: SparkSession, index_path: str) -> DataFrame:
+    """Serving view over the ER index: (doc_id, entity, score, n_members,
+    canonical) for the whole indexed corpus — the same shape and
+    semantics as the batch :func:`dedup_entity_resolution`.  One join
+    through the composed remap resolves every stored label to its
+    current entity; the rank/size windows are output-proportional, the
+    only corpus-sized work serving inherently is."""
+    live = snapshots.snap_live(index_path)
+    base = os.path.join(index_path, live)
+    labels = spark.read.parquet(f"{base}/labels")
+    remap = spark.read.parquet(f"{base}/remap")
+    docs = spark.read.parquet(f"{base}/docs")
+    ent = (
+        labels.join(
+            remap.withColumnRenamed("old_label", "entity"), "entity", "left"
+        )
+        .select(
+            "doc_id", F.coalesce("new_label", F.col("entity")).alias("entity")
+        )
+    )
+    wrank = Window.partitionBy("entity").orderBy(F.desc("score"), F.asc("doc_id"))
+    wsize = Window.partitionBy("entity")
+    return ent.join(docs.select("doc_id", "score"), "doc_id").select(
+        "doc_id",
+        "entity",
+        "score",
+        F.count(F.lit(1)).over(wsize).alias("n_members"),
+        (F.row_number().over(wrank) == 1).alias("canonical"),
+    )
+
+
+def dedup_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for the incremental ER path: bootstrap the index on
+    the even-doc_id half of the corpus, ingest the odd half as an update
+    batch, serve the resolved view — which must equal the BATCH
+    ``dedup_entity_resolution`` over the full corpus bit-for-bit (the
+    oracle is that entry's SQL verbatim): the hash gate pins that
+    probe-only edge generation + affected-only closure + remap
+    composition lose nothing vs recomputing from scratch."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    tmp = tempfile.mkdtemp(prefix="er_index_entry_")
+    try:
+        er_index_init(spark, docs.where(F.col("doc_id") % 2 == 0), tmp)
+        er_index_update(spark, docs.where(F.col("doc_id") % 2 == 1), tmp)
+        return er_resolve(spark, tmp).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 RECALL_TAU_E6 = 100_000  # ground-truth near-dup threshold: jaccard ≥ 0.1
 
 
@@ -1708,6 +2078,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_keep_best": dedup_keep_best,
     "dedup_entity_resolution": dedup_entity_resolution,
+    "dedup_er_incremental": dedup_er_incremental,
 }
 
 ORACLE_SQL = {
@@ -1736,4 +2107,8 @@ ORACLE_SQL = {
     "dedup_components": _components_oracle_sql(),
     "dedup_keep_best": _keep_best_oracle_sql(),
     "dedup_entity_resolution": _entity_resolution_oracle_sql(),
+    # the BATCH composition oracle, verbatim: the incremental path
+    # must lose nothing vs recomputing from scratch (see
+    # dedup_er_incremental).
+    "dedup_er_incremental": _entity_resolution_oracle_sql(),
 }

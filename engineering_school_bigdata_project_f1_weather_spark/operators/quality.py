@@ -401,10 +401,23 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in JVM expressions over ONE scan — no shuffle, no UDF: at
     100 TB a quality classifier runs as a scan-bound map exactly like
     this, with the learned weights broadcast as literals."""
-    from ..functions import texts
     from ..sources.tables import load_table_spread
 
-    d = load_table_spread(spark, sf_dir, "documents").select(
+    return quality_score_of(
+        load_table_spread(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+    )
+
+
+def quality_score_of(docs: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`quality_score` over an arbitrary
+    (doc_id, lang, text) frame — factored (round 8) so the incremental
+    entity-resolution index scores each ingest batch with the exact
+    expressions the batch entry and its oracle pin."""
+    from ..functions import texts
+
+    d = docs.select(
         "doc_id", "lang", texts.tokens(F.col("text")).alias("toks"), "text"
     )
     n_toks = F.size("toks").cast("long")

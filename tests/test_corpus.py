@@ -994,3 +994,85 @@ def test_entity_resolution_composes_all_three_signals(spark, sf_dir):
         assert ent_of[p.doc_a] == ent_of[p.doc_b]
     for p in typo_pairs:
         assert ent_of[p.doc_a] == ent_of[p.doc_b]
+
+
+def test_er_index_update_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """er_index_update (round 8): a retried batch is a no-op — no edges
+    returned, identical resolved view, exactly one live snapshot."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    docs = dedup._docs(spark, sf_dir).select("doc_id", "lang", "text")
+    idx = str(tmp_path / "er_idx_retry")
+    dedup.er_index_init(spark, docs.where(F.col("doc_id") % 2 == 0), idx)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    assert dedup.er_index_update(spark, odd, idx).count() > 0
+    before = {tuple(r) for r in dedup.er_resolve(spark, idx).collect()}
+    assert dedup.er_index_update(spark, odd, idx).count() == 0
+    after = {tuple(r) for r in dedup.er_resolve(spark, idx).collect()}
+    assert before == after and len(before) == docs.count()
+    live = snapshots.snap_live(idx)
+    assert [d for d in os.listdir(idx) if d.startswith("er_v")] == [live]
+
+
+def test_er_index_affected_only_closure(spark, sf_dir, tmp_path):
+    """The update's closure runs on the CONTRACTED affected subgraph:
+    every remap entry retires an entity that one of the batch's edges
+    actually touched — untouched entities are never relabeled."""
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    docs = dedup._docs(spark, sf_dir).select("doc_id", "lang", "text")
+    idx = str(tmp_path / "er_idx_affected")
+    dedup.er_index_init(spark, docs.where(F.col("doc_id") % 2 == 0), idx)
+    old_labels = {
+        r.doc_id: r.entity
+        for r in dedup.er_resolve(spark, idx).select("doc_id", "entity").collect()
+    }
+    edges = dedup.er_index_update(
+        spark, docs.where(F.col("doc_id") % 2 == 1), idx
+    ).collect()
+    touched_entities = set()
+    for r in edges:
+        for d in (r.doc_a, r.doc_b):
+            if d in old_labels:
+                touched_entities.add(old_labels[d])
+    live = snapshots.snap_live(idx)
+    remap = spark.read.parquet(f"{idx}/{live}/remap").collect()
+    assert remap, "expected at least one old-entity merge at this SF"
+    assert {r.old_label for r in remap} <= touched_entities
+    # untouched old docs keep their labels verbatim
+    resolved = {
+        r.doc_id: r.entity
+        for r in dedup.er_resolve(spark, idx).select("doc_id", "entity").collect()
+    }
+    retired = {r.old_label for r in remap}
+    for d, ent in old_labels.items():
+        if ent not in retired:
+            assert resolved[d] == ent, (d, ent, resolved[d])
+
+
+def test_er_index_three_batches_equal_batch_capstone(spark, sf_dir, tmp_path):
+    """Remap COMPOSITION across multiple updates: init + two ingest
+    batches must serve exactly the batch dedup_entity_resolution over
+    the full corpus (the registry entry pins one update; this pins the
+    chained case where a label retired in batch 2 is retired again —
+    i.e. the composed remap stays single-hop)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    docs = dedup._docs(spark, sf_dir).select("doc_id", "lang", "text")
+    idx = str(tmp_path / "er_idx_3b")
+    dedup.er_index_init(spark, docs.where(F.col("doc_id") % 3 == 0), idx)
+    dedup.er_index_update(spark, docs.where(F.col("doc_id") % 3 == 1), idx)
+    dedup.er_index_update(spark, docs.where(F.col("doc_id") % 3 == 2), idx)
+    got = {tuple(r) for r in dedup.er_resolve(spark, idx).collect()}
+    want = {
+        tuple(r) for r in dedup.dedup_entity_resolution(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

@@ -1,4 +1,8 @@
-"""Generate the sf0.5 scale-probe tables under .scaledata/sf0.5/.
+"""Generate scale-probe tables under .scaledata/sf{SF}/ (default 0.5).
+
+Round 8 (VERDICT r7 item 8): parameterized by a CLI arg so the heavy
+tail gets a THIRD measured decade — `python tools/gen_scaledata.py 1.0`
+writes a 10x-of-sf0.1 dataset under the same scaling laws.
 
 The driver ships sf0.001/0.01/0.1; the scale-slope probe (SCALE.md) wants
 a SECOND decade for its three heaviest entries (graph_triangles,
@@ -51,8 +55,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(ROOT, ".scaledata", "sf0.5")
+SF = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+OUT = os.path.join(ROOT, ".scaledata", f"sf{SF:g}")
 SRC = "/root/testdata/sf0.1"
+MULT = SF / 0.1  # scale vs the driver's largest shipped dataset
 
 # The exact 31-word vocabulary of the driver's documents tables
 # (SELECT DISTINCT unnest(string_split(text,' ')) over sf0.1).
@@ -64,8 +70,8 @@ VOCAB = [
 ]
 LANGS = ["en", "de", "es", "fr", "zh"]
 LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
-N_DOCS = 25_000
-REPLICAS = 5
+N_DOCS = round(50_000 * SF)  # driver law: 5k at sf0.1
+REPLICAS = round(MULT)
 
 
 def gen_documents(rng: np.random.Generator) -> pa.Table:
@@ -150,12 +156,12 @@ def gen_tpch_side_tables(con: duckdb.DuckDBPyConnection) -> None:
         )
 
 
-N_EVENTS = 500_000
-N_USERS = 7_500
+N_EVENTS = round(1_000_000 * SF)  # driver law: 100k rows at sf0.1
+N_USERS = round(15_000 * SF)  # 1500 users at sf0.1, fixed 30-day span
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
 SPAN_LO_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
 SPAN_US = 30 * 24 * 3_600_000_000  # the driver's fixed 30-day span
-N_VECS = 5_263  # 2000 · 5^0.602 (the driver's ×4-per-decade law)
+N_VECS = round(2000 * MULT**0.602)  # the driver's ×4-per-decade law
 EMBED_DIM = 64
 
 
