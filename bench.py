@@ -199,9 +199,12 @@ BENCH_QUERIES = [
     # time-constrained funnel (two chained tolerance carries, one sort)
     "events_funnel_windowed",
     # round-8 additions: the remaining sketch-as-streaming-state twins —
-    # CMS counter-SUM state and the Misra-Gries GroupState fold
+    # CMS counter-SUM, Misra-Gries GroupState fold, Bloom bit-OR,
+    # histogram bin-SUM
     "stream_user_cms",
     "stream_heavy_hitters",
+    "stream_user_bloom",
+    "stream_value_hist",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

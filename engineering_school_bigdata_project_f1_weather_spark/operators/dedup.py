@@ -1190,6 +1190,7 @@ def propagate_components(
     a_col: str,
     b_col: str,
     max_iters: int = COMPONENT_MAX_ITERS,
+    jumps: int = 1,
 ) -> DataFrame:
     """Connected components over an undirected pair graph → (node,
     component) for every node that appears in a pair (isolated nodes are
@@ -1246,21 +1247,33 @@ def propagate_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            # pointer jump: follow the label one level (label[label])
-            jmp = stepped.select(
-                F.col("node").alias("jd"), F.col("label").alias("jl")
-            )
-            new_labels = (
-                stepped.join(jmp, stepped.label == jmp.jd, "left")
-                .select(
+            # pointer jump: follow the label one level (label[label]).
+            # ``jumps`` > 1 composes the jump within the round — each
+            # extra application roughly doubles the compressed path
+            # length, so long-chain graphs (the ER bootstrap's
+            # half-corpus subgraph measured diameter >> the default
+            # cap) converge in O(log d) rounds for a few extra
+            # label-frame self-joins, which are |nodes|-row steering
+            # work, not data volume.  The frame is CHECKPOINTED before
+            # composing: a self-join evaluates both sides, so an uncut
+            # plan re-runs the whole round 2^jumps times (the first cut
+            # of this loop measurably hung the bootstrap).
+            if jumps > 1:
+                stepped = stepped.localCheckpoint()
+            for _ in range(jumps):
+                jmp = stepped.select(
+                    F.col("node").alias("jd"), F.col("label").alias("jl")
+                )
+                stepped = stepped.join(
+                    jmp, stepped.label == jmp.jd, "left"
+                ).select(
                     stepped.node,
                     "old_label",
                     F.least(
                         F.col("label"), F.coalesce("jl", F.col("label"))
                     ).alias("label"),
                 )
-                .localCheckpoint()
-            )
+            new_labels = stepped.localCheckpoint()
             # in-frame convergence check — no extra join against the old
             # labels, one scan of the just-checkpointed frame. Checked on
             # every SECOND round (and the last): labels only decrease, so
@@ -1506,13 +1519,21 @@ FROM comp c JOIN q USING (doc_id)
 # q-grams by global document frequency before cutting the q·τ+1 prefix —
 # a frequency-optimized CANDIDATE heuristic whose ordering shifts as the
 # corpus grows, which would break the shared-prefix guarantee across
-# batches. The index instead orders by the gram hash itself (fixed
-# forever): the prefix-filter theorem (Chaudhuri et al., ICDE'06) needs
-# only a CONSISTENT global order — τ edits destroy ≤ q·τ grams, so two
-# within-τ docs share a gram among each one's q·τ+1 smallest — so the
-# candidate set stays a lossless superset under any ingest schedule,
-# and the exact banded-levenshtein verify makes the final edges
-# identical to the batch generator's.
+# batches. The index FREEZES the df order at bootstrap (the same move
+# as freezing the IVF coarse quantizer): a persisted (gram → df0) table
+# defines the total order (df0 ASC, gram ASC) forever, with
+# never-seen-at-init grams at df0 = 0 — first in the order, which is
+# also the optimal spot since unseen grams are the rarest.  The
+# prefix-filter theorem (Chaudhuri et al., ICDE'06) needs only a
+# CONSISTENT global order — τ edits destroy ≤ q·τ grams, so two
+# within-τ docs share a gram among each one's q·τ+1 smallest under ANY
+# shared order — so the candidate set stays a lossless superset under
+# any ingest schedule (the first, x-ordered cut of this index was
+# equally lossless but NOT frequency-pruned: at sf0.1 a common 8-gram
+# in a prefix joined thousands of docs and the bootstrap blew past 9
+# minutes; the frozen-df order restores the batch generator's pruning).
+# Distribution drift degrades pruning, not correctness — refreshing the
+# order means rebuilding the index, the IVF-retrain analogy.
 ER_PREFIX_LEN = EDIT_Q * EDIT_TAU + 1
 _ER_EMPTY_REMAP = "old_label long, new_label long"
 
@@ -1533,10 +1554,10 @@ def _er_doc_rows(docs: DataFrame) -> DataFrame:
     ).join(scored, "doc_id")
 
 
-def _er_qgram_prefix(d: DataFrame) -> DataFrame:
-    """x-ascending q-gram prefix rows (doc_id, x, len) over a
-    (doc_id, text, len) frame — the persisted TYPO candidate index."""
-    qg = (
+def _er_doc_grams(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, len, x) q-gram hashes of a (doc_id, text, len)
+    frame."""
+    return (
         d.where(F.col("len") >= EDIT_Q)
         .select(
             "doc_id",
@@ -1553,7 +1574,17 @@ def _er_qgram_prefix(d: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.partitionBy("doc_id").orderBy(F.asc("x"))
+
+
+def _er_qgram_prefix(d: DataFrame, dford: DataFrame) -> DataFrame:
+    """Frozen-df-ordered q-gram prefix rows (doc_id, x, len) over a
+    (doc_id, text, len) frame — the persisted TYPO candidate index
+    (module note above: order = (df0 ASC, x ASC), df0 from the
+    bootstrap-frozen ``dford`` table, unseen grams at 0)."""
+    qg = _er_doc_grams(d).join(dford, "x", "left").select(
+        "doc_id", "len", "x", F.coalesce("df0", F.lit(0)).alias("df0")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df0"), F.asc("x"))
     return (
         qg.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= ER_PREFIX_LEN)
@@ -1675,6 +1706,73 @@ def _er_edges(
     return exact_e.unionByName(near_e).unionByName(typo_e).distinct()
 
 
+# Closure round budget for the ER index paths: a HALF-corpus bootstrap
+# graph (or a contracted update graph) can have LARGER diameter than the
+# full batch graph — dropping half the nodes removes shortcut paths, and
+# the sf0.1 even-half graph measurably exceeds the default 20-round cap
+# that the full-corpus batch entry converges under. Hash-Min rounds are
+# scheduler latency, not data volume, so a generous cap is cheap.
+ER_CLOSURE_MAX_ITERS = COMPONENT_MAX_ITERS * 4
+# Compose 4 pointer jumps per round for the ER closures: the
+# half-corpus bootstrap graph is chain-heavy (measured >20-round
+# diameter at sf0.1 where the full batch graph converges), and
+# composed jumps buy exponential path compression per round at the
+# cost of |nodes|-row self-joins.
+ER_CLOSURE_JUMPS = 4
+
+
+# Physical-strategy dispatch for the ER closures (the ARROW_ASSIGN_MIN_K
+# move): a match graph is ORDERS smaller than its corpus, and both ER
+# closure inputs are candidate-bounded (bootstrap: verified pairs only;
+# update: the contracted affected subgraph) — below this edge count the
+# closure is steering-sized and a driver-side union-find with path
+# compression answers in milliseconds what the iterative engine pays
+# rounds × scheduler-latency for (measured: the sf0.1 even-half
+# bootstrap graph is 1.4k edges but chain-heavy — 30+ Hash-Min rounds,
+# ~1-2 s each).  Above the threshold the distributed engine takes over
+# with a deep round budget; correctness is identical (component = min
+# reachable endpoint, endpoints only).
+ER_DRIVER_CLOSURE_MAX_EDGES = 2_000_000
+
+
+def _er_closure(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """(node, component) over the (doc_a, doc_b) edge frame — size-
+    dispatched: driver union-find below ER_DRIVER_CLOSURE_MAX_EDGES,
+    the distributed Hash-Min engine above."""
+    edges = edges.localCheckpoint()  # count + (collect | engine) read it
+    n_edges = edges.count()
+    if n_edges > ER_DRIVER_CLOSURE_MAX_EDGES:
+        return propagate_components(
+            spark, edges, "doc_a", "doc_b",
+            max_iters=ER_CLOSURE_MAX_ITERS, jumps=ER_CLOSURE_JUMPS,
+        )
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    rows = [(int(x), int(comp_min[find(x)])) for x in parent]
+    return spark.createDataFrame(rows, "node long, component long")
+
+
 def er_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None:
     """Bootstrap the ER index on an initial corpus: persist the doc
     state, the NEAR/TYPO candidate structures, the per-doc entity labels
@@ -1684,9 +1782,16 @@ def er_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None
     base = os.path.join(index_path, snap)
     drows = _er_doc_rows(docs).localCheckpoint()
     sig = minhash_signatures(spark, docs).localCheckpoint()
-    qg = _er_qgram_prefix(drows).localCheckpoint()
+    # Freeze the q-gram df order on the bootstrap corpus (module note).
+    dford = (
+        _er_doc_grams(drows)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("df0"))
+        .localCheckpoint()
+    )
+    qg = _er_qgram_prefix(drows, dford).localCheckpoint()
     edges = _er_edges(spark, drows, drows, sig, sig, qg, qg)
-    labels = propagate_components(spark, edges, "doc_a", "doc_b")
+    labels = _er_closure(spark, edges)
     ent = (
         drows.select("doc_id")
         .join(labels, F.col("doc_id") == labels.node, "left")
@@ -1698,6 +1803,7 @@ def er_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None
     drows.write.mode("overwrite").parquet(f"{base}/docs")
     sig.write.mode("overwrite").parquet(f"{base}/sig")
     qg.write.mode("overwrite").parquet(f"{base}/qg")
+    dford.write.mode("overwrite").parquet(f"{base}/dford")
     ent.write.mode("overwrite").parquet(f"{base}/labels")
     spark.createDataFrame([], _ER_EMPTY_REMAP).write.mode("overwrite").parquet(
         f"{base}/remap"
@@ -1732,10 +1838,11 @@ def er_index_update(
     old_labels = spark.read.parquet(f"{base}/labels")
     old_remap = spark.read.parquet(f"{base}/remap")
 
+    dford = spark.read.parquet(f"{base}/dford")
     fresh = new_docs.join(old_docs.select("doc_id"), "doc_id", "left_anti")
     drows = _er_doc_rows(fresh).localCheckpoint()
     sig = minhash_signatures(spark, fresh).localCheckpoint()
-    qg = _er_qgram_prefix(drows).localCheckpoint()
+    qg = _er_qgram_prefix(drows, dford).localCheckpoint()
 
     all_docs = old_docs.unionByName(drows)
     edges = _er_edges(
@@ -1756,7 +1863,12 @@ def er_index_update(
         .select("ca", "cb")
         .where(F.col("ca") != F.col("cb"))
     )
-    closure = propagate_components(spark, contracted, "ca", "cb")
+    closure = _er_closure(
+        spark,
+        contracted.select(
+            F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b")
+        ),
+    )
 
     # New docs: label from the affected closure, else themselves.
     new_labels = (
@@ -1802,7 +1914,7 @@ def er_index_update(
     qg.write.mode("overwrite").parquet(f"{nbase}/qg")
     new_labels.write.mode("overwrite").parquet(f"{nbase}/labels")
     remap.write.mode("overwrite").parquet(f"{nbase}/remap")
-    for sub in ("docs", "sig", "qg", "labels"):
+    for sub in ("docs", "sig", "qg", "labels", "dford"):
         snapshots.link_parquet_files(f"{base}/{sub}", f"{nbase}/{sub}")
     snapshots.snap_commit(index_path, nxt, "er_v")
     return edges

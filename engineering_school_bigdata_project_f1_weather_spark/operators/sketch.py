@@ -718,13 +718,24 @@ def events_user_bloom_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(day_us.alias("day_us"), "user_id")
         .distinct()
     )
-    month_of = lambda c: F.col(c) - F.col(c) % F.lit(MONTH_DAYS_US)  # noqa: E731
     # per-day bit sets (what the lake persists), then the OR-merge
     day_bits = (
         _bloom_positions(day_user, "user_id")
         .select("day_us", "pos")
         .distinct()
     )
+    return _bloom_monthly_serve(spark, day_bits, day_user)
+
+
+def _bloom_monthly_serve(
+    spark: SparkSession, day_bits: DataFrame, day_user: DataFrame
+) -> DataFrame:
+    """Month-merge + membership/probe census over a per-day bit-set
+    frame — factored (round 8) so the streaming twin serves the SAME
+    code over its drained state."""
+    from .events import MONTH_DAYS_US
+
+    month_of = lambda c: F.col(c) - F.col(c) % F.lit(MONTH_DAYS_US)  # noqa: E731
     month_bits = (
         day_bits.withColumn("month_us", month_of("day_us"))
         .select("month_us", "pos")
@@ -1363,7 +1374,14 @@ def events_value_hist_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .events import MONTH_DAYS_US
 
-    daily = _daily_hist_of(load_events(spark, sf_dir))
+    return _hist_monthly_serve(_daily_hist_of(load_events(spark, sf_dir)))
+
+
+def _hist_monthly_serve(daily: DataFrame) -> DataFrame:
+    """SUM-merge day histograms to month grain + exact-integer
+    percentile extraction — factored (round 8) for the streaming twin."""
+    from .events import MONTH_DAYS_US
+
     monthly = (
         daily.withColumn(
             "month_us",

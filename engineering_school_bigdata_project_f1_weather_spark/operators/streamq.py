@@ -709,6 +709,63 @@ def _load_events_batch(spark: SparkSession, sf_dir: str):
     return load_events(spark, sf_dir)
 
 
+def stream_user_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming membership summary where the BLOOM BIT SET IS THE
+    STREAMING STATE (round 8): distinct (day, bit-position) rows as the
+    streaming aggregation — the presence of a row IS the set bit, so
+    each micro-batch folds in by set union (bitwise OR in bitmap form),
+    idempotent under re-delivery because a∪a=a; no watermark needed.
+    State is ≤ m·d rows per day REGARDLESS of user cardinality.  The
+    month merge + membership/probe census serve from the drained bits
+    through the SAME factored code as the batch entry, and the oracle
+    is the batch month-grain Bloom SQL verbatim."""
+    ev = events_stream.stream_events(spark, sf_dir)
+    day_bits = _drain(bloom_bits_pipeline(ev), "stream_user_bloom", spark)
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    day_user = (
+        _load_events_batch(spark, sf_dir)
+        .select(day_us.alias("day_us"), "user_id")
+        .distinct()
+    )
+    return _sketch._bloom_monthly_serve(spark, day_bits, day_user)
+
+
+def bloom_bits_pipeline(events: DataFrame) -> DataFrame:
+    """(day_us, pos) distinct streaming bit rows — the same exact-integer
+    position function as the batch ``sketch._bloom_positions`` (factored
+    for the replay pytest).  Expressed as a groupBy so the state store
+    holds one row per set bit; the count column is dropped at serve."""
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    keyed = events.select(day_us.alias("day_us"), "user_id")
+    return (
+        _sketch._bloom_positions(keyed, "user_id")
+        .groupBy("day_us", "pos")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("day_us", "pos")
+    )
+
+
+def stream_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentiles where the EQUI-WIDTH HISTOGRAM IS THE
+    STREAMING STATE (round 8): per-(day, bin) COUNT as the streaming
+    aggregation — bin counts are linear in the input, so micro-batch
+    partials SUM-merge into the store (the same merge law the batch
+    month entry proves across grains); state ≤ B rows per day.  The
+    month merge + exact-integer percentile extraction serve from the
+    drained frame through the SAME factored code as the batch entry;
+    oracle = the batch month-grain histogram SQL verbatim."""
+    ev = events_stream.stream_events(spark, sf_dir)
+    daily = _drain(hist_pipeline(ev), "stream_value_hist", spark)
+    return _sketch._hist_monthly_serve(daily)
+
+
+def hist_pipeline(events: DataFrame) -> DataFrame:
+    """(day_us, bin, cnt) streaming histogram aggregation — the same
+    exact-integer binning as the batch ``sketch._daily_hist_of``
+    (factored for the replay pytest)."""
+    return _sketch._daily_hist_of(events)
+
+
 # --------------------------- streaming Misra-Gries state (round 8)
 # Key space is partitioned into MG_STREAM_GROUPS by user-id hash; each
 # group holds ONE Misra-Gries summary of capacity MG_CAPACITY in
@@ -840,6 +897,8 @@ QUERIES = {
     "stream_dau_hll": stream_dau_hll,
     "stream_user_cms": stream_user_cms,
     "stream_heavy_hitters": stream_heavy_hitters,
+    "stream_user_bloom": stream_user_bloom,
+    "stream_value_hist": stream_value_hist,
 }
 
 # stream_transitions "shares its oracle" with the batch twin — make
@@ -868,4 +927,6 @@ ORACLE_SQL = {
     # despite MG's batch-boundary sensitivity).
     "stream_user_cms": _sketch._CMS_ORACLE,
     "stream_heavy_hitters": _sketch._HH_ORACLE,
+    "stream_user_bloom": _sketch._BLOOM_MONTHLY_ORACLE,
+    "stream_value_hist": _sketch._HIST_MONTHLY_ORACLE,
 }

@@ -1325,3 +1325,85 @@ def test_stream_mg_state_folds_across_microbatches(spark, sf_dir, tmp_path):
     # and the truncating union really dropped tail users somewhere
     assert heavy and heavy <= final_cand
     assert len(final_cand) < len(counts), "no truncation: capacity too big"
+
+
+def test_stream_bloom_bits_merge_across_microbatches(spark, sf_dir, tmp_path):
+    """stream_user_bloom (round 8): replaying the events as two
+    event-time micro-batches must leave the state store holding EXACTLY
+    the whole-corpus per-day bit sets — set union (bitwise OR) as
+    streaming state, idempotent because a∪a=a."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+        sketch,
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+        events_stream,
+    )
+
+    half_dir = _two_time_halves(spark, sf_dir, tmp_path, "bloom_halves")
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+    )
+    out_dir = str(tmp_path / "bloom_out")
+    got = {
+        (r.day_us, r.pos)
+        for r in events_stream.run_available_now_to_parquet(
+            streamq.bloom_bits_pipeline(stream), out_dir, spark
+        ).collect()
+    }
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    day_user = (
+        ev.load_events(spark, sf_dir)
+        .select(day_us.alias("day_us"), "user_id")
+        .distinct()
+    )
+    want = {
+        (r.day_us, r.pos)
+        for r in sketch._bloom_positions(day_user, "user_id")
+        .select("day_us", "pos")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_hist_counts_merge_across_microbatches(spark, sf_dir, tmp_path):
+    """stream_value_hist (round 8): two-micro-batch replay must leave
+    the state store holding exactly the whole-corpus per-day bin counts
+    (the histogram SUM-merge law as streaming state)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+        sketch,
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+        events_stream,
+    )
+
+    half_dir = _two_time_halves(spark, sf_dir, tmp_path, "hist_halves")
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+    )
+    out_dir = str(tmp_path / "hist_out")
+    got = {
+        (r.day_us, r.bin): r.cnt
+        for r in events_stream.run_available_now_to_parquet(
+            streamq.hist_pipeline(stream), out_dir, spark
+        ).collect()
+    }
+    want = {
+        (r.day_us, r.bin): r.cnt
+        for r in sketch._daily_hist_of(ev.load_events(spark, sf_dir)).collect()
+    }
+    assert got == want and len(got) > 0
