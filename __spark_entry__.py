@@ -76,6 +76,7 @@ _MODULES = [
 _WINDOW_R8 = [
     # round-8 additions (never driver-witnessed)
     "dedup_er_incremental", "stream_user_cms", "stream_heavy_hitters",
+    "stream_user_bloom", "stream_value_hist",
     # r4-vintage: the displaced fill + the dedup tail (complete)
     "tpch_revenue_rollup", "top_orders_per_customer",
     "join_anti_customers", "join_semi_customers", "join_outer_audit",
@@ -93,8 +94,7 @@ _WINDOW_R8 = [
     "events_scd2_lookup", "multimodal_dedup", "multimodal_fingerprint",
     "multimodal_segments", "corpus_card", "sample_balanced",
     "sample_quality_weighted", "text_sparse_sim", "documents_zipf",
-    "text_keywords", "stream_transitions", "stream_view_purchase_join",
-    "stream_dau",
+    "text_keywords", "stream_transitions",
 ]
 _WINDOW = _WINDOW_R8
 
