@@ -76,7 +76,8 @@ _MODULES = [
 _WINDOW_R8 = [
     # round-8 additions (never driver-witnessed)
     "dedup_er_incremental", "stream_user_cms", "stream_heavy_hitters",
-    "stream_user_bloom", "stream_value_hist",
+    "stream_user_bloom", "stream_value_hist", "stream_kmv",
+    "stream_value_quantiles",
     # r4-vintage: the displaced fill + the dedup tail (complete)
     "tpch_revenue_rollup", "top_orders_per_customer",
     "join_anti_customers", "join_semi_customers", "join_outer_audit",
@@ -94,7 +95,7 @@ _WINDOW_R8 = [
     "events_scd2_lookup", "multimodal_dedup", "multimodal_fingerprint",
     "multimodal_segments", "corpus_card", "sample_balanced",
     "sample_quality_weighted", "text_sparse_sim", "documents_zipf",
-    "text_keywords", "stream_transitions",
+    "text_keywords",
 ]
 _WINDOW = _WINDOW_R8
 

@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "stream_heavy_hitters",
     "stream_user_bloom",
     "stream_value_hist",
+    "stream_kmv",
+    "stream_value_quantiles",
     # (the scale-safe Z-order writer runs via EXTRA_BENCH["zorder_write"])
 ]
 

@@ -1697,9 +1697,17 @@ def events_kmv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides along so the estimator error is visible (σ ≈ 1/√(k−2) ≈ 6.3%
     at k = 256); months with fewer than k distinct hashes are exact by
     construction."""
+    e = load_events(spark, sf_dir)
+    return _kmv_monthly_serve(spark, _daily_kmv_of(e), e)
+
+
+def _kmv_monthly_serve(
+    spark: SparkSession, daily: DataFrame, events_df: DataFrame
+) -> DataFrame:
+    """Month min-k merge + estimator + exact companion over a per-day
+    bottom-k frame — factored (round 8) for the streaming twin."""
     from .events import MONTH_DAYS_US
 
-    daily = _daily_kmv_of(load_events(spark, sf_dir))  # the stored sketch
     month_sets = daily.select(
         (F.col("day_us") - F.col("day_us") % MONTH_DAYS_US).alias(
             "month_us"
@@ -1711,7 +1719,7 @@ def events_kmv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kmv"), F.max("h").alias("kth_h")
     )
     exact = (
-        load_events(spark, sf_dir)
+        events_df
         .select(
             (
                 F.unix_micros("ts") - F.unix_micros("ts") % MONTH_DAYS_US
@@ -2056,13 +2064,21 @@ def _qsample_monthly_of(e: DataFrame) -> DataFrame:
     driven by the sub-k exact-regime pytest."""
     from .events import MONTH_DAYS_US, _cents
 
+    return _qsample_monthly_serve(_daily_qsample_of(e), e)
+
+
+def _qsample_monthly_serve(daily: DataFrame, e: DataFrame) -> DataFrame:
+    """Month min-k merge + rank-quantile serving + exact companions over
+    a per-day (h, cents) sample frame — factored (round 8) for the
+    streaming twin."""
+    from .events import MONTH_DAYS_US, _cents
+
     day_us = F.col("ts_us") - F.col("ts_us") % (24 * 3600 * 1_000_000)
     rows = e.select(
         day_us.alias("day_us"),
         _row_hash60().alias("h"),
         _cents("value").alias("cents"),
     )
-    daily = _daily_qsample_of(e)
     month_of = lambda c: F.col(c) - F.col(c) % F.lit(MONTH_DAYS_US)  # noqa: E731
     merged = _bottom_k(
         daily.select(month_of("day_us").alias("month_us"), "h", "cents"),

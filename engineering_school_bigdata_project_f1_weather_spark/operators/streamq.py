@@ -766,6 +766,155 @@ def hist_pipeline(events: DataFrame) -> DataFrame:
     return _sketch._daily_hist_of(events)
 
 
+def bottomk_state_stream(
+    rows: DataFrame, k: int, with_cents: bool
+) -> DataFrame:
+    """Per-day bottom-k GroupState fold (round 8): the order-statistic
+    streaming state shared by the KMV and quantile-sample twins.  Input
+    is a stream of (day_us, h[, cents]) rows; each micro-batch min-k-
+    merges into the day's ≤ k-row state (a semilattice — min-k(S∪S) =
+    min-k(S) — so re-delivery is absorbed and NO watermark is needed),
+    and the group emits a VERSIONED snapshot of its surviving rows
+    (append-mode file sinks can't retract; the max-ver snapshot per day
+    is the final sketch — the same convention as mg_state_stream).
+    State is ≤ k rows per day FOREVER regardless of volume."""
+    import pyspark.sql.types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_fields = [
+        T.StructField("day_us", T.LongType()),
+        T.StructField("ver", T.LongType()),
+        T.StructField("h", T.LongType()),
+    ]
+    state_fields = [
+        T.StructField("ver", T.LongType()),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+    ]
+    if with_cents:
+        out_fields.append(T.StructField("cents", T.LongType()))
+        state_fields.append(T.StructField("cs", T.ArrayType(T.LongType())))
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (day_us,) = key
+        if state.exists:
+            st = state.get
+            ver = st[0]
+            pool = (
+                dict(zip(st[1], st[2])) if with_cents else dict.fromkeys(st[1])
+            )
+        else:
+            ver, pool = 0, {}
+        for pdf in pdfs:
+            if with_cents:
+                for h, c in zip(pdf["h"], pdf["cents"]):
+                    pool[int(h)] = int(c)
+            else:
+                for h in pdf["h"]:
+                    pool[int(h)] = None
+        keep = sorted(pool)[:k]
+        ver += 1
+        if with_cents:
+            state.update((ver, keep, [pool[h] for h in keep]))
+            yield pd.DataFrame(
+                {
+                    "day_us": day_us,
+                    "ver": ver,
+                    "h": pd.Series(keep, dtype="int64"),
+                    "cents": pd.Series(
+                        [pool[h] for h in keep], dtype="int64"
+                    ),
+                }
+            )
+        else:
+            state.update((ver, keep))
+            yield pd.DataFrame(
+                {
+                    "day_us": day_us,
+                    "ver": ver,
+                    "h": pd.Series(keep, dtype="int64"),
+                }
+            )
+
+    return rows.groupBy("day_us").applyInPandasWithState(
+        update,
+        outputStructType=T.StructType(out_fields),
+        stateStructType=T.StructType(state_fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _latest_snapshot(drained: DataFrame, cols: list) -> DataFrame:
+    """Max-ver rows per day from a versioned append drain."""
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("day_us")
+    return (
+        drained.withColumn("mv", F.max("ver").over(wv))
+        .where(F.col("ver") == F.col("mv"))
+        .select("day_us", *cols)
+        .distinct()
+    )
+
+
+def stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count where the KMV BOTTOM-K SKETCH IS THE
+    STREAMING STATE (round 8): per-day k-smallest user-day hashes in
+    GroupState, min-k-merged per micro-batch — the order-statistic
+    member completing the sketch-as-streaming-state family (HLL
+    register-MAX r7; CMS counter-SUM, MG truncating-union, Bloom
+    bit-OR, histogram bin-SUM r8).  The drained daily sketches serve
+    the month grain through the SAME factored code as the batch entry;
+    oracle = the batch month-grain KMV SQL verbatim (min-k is a
+    semilattice, so the final state equals the batch daily sketch under
+    ANY batching — bit-deterministic, unlike MG's candidates)."""
+    ev = events_stream.stream_events(spark, sf_dir)
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    rows = ev.select(
+        day_us.alias("day_us"), _sketch._user_day_hash().alias("h")
+    )
+    drained = _drain_append(
+        bottomk_state_stream(rows, _sketch.KMV_K, with_cents=False),
+        "stream_kmv",
+        spark,
+    )
+    daily = _latest_snapshot(drained, ["h"])
+    return _sketch._kmv_monthly_serve(
+        spark, daily, _load_events_batch(spark, sf_dir)
+    )
+
+
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantiles where the BOTTOM-K ROW SAMPLE IS THE
+    STREAMING STATE (round 8): per-day k-smallest (60-bit hash, cents)
+    rows in GroupState — the payload-carrying min-k that turns the
+    membership sketch into a quantile sketch, min-k-merged per
+    micro-batch (semilattice, re-delivery absorbed, no watermark).
+    Month merge + exact-integer rank quantiles serve through the SAME
+    factored code as the batch entry; oracle = the batch month-grain
+    quantile-sample SQL verbatim."""
+    from .events import _cents
+
+    ev = events_stream.stream_events(spark, sf_dir)
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    rows = ev.select(
+        day_us.alias("day_us"),
+        _sketch._row_hash60().alias("h"),
+        _cents("value").alias("cents"),
+    )
+    drained = _drain_append(
+        bottomk_state_stream(rows, _sketch.QSAMPLE_K, with_cents=True),
+        "stream_value_quantiles",
+        spark,
+    )
+    daily = _latest_snapshot(drained, ["h", "cents"])
+    return _sketch._qsample_monthly_serve(
+        daily, _load_events_batch(spark, sf_dir)
+    )
+
+
 # --------------------------- streaming Misra-Gries state (round 8)
 # Key space is partitioned into MG_STREAM_GROUPS by user-id hash; each
 # group holds ONE Misra-Gries summary of capacity MG_CAPACITY in
@@ -899,6 +1048,8 @@ QUERIES = {
     "stream_heavy_hitters": stream_heavy_hitters,
     "stream_user_bloom": stream_user_bloom,
     "stream_value_hist": stream_value_hist,
+    "stream_kmv": stream_kmv,
+    "stream_value_quantiles": stream_value_quantiles,
 }
 
 # stream_transitions "shares its oracle" with the batch twin — make
@@ -929,4 +1080,6 @@ ORACLE_SQL = {
     "stream_heavy_hitters": _sketch._HH_ORACLE,
     "stream_user_bloom": _sketch._BLOOM_MONTHLY_ORACLE,
     "stream_value_hist": _sketch._HIST_MONTHLY_ORACLE,
+    "stream_kmv": _sketch._KMV_MONTHLY_ORACLE,
+    "stream_value_quantiles": _sketch._qsample_monthly_oracle_sql(),
 }

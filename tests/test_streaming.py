@@ -1407,3 +1407,56 @@ def test_stream_hist_counts_merge_across_microbatches(spark, sf_dir, tmp_path):
         for r in sketch._daily_hist_of(ev.load_events(spark, sf_dir)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_bottomk_state_folds_across_microbatches(spark, sf_dir, tmp_path):
+    """stream_kmv / stream_value_quantiles (round 8): the per-day
+    bottom-k GroupState fold is a SEMILATTICE — replaying the events as
+    two event-time micro-batches must leave every day's final snapshot
+    BIT-EQUAL to the batch daily sketch (unlike MG, where only the
+    superset survives batching).  Also pins version monotonicity and
+    the ≤ k state bound on every intermediate snapshot."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        events as ev,
+        sketch,
+        streamq,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.schemas import (
+        TESTDATA_SCHEMAS,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.streaming import (
+        events_stream,
+    )
+
+    half_dir = _two_time_halves(spark, sf_dir, tmp_path, "kmv_halves")
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(half_dir)
+    )
+    day_us = F.unix_micros("ts") - F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    rows = stream.select(
+        day_us.alias("day_us"), sketch._user_day_hash().alias("h")
+    )
+    out_dir = str(tmp_path / "kmv_out")
+    drained = events_stream.run_available_now_append_to_parquet(
+        streamq.bottomk_state_stream(rows, sketch.KMV_K, with_cents=False),
+        out_dir,
+        spark,
+    ).collect()
+    by_day: dict = {}
+    for r in drained:
+        by_day.setdefault(r.day_us, {}).setdefault(r.ver, set()).add(r.h)
+    assert any(max(vers) == 2 for vers in by_day.values())
+    for vers in by_day.values():
+        assert set(vers) == set(range(1, max(vers) + 1))
+        for hs in vers.values():
+            assert len(hs) <= sketch.KMV_K
+    got = {
+        (d, h) for d, vers in by_day.items() for h in vers[max(vers)]
+    }
+    want = {
+        (r.day_us, r.h)
+        for r in sketch._daily_kmv_of(ev.load_events(spark, sf_dir)).collect()
+    }
+    assert got == want and len(got) > 0

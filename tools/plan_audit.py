@@ -39,6 +39,10 @@ ALLOWED = {
     # MMR's default retrieve is the same brute-force baseline shape as
     # sim_topk (broadcast queries x corpus); deployments inject an ANN
     # shortlist through the pool seam (equivalence pytest-pinned).
+    # Round 8: the default retrieve is now the multi-assignment IVF
+    # shortlist — the remaining nested-loop is the K=16 broadcast-
+    # centroid fan-out (queries x tiny centroid table), the same
+    # by-design shape as sim_ivf.
     "sim_mmr": {"nested_loop_inner"},
     "sim_ivf": {"nested_loop_inner"},  # broadcast-centroid assignment, K=16
     "sim_ivf_trained": {"nested_loop_inner"},  # same fan-out, trained cents
