@@ -48,7 +48,20 @@ def snap_commit(path: str, snap: str, prefix: str) -> None:
     tmp = os.path.join(path, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(snap)
+        f.flush()
+        os.fsync(f.fileno())  # temp durable before the rename is visible
     os.replace(tmp, os.path.join(path, "CURRENT"))
+    # Persist the rename itself: fsync the parent directory so a power
+    # loss after commit can't roll CURRENT back to the prior (possibly
+    # GC'd) snapshot.  Best-effort on filesystems that reject dir fsync.
+    try:
+        dfd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
     for d in os.listdir(path):
         if d.startswith(prefix) and d != snap:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)

@@ -1732,7 +1732,11 @@ ER_CLOSURE_JUMPS = 4
 # ~1-2 s each).  Above the threshold the distributed engine takes over
 # with a deep round budget; correctness is identical (component = min
 # reachable endpoint, endpoints only).
-ER_DRIVER_CLOSURE_MAX_EDGES = 2_000_000
+# Sized so the driver path's peak heap (a dict of int parents over
+# ≤2·max endpoints, streamed in as plain int tuples via toLocalIterator
+# — never a collect()ed list of Row objects) stays in the tens of MB
+# (ADVICE r8); the distributed engine is correct at any size above.
+ER_DRIVER_CLOSURE_MAX_EDGES = 200_000
 
 
 def _er_closure(spark: SparkSession, edges: DataFrame) -> DataFrame:
@@ -1756,8 +1760,8 @@ def _er_closure(spark: SparkSession, edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.collect():
-        a, b = row[0], row[1]
+    for row in edges.toLocalIterator():
+        a, b = int(row[0]), int(row[1])
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -1850,8 +1854,28 @@ def er_index_update(
         qg, old_qg.unionByName(qg),
     ).localCheckpoint()
 
-    # Contract old endpoints onto their CURRENT entity labels.
-    lbl = old_labels.select(
+    # Contract old endpoints onto their CURRENT entity labels.  The
+    # per-snapshot ``labels`` parquet stores each doc's label AS OF the
+    # batch that wrote it; a later update may have retired that label
+    # (recorded in the composed remap).  Contracting onto the STORED
+    # label would attach the new edge to a retired node, and the single
+    # remap hop at serve time can't follow the resulting chain (e.g.
+    # stored 7 contracts onto retired 5 while 5→3 already exists → doc 7
+    # serves entity 5, batch oracle says 3).  So resolve stored → current
+    # through the composed remap FIRST, then contract onto current
+    # labels only (ADVICE r8 high).
+    cur_labels = (
+        old_labels.join(
+            old_remap.withColumnRenamed("old_label", "entity"),
+            "entity",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("new_label", F.col("entity")).alias("entity"),
+        )
+    )
+    lbl = cur_labels.select(
         F.col("doc_id").alias("_d"), F.col("entity").alias("_e")
     )
     contracted = (
@@ -1880,10 +1904,13 @@ def er_index_update(
         )
         .localCheckpoint()
     )
-    # Old entities whose label moved: remap entries for this batch.
+    # CURRENT entities whose label moved: remap entries for this batch.
+    # Keyed on current (never retired) labels, so batch_remap.old_label
+    # is disjoint from old_remap.old_label — composition below can't emit
+    # duplicate old_label rows.
     batch_remap = (
         closure.join(
-            old_labels.select(F.col("entity").alias("node")).distinct(),
+            cur_labels.select(F.col("entity").alias("node")).distinct(),
             "node",
         )
         .where(F.col("node") != F.col("component"))

@@ -1076,3 +1076,47 @@ def test_er_index_three_batches_equal_batch_capstone(spark, sf_dir, tmp_path):
         tuple(r) for r in dedup.dedup_entity_resolution(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_er_index_chain_remap_retired_label(spark, tmp_path):
+    """ADVICE r8 (high): a label RETIRED in batch N, still stored by a
+    doc touched in batch N+1, must contract onto its CURRENT label — not
+    the retired one.  Synthetic chain: init {3,5,7} all distinct
+    entities; batch 1 bridges 3–5 (remap 5→3); batch 2 bridges 5–7.
+    Before the fix, doc 7 contracted onto retired label 5 and served
+    entity 5; the batch closure over the full graph says 3.
+
+    Texts are single 7-char tokens: too short for word 3-shingles (no
+    NEAR edges) and shorter than EDIT_Q (the TYPO tiny-string rescue
+    path carries the bridges at levenshtein ≤ EDIT_TAU)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, "en", t) for i, t in rows], "doc_id long, lang string, text string"
+        )
+
+    # pairwise distance 7 (> EDIT_TAU=4): three distinct init entities
+    init = frame([(3, "aaaaaaa"), (5, "bbbbbbb"), (7, "ccccccc")])
+    bridge_35 = frame([(4, "aaabbbb")])  # dist 4 to T3, 3 to T5
+    bridge_57 = frame([(6, "bbbcccc")])  # dist 4 to T5, 3 to T7
+    idx = str(tmp_path / "er_idx_chain")
+    dedup.er_index_init(spark, init, idx)
+    assert dedup.er_index_update(spark, bridge_35, idx).count() == 2
+    mid = {r.doc_id: r.entity for r in dedup.er_resolve(spark, idx).collect()}
+    assert mid == {3: 3, 4: 3, 5: 3, 7: 7}
+    assert dedup.er_index_update(spark, bridge_57, idx).count() == 2
+    out = dedup.er_resolve(spark, idx).collect()
+    assert len(out) == 5  # no remap fan-out duplicates
+    assert {r.doc_id: r.entity for r in out} == {i: 3 for i in (3, 4, 5, 6, 7)}
+    assert all(r.n_members == 5 for r in out)
+    # the composed remap is single-hop: no new_label is itself retired
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+
+    live = snapshots.snap_live(idx)
+    remap = spark.read.parquet(f"{idx}/{live}/remap").collect()
+    olds = [r.old_label for r in remap]
+    assert len(olds) == len(set(olds))
+    assert not (set(olds) & {r.new_label for r in remap})
