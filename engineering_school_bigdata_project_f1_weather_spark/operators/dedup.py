@@ -1998,6 +1998,126 @@ def dedup_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+# ------------------------------------------------- substring-level dedup
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") remove EXACT substrings repeated across the corpus, not just
+# duplicate documents — their ExactSubstr uses a suffix array over the
+# concatenated corpus with a 50-token minimum match.  The
+# distributed-engine shape here is the rolling-shingle equivalent: every
+# W-token window whose content occurs ≥2 times anywhere in the corpus is
+# a duplicate-span SEED; adjacent/overlapping seeds within a doc merge
+# into maximal removal spans (gaps-and-islands).  Everything is keyed by
+# shingle digest or doc_id — bucketed shuffles only, never all-pairs,
+# and each window is one codegen lead-chain (no per-row array lambdas).
+# W = 16 is the paper's 50-token threshold scaled to this corpus's
+# 10–99-token documents; the digest is full md5 (collision odds
+# negligible at any scale — at 100 TB prefer the full 128 bits over the
+# 32-bit prefix hash the jaccard family uses for set arithmetic).
+SUBSTR_W = 16
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring removal list: (doc_id,
+    span_start, span_end, span_tokens) — maximal merged spans (1-based
+    token positions, inclusive) such that every W-token window starting
+    at a seed inside the span occurs at least twice in the corpus.
+
+    Three hash-partitioned shuffles: doc_id (lead-chain shingling), h
+    (occurrence count — map-side partial via the window's hash
+    exchange), doc_id (island merge; the final groupBy reuses the
+    window's partitioning, no fourth exchange).  Reference parity: the
+    reference repo has no dedup at all; this extends the engine's dedup
+    family per the training-data-pipeline brief."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wt = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(wt).alias(f"_t{j}") for j in range(1, SUBSTR_W)]
+    occ = (
+        docs.select(
+            "doc_id",
+            F.posexplode(texts.tokens(F.col("text"))).alias("pos", "tok"),
+        )
+        .select("doc_id", "pos", "tok", *leads)
+        .where(F.col(f"_t{SUBSTR_W - 1}").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ", "tok", *[f"_t{j}" for j in range(1, SUBSTR_W)]
+                )
+            ).alias("h"),
+        )
+    )
+    seeds = (
+        occ.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(Window.partitionBy("h")).alias("cnt"),
+        )
+        .where(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = seeds.select(
+        "doc_id", "pos", F.lag("pos").over(wd).alias("prev")
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") > F.col("prev") + SUBSTR_W),
+                1,
+            ).otherwise(0)
+        )
+        .over(wd)
+        .alias("island"),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("_mx"))
+        .select(
+            "doc_id",
+            "span_start",
+            (F.col("_mx") + SUBSTR_W - 1).cast("long").alias("span_end"),
+            (F.col("_mx") + SUBSTR_W - F.col("span_start"))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def _substring_oracle_sql(w: int = SUBSTR_W) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+occ AS (
+    SELECT doc_id, CAST(p AS BIGINT) AS pos,
+           md5(array_to_string(t[p:p+{w - 1}], ' ')) AS h
+    FROM toks, unnest(range(1, len(t) - {w} + 2)) AS u(p)
+    WHERE len(t) >= {w}
+),
+seeds AS (
+    SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM occ
+    ) WHERE cnt >= 2
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(CASE WHEN prev IS NULL OR pos > prev + {w} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM seeds)
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       CAST(MAX(pos) + {w} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {w} - MIN(pos) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
 RECALL_TAU_E6 = 100_000  # ground-truth near-dup threshold: jaccard ≥ 0.1
 
 
@@ -2218,6 +2338,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_entity_resolution": dedup_entity_resolution,
     "dedup_er_incremental": dedup_er_incremental,
+    "dedup_substring": dedup_substring,
 }
 
 ORACLE_SQL = {
@@ -2250,4 +2371,5 @@ ORACLE_SQL = {
     # must lose nothing vs recomputing from scratch (see
     # dedup_er_incremental).
     "dedup_er_incremental": _entity_resolution_oracle_sql(),
+    "dedup_substring": _substring_oracle_sql(),
 }

@@ -1120,3 +1120,59 @@ def test_er_index_chain_remap_retired_label(spark, tmp_path):
     olds = [r.old_label for r in remap]
     assert len(olds) == len(set(olds))
     assert not (set(olds) & {r.new_label for r in remap})
+
+
+def test_substring_dedup_removal_conservation(spark, sf_dir):
+    """dedup_substring (round 9, Lee et al. 2022 shape): the span list is
+    exactly the merged cover of the duplicate-window seeds —
+
+    - CONSERVATION: every W-window occurring ≥2 times in the corpus lies
+      entirely inside some emitted span (removing the spans removes ALL
+      cross-corpus repeated W-grams);
+    - MAXIMALITY: spans are disjoint, separated by > W tokens between a
+      span's last seed and the next span's first (they could not merge),
+      and both ends are seed-anchored (no over-removal: a span never
+      extends past what a duplicate window justifies);
+    - BOUNDS: spans stay inside the doc's token range.
+    """
+    from collections import Counter
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    W = dedup.SUBSTR_W
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in dedup._docs(spark, sf_dir).select("doc_id", "text").collect()
+    }
+    counts = Counter()
+    for toks in docs.values():
+        for p in range(len(toks) - W + 1):
+            counts[" ".join(toks[p : p + W])] += 1
+    seeds = {
+        d: [
+            p + 1
+            for p in range(len(toks) - W + 1)
+            if counts[" ".join(toks[p : p + W])] >= 2
+        ]
+        for d, toks in docs.items()
+    }
+    spans = {}
+    for r in dedup.dedup_substring(spark, sf_dir).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        assert r.span_tokens == r.span_end - r.span_start + 1
+        assert 1 <= r.span_start and r.span_end <= len(docs[r.doc_id])
+    assert spans, "expected duplicate spans at this SF"
+    for d, ps in seeds.items():
+        got = sorted(spans.get(d, []))
+        # conservation: every seed window inside one span
+        for p in ps:
+            assert any(s <= p and p + W - 1 <= e for s, e in got), (d, p)
+        # maximality: ends seed-anchored, disjoint, non-mergeable
+        seedset = set(ps)
+        for i, (s, e) in enumerate(got):
+            assert s in seedset and (e - W + 1) in seedset, (d, s, e)
+            if i:
+                prev_e = got[i - 1][1]
+                assert s > prev_e - W + 1 + W, (d, got[i - 1], (s, e))
+        if not ps:
+            assert got == []
