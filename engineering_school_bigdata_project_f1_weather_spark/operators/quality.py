@@ -688,10 +688,157 @@ FROM f GROUP BY file_id ORDER BY file_id
 """
 
 
+# --- n-gram LM perplexity filter (CCNet / RedPajama shape) ----------------
+
+# Real training-data pipelines (CCNet: Wenzek et al. 2020; RedPajama)
+# filter documents on the perplexity of an n-gram LM trained on a
+# reference corpus, then bucket into head/middle/tail by perplexity
+# terciles.  This is that shape in hash-gatable exact-integer form: a
+# word-bigram model with Laplace smoothing, trained on the stride-0
+# subset, scoring every other document by its MEAN INVERSE smoothed
+# bigram probability in e6 fixed point — the log-free rational surrogate
+# of perplexity (perplexity is the GEOMETRIC mean of 1/p; the arithmetic
+# mean is its exact-integer order-preserving stand-in for banding — a
+# float log/exp would diverge between engines in the last ulp and break
+# the hash gate; a deployment swaps the scoring expression for log-space
+# floats and keeps the identical plan shape).
+PPLX_TRAIN_STRIDE = 3  # doc_id % 3 == 0 trains the LM; the rest are scored
+PPLX_BANDS = 3  # head / middle / tail
+
+
+def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency filter: (doc_id, n_bigrams, pplx_e6, band,
+    keep) over the non-training documents.
+
+    Plan: two training-side aggregations (bigram counts keyed on the
+    pair, unigram counts keyed on the token — both hash-partitioned
+    with map-side partial agg), the scored corpus's bigram occurrence
+    rows through two equi-joins on those keys (strategy left to AQE —
+    at 100 TB the model tables are corpus-vocabulary-sized and the
+    joins stay hash-partitioned; on small reference corpora AQE
+    broadcasts them), one (doc_id) partial-agg, and a rows = |scored
+    docs| ntile sort for the terciles.  The exact global ntile is the
+    oracle-reproducible banding; a deployment derives the two band
+    thresholds once via approx_percentile and bands in the scan, like
+    :func:`quality_score`'s fixed thresholds.
+
+    Per-term arithmetic: ``term_e6 = ((c1 + V) * 1e6) // (c12 + 1)``
+    — the inverse Laplace-smoothed probability of the observed bigram;
+    unseen contexts score V·1e6 (maximal surprise).  int64 headroom:
+    terms are bounded by (|train tokens| + V)·1e6; at corpora where
+    that nears 2^63/doc_len, drop the e6 scale or widen to decimal."""
+    from ..functions import texts
+    from ..sources.tables import load_table_spread
+
+    d = load_table_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.where(F.col("doc_id") % PPLX_TRAIN_STRIDE == 0)
+    scored = d.where(F.col("doc_id") % PPLX_TRAIN_STRIDE != 0)
+
+    big_counts = (
+        texts.shingle_frame(train, 2, dedup=False)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni_counts = (
+        train.select(F.explode(texts.tokens(F.col("text"))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni_counts.agg(F.count(F.lit(1)).cast("long").alias("v"))
+
+    occ = texts.shingle_frame(scored, 2, dedup=False).select(
+        "doc_id", "g", F.split("g", " ").getItem(0).alias("w1")
+    )
+    terms = (
+        occ.join(big_counts, "g", "left")
+        .join(uni_counts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                "div((coalesce(c1, 0L) + v) * 1000000, coalesce(c12, 0L) + 1)"
+            ).alias("term_e6"),
+        )
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("term_e6").alias("_sum"),
+    )
+    from pyspark.sql import Window
+
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("div(_sum, n_bigrams)").alias("pplx_e6"),
+        )
+        .withColumn(
+            "_nt",
+            F.ntile(PPLX_BANDS).over(Window.orderBy("pplx_e6", "doc_id")),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "pplx_e6",
+            F.when(F.col("_nt") == 1, F.lit("head"))
+            .when(F.col("_nt") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("band"),
+            (F.col("_nt") < PPLX_BANDS).alias("keep"),
+        )
+    )
+
+
+def _perplexity_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+train_big AS (
+    SELECT t[i] || ' ' || t[i+1] AS g, COUNT(*) AS c12
+    FROM toks, unnest(range(1, len(t))) AS u(i)
+    WHERE doc_id % {PPLX_TRAIN_STRIDE} = 0
+    GROUP BY 1
+),
+train_uni AS (
+    SELECT w1, COUNT(*) AS c1 FROM (
+        SELECT unnest(t) AS w1 FROM toks
+        WHERE doc_id % {PPLX_TRAIN_STRIDE} = 0
+    ) GROUP BY w1
+),
+vocab AS (SELECT COUNT(*) AS v FROM train_uni),
+occ AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g, t[i] AS w1
+    FROM toks, unnest(range(1, len(t))) AS u(i)
+    WHERE doc_id % {PPLX_TRAIN_STRIDE} <> 0
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(((COALESCE(c1, 0) + v) * 1000000) // (COALESCE(c12, 0) + 1))
+               AS _sum
+    FROM occ
+    LEFT JOIN train_big USING (g)
+    LEFT JOIN train_uni USING (w1)
+    CROSS JOIN vocab
+    GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, n_bigrams, _sum // n_bigrams AS pplx_e6,
+           ntile({PPLX_BANDS}) OVER (ORDER BY _sum // n_bigrams, doc_id) AS nt
+    FROM per_doc
+)
+SELECT doc_id, n_bigrams, CAST(pplx_e6 AS BIGINT) AS pplx_e6,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band,
+       nt < {PPLX_BANDS} AS keep
+FROM banded
+"""
+
+
 QUERIES = {
     "dq_lineitem": dq_lineitem,
     "events_json_variant": events_json_variant,
     "quality_score": quality_score,
+    "quality_perplexity": quality_perplexity,
     "lineitem_snapshot_diff": lineitem_snapshot_diff,
     "lineitem_snapshot_apply": lineitem_snapshot_apply,
     "lineitem_zorder_layout": lineitem_zorder_layout,
@@ -708,6 +855,7 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     "quality_score": _quality_score_oracle_sql(),
+    "quality_perplexity": _perplexity_oracle_sql(),
     "lineitem_snapshot_diff": _snapshot_diff_oracle_sql(),
     "lineitem_snapshot_apply": _snapshot_apply_oracle_sql(),
     "lineitem_zorder_layout": _zorder_oracle_sql(),

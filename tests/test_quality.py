@@ -217,3 +217,29 @@ def test_zorder_writer_matches_ntile_contract(spark, sf_dir):
         files_read(wfiles),
         files_read(sfiles),
     )
+
+
+def test_perplexity_band_shift_fluent_vs_gibberish(spark, tmp_path):
+    """quality_perplexity (round 9, CCNet shape): a document made of the
+    training corpus's own frequent bigrams must score lower pseudo-
+    perplexity (head band) than one of never-seen tokens (tail band,
+    keep=False); an intermediate doc sits between. Pins the property the
+    hash gate can't: the score MOVES the right way when fluency does."""
+    fluent = "the cat sat on the mat and the dog ran to the house"
+    train_rows = [(i, fluent, "en", "src", 1) for i in (0, 3, 6, 9, 12)]
+    scored_rows = [
+        (1, fluent, "en", "src", 1),  # pure training bigrams
+        (2, "zz qq ww rr tt yy uu oo pp ll kk jj hh gg", "en", "src", 1),
+        (4, "the cat zz qq on the mat ww rr and the dog tt", "en", "src", 1),
+    ]
+    spark.createDataFrame(
+        train_rows + scored_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in quality.quality_perplexity(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].pplx_e6 < out[4].pplx_e6 < out[2].pplx_e6
+    assert out[1].band == "head" and out[1].keep
+    assert out[4].band == "middle" and out[4].keep
+    assert out[2].band == "tail" and not out[2].keep
