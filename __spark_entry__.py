@@ -63,41 +63,46 @@ _MODULES = [
     sketch, graph, olap_deep, bpe,
 ]
 
-# First-50 driver window for round 8 (VERDICT r7 item 6): slots 1-3 are
-# the three round-8 additions (never driver-witnessed by construction:
-# the incremental entity-resolution entry and the two sketch-as-
-# streaming-state twins); the rest is the least-recently-witnessed
-# fill — ALL 28 r4-vintage entries (the dedup tail, the text heads,
-# window_suite, the tpch quantiles/cube/grouping-sets block, the join
-# trio, and the two tolerance-gated analytics rows), then the 19
-# oldest r5-vintage entries in module order.  Every entry is
-# additionally re-verified on current data via tools/selfcheck.py →
-# SELFCHECK_r08.json.
-_WINDOW_R8 = [
-    # round-8 additions (never driver-witnessed)
-    "dedup_er_incremental", "stream_user_cms", "stream_heavy_hitters",
-    "stream_user_bloom", "stream_value_hist", "stream_kmv",
-    "stream_value_quantiles",
-    # r4-vintage: the displaced fill + the dedup tail (complete)
-    "tpch_revenue_rollup", "top_orders_per_customer",
-    "join_anti_customers", "join_semi_customers", "join_outer_audit",
-    "window_suite", "tpch_quantiles", "tpch_cube", "tpch_grouping_sets",
-    "tpch_distinct_parts", "tpch_quantiles_approx",
-    "dedup_recall_report", "dedup_cluster_stats", "dedup_exact",
-    "dedup_fingerprint", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_winnow", "winnow_matches",
-    "doc_pagerank", "dedup_embedding", "dedup_components",
-    "dedup_keep_best", "text_tokens", "text_langid",
-    "text_langid_ngram", "text_quality",
-    # r5-vintage: the oldest remaining, module order
-    "text_collocations", "events_ewma", "events_dau_mau",
-    "events_transitions", "events_ab_test", "events_scd2",
-    "events_scd2_lookup", "multimodal_dedup", "multimodal_fingerprint",
-    "multimodal_segments", "corpus_card", "sample_balanced",
-    "sample_quality_weighted", "text_sparse_sim", "documents_zipf",
+# First-50 driver window for round 9 (VERDICT r8 item 4): slots 1-2 are
+# the two round-9 additions (never driver-witnessed by construction:
+# substring-level dedup and the bigram-LM perplexity filter); the rest
+# is the least-recently-witnessed fill computed from the union of
+# CORRECTNESS_r01..r08 green rows — text_keywords first (it was #51 on
+# the r8 list and silently fell out of the checked window), then ALL 34
+# remaining r5-vintage entries (streaming drains, the PQ/kNN similarity
+# wave, deep-OLAP analytics) and the 13 oldest r6-vintage entries in
+# module order.  Every entry is additionally re-verified on current
+# data via tools/selfcheck.py → SELFCHECK_r09.json.
+_WINDOW_R9 = [
+    # round-9 additions (never driver-witnessed)
+    "dedup_substring", "quality_perplexity",
+    # fell out of the 51-long r8 list (r5-vintage)
     "text_keywords",
+    # r5-vintage: complete
+    "stream_transitions", "stream_view_purchase_join", "stream_dau",
+    "stream_enriched", "stream_dedup", "sim_ivf_pq",
+    "sim_recall_report", "embedding_outliers", "sim_pq",
+    "sim_pq_trained", "sim_knn_graph", "events_heavy_hitters",
+    "events_dau_hll", "graph_triangles", "graph_link_predict",
+    "tpch_returned_revenue", "tpch_top_supplier", "part_affinity_rules",
+    "tpch_small_qty_revenue", "tpch_priority_late_orders",
+    "customer_cohort_ltv", "supplier_concentration",
+    "discount_elasticity", "customer_rfm", "lineitem_benford",
+    "tpch_cust_distribution", "tpch_promo_share", "tpch_market_share",
+    "tpch_supplier_counts", "tpch_special_revenue",
+    "tpch_idle_customers", "tpch_volume_shipping", "tpch_large_orders",
+    "tpch_waiting_suppliers", "dedup_prefix_join",
+    # r6-vintage: the oldest remaining, module order
+    "events_hourly", "events_hourly_incremental", "events_sessionize",
+    "events_json", "events_anomaly", "events_funnel",
+    "events_retention", "events_resample", "events_user_spend_salted",
+    "events_concurrency", "events_asof_purchase", "events_value_bands",
 ]
-_WINDOW = _WINDOW_R8
+# Rotation-intent guard (VERDICT r8 item 1: the r8 list had 51 names and
+# the driver's first-50 check silently dropped the last one).
+assert len(_WINDOW_R9) == 50, f"window must be exactly 50, got {len(_WINDOW_R9)}"
+assert len(set(_WINDOW_R9)) == 50, "window has duplicate entries"
+_WINDOW = _WINDOW_R9
 
 
 def _ordered(merged: dict) -> dict:
