@@ -2087,6 +2087,92 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the :func:`dedup_substring` removal list: re-emit the corpus
+    with every duplicate span excised — (doc_id, n_tokens,
+    n_removed_tokens, clean_text) for EVERY document (untouched docs
+    pass through with 0 removed; a fully-duplicated doc keeps an empty
+    clean_text rather than vanishing).
+
+    Removal policy: every listed span is removed from every doc (the
+    simplest deterministic policy; Lee et al. 2022 §3 keep one
+    occurrence per duplicate cluster — that is a thin keeper-selection
+    layer over this same span algebra, analogous to
+    :func:`dedup_keep_best` over components, and belongs in curation
+    policy, not the span engine).
+
+    Plan: the span list is output-proportional (orders smaller than the
+    corpus); the kept-token filter is a doc_id-keyed LEFT join of token
+    rows onto spans with a range predicate — at 100 TB both sides are
+    hash-partitioned on doc_id and the per-doc span count is tiny, so
+    the range check rides the join's partitioning (no extra shuffle:
+    tokens → doc_id exchange → join → groupBy doc_id reuses it)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spans = dedup_substring(spark, sf_dir).select(
+        "doc_id", "span_start", "span_end"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(texts.tokens(F.col("text"))).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    marked = (
+        toks.join(spans, "doc_id", "left")
+        .withColumn(
+            "in_span",
+            F.col("span_start").isNotNull()
+            & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        )
+        .groupBy("doc_id", "pos", "tok")
+        .agg(F.max("in_span").alias("removed"))
+    )
+    kept = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("removed").cast("long")).alias("n_removed_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("removed"),
+                                F.struct("pos", "tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s.tok,
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return kept.select("doc_id", "n_tokens", "n_removed_tokens", "clean_text")
+
+
+def _substring_apply_oracle_sql(w: int = SUBSTR_W) -> str:
+    return f"""
+WITH spans AS ({_substring_oracle_sql(w)}),
+toks AS (
+    SELECT doc_id, CAST(p AS BIGINT) AS pos, t[p] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         unnest(range(1, len(t) + 1)) AS u(p)
+),
+marked AS (
+    SELECT t.doc_id, t.pos, t.tok,
+           MAX(CASE WHEN s.span_start IS NOT NULL
+                     AND t.pos BETWEEN s.span_start AND s.span_end
+                    THEN 1 ELSE 0 END) AS removed
+    FROM toks t LEFT JOIN spans s ON s.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.pos, t.tok
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(removed) AS BIGINT) AS n_removed_tokens,
+       COALESCE(string_agg(CASE WHEN removed = 0 THEN tok END, ' '
+                           ORDER BY pos), '') AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
+
 def _substring_oracle_sql(w: int = SUBSTR_W) -> str:
     return f"""
 WITH toks AS (
@@ -2339,6 +2425,7 @@ QUERIES = {
     "dedup_entity_resolution": dedup_entity_resolution,
     "dedup_er_incremental": dedup_er_incremental,
     "dedup_substring": dedup_substring,
+    "dedup_substring_apply": dedup_substring_apply,
 }
 
 ORACLE_SQL = {
@@ -2372,4 +2459,5 @@ ORACLE_SQL = {
     # dedup_er_incremental).
     "dedup_er_incremental": _entity_resolution_oracle_sql(),
     "dedup_substring": _substring_oracle_sql(),
+    "dedup_substring_apply": _substring_apply_oracle_sql(),
 }

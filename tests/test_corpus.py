@@ -1176,3 +1176,37 @@ def test_substring_dedup_removal_conservation(spark, sf_dir):
                 assert s > prev_e - W + 1 + W, (d, got[i - 1], (s, e))
         if not ps:
             assert got == []
+
+
+def test_substring_apply_excises_exactly_the_spans(spark, sf_dir):
+    """dedup_substring_apply: clean_text is the original token sequence
+    minus exactly the span positions (order preserved); n_removed sums
+    the disjoint span lengths; untouched docs pass through verbatim."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    texts_by_id = {
+        r.doc_id: r.text
+        for r in dedup._docs(spark, sf_dir).select("doc_id", "text").collect()
+    }
+    spans = {}
+    for r in dedup.dedup_substring(spark, sf_dir).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    out = {r.doc_id: r for r in dedup.dedup_substring_apply(spark, sf_dir).collect()}
+    assert set(out) == set(texts_by_id)
+    touched = 0
+    for d, text in texts_by_id.items():
+        toks = text.split(" ")
+        ss = sorted(spans.get(d, []))
+        keep = [
+            t
+            for i, t in enumerate(toks, start=1)
+            if not any(s <= i <= e for s, e in ss)
+        ]
+        assert out[d].clean_text == " ".join(keep), d
+        assert out[d].n_tokens == len(toks)
+        assert out[d].n_removed_tokens == sum(e - s + 1 for s, e in ss)
+        if ss:
+            touched += 1
+        else:
+            assert out[d].clean_text == text
+    assert touched > 0
