@@ -75,7 +75,8 @@ _MODULES = [
 # data via tools/selfcheck.py → SELFCHECK_r09.json.
 _WINDOW_R9 = [
     # round-9 additions (never driver-witnessed)
-    "dedup_substring", "quality_perplexity",
+    "dedup_substring", "dedup_substring_apply",
+    "dedup_substring_incremental", "quality_perplexity",
     # fell out of the 51-long r8 list (r5-vintage)
     "text_keywords",
     # r5-vintage: complete
@@ -96,7 +97,7 @@ _WINDOW_R9 = [
     "events_hourly", "events_hourly_incremental", "events_sessionize",
     "events_json", "events_anomaly", "events_funnel",
     "events_retention", "events_resample", "events_user_spend_salted",
-    "events_concurrency", "events_asof_purchase", "events_value_bands",
+    "events_concurrency",
 ]
 # Rotation-intent guard (VERDICT r8 item 1: the r8 list had 51 names and
 # the driver's first-50 check silently dropped the last one).

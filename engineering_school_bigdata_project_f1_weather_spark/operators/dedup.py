@@ -2028,10 +2028,26 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's partitioning, no fourth exchange).  Reference parity: the
     reference repo has no dedup at all; this extends the engine's dedup
     family per the training-data-pipeline brief."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    occ = _substr_occ(_docs(spark, sf_dir).select("doc_id", "text"))
+    seeds = (
+        occ.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(Window.partitionBy("h")).alias("cnt"),
+        )
+        .where(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    return _substr_spans(seeds)
+
+
+def _substr_occ(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h) rolling W-token shingle occurrence rows of a
+    (doc_id, text) frame — 1-based pos, full-md5 digest, codegen
+    lead-chain (one doc_id-keyed exchange)."""
     wt = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", j).over(wt).alias(f"_t{j}") for j in range(1, SUBSTR_W)]
-    occ = (
+    return (
         docs.select(
             "doc_id",
             F.posexplode(texts.tokens(F.col("text"))).alias("pos", "tok"),
@@ -2048,15 +2064,12 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    seeds = (
-        occ.select(
-            "doc_id",
-            "pos",
-            F.count(F.lit(1)).over(Window.partitionBy("h")).alias("cnt"),
-        )
-        .where(F.col("cnt") >= 2)
-        .select("doc_id", "pos")
-    )
+
+
+def _substr_spans(seeds: DataFrame) -> DataFrame:
+    """Merge (doc_id, pos) seed rows into maximal disjoint spans
+    (gaps-and-islands; one doc_id-keyed exchange reused by the final
+    groupBy)."""
     wd = Window.partitionBy("doc_id").orderBy("pos")
     isl = seeds.select(
         "doc_id", "pos", F.lag("pos").over(wd).alias("prev")
@@ -2202,6 +2215,155 @@ SELECT doc_id, MIN(pos) AS span_start,
        CAST(MAX(pos) + {w} - MIN(pos) AS BIGINT) AS span_tokens
 FROM isl GROUP BY doc_id, island
 """
+
+
+# --------------------- incremental substring-dedup index (round 9)
+# The continuous-ingest twin of dedup_substring, on the shared
+# versioned-snapshot convention (functions/snapshots.py — the eighth
+# index family). The state algebra is MONOTONE, which makes this index
+# simpler than the ER one: a shingle digest once duplicated stays
+# duplicated forever (occurrences are never deleted), so the dup set
+# and the occurrence log are append-only — no remap chains, no
+# contraction. Per-batch work: the batch's occurrence rows (∝ batch),
+# one probe of the stored log keyed on the batch's distinct digests
+# (at 100 TB the log lives h-bucketed so the probe prunes to touched
+# buckets; er_index_update's old_sig probe is the same shape), and a
+# span recompute for AFFECTED docs only — batch docs carrying any
+# duplicated shingle plus stored docs holding a shingle the batch just
+# promoted from singleton to duplicate. The span table is rewritten per
+# snapshot, which is fine because it is output-proportional (the
+# removal list, orders smaller than the corpus), exactly like the
+# sketch families' bounded-state full rewrites.
+
+
+def substr_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None:
+    """Bootstrap the substring-dedup index on an initial corpus:
+    persist the doc-id roster (idempotency anchor — docs shorter than W
+    tokens have no occurrence rows), the occurrence log, the
+    duplicated-digest set, and the span table as snapshot ``sub_v0``."""
+    os.makedirs(index_path, exist_ok=True)
+    snap = "sub_v0"
+    base = os.path.join(index_path, snap)
+    d = docs.select("doc_id", "text")
+    occ = _substr_occ(d).localCheckpoint()
+    dup = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+        .localCheckpoint()
+    )
+    spans = _substr_spans(occ.join(dup, "h").select("doc_id", "pos"))
+    d.select("doc_id").write.mode("overwrite").parquet(f"{base}/docs")
+    occ.write.mode("overwrite").parquet(f"{base}/occ")
+    dup.write.mode("overwrite").parquet(f"{base}/dup")
+    spans.write.mode("overwrite").parquet(f"{base}/spans")
+    snapshots.snap_commit(index_path, snap, "sub_v")
+
+
+def substr_index_update(
+    spark: SparkSession, new_docs: DataFrame, index_path: str
+) -> DataFrame:
+    """Incremental substring-dedup step: probe the stored occurrence log
+    with the batch's distinct digests only, promote singletons the batch
+    duplicates, recompute spans for the affected docs, and commit one
+    atomic snapshot.  Idempotent (anti-join on doc_id); returns the
+    affected docs' recomputed span rows (empty on a retry).
+
+    Monotonicity argument for batch parity: dedup_substring's seed set
+    is {(doc,pos) : count(h) ≥ 2 over the whole corpus}. Adding docs
+    only raises counts, so the only seeds the union gains over the
+    stored state are (a) batch occurrences of already- or newly-
+    duplicated digests and (b) STORED occurrences of digests the batch
+    promoted to count ≥ 2 — both covered by the affected-doc recompute;
+    every other doc's seed set, hence span set, is untouched."""
+    live = snapshots.snap_live(index_path)
+    base = os.path.join(index_path, live)
+    old_docs = spark.read.parquet(f"{base}/docs")
+    old_occ = spark.read.parquet(f"{base}/occ")
+    old_dup = spark.read.parquet(f"{base}/dup")
+    old_spans = spark.read.parquet(f"{base}/spans")
+
+    fresh = new_docs.select("doc_id", "text").join(
+        old_docs, "doc_id", "left_anti"
+    )
+    bocc = _substr_occ(fresh).localCheckpoint()
+    batch_h = bocc.groupBy("h").agg(F.count(F.lit(1)).alias("bc"))
+    stored_h = (
+        old_occ.join(batch_h.select("h"), "h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("sc"))
+    )
+    newly_dup = (
+        batch_h.join(stored_h, "h", "left")
+        .join(old_dup.withColumn("_d", F.lit(1)), "h", "left")
+        .where(
+            F.col("_d").isNull()
+            & (F.col("bc") + F.coalesce("sc", F.lit(0)) >= 2)
+        )
+        .select("h")
+        .localCheckpoint()
+    )
+    dup_all = old_dup.unionByName(newly_dup)
+    affected = (
+        bocc.join(dup_all, "h")
+        .select("doc_id")
+        .unionByName(old_occ.join(newly_dup, "h").select("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_occ = old_occ.unionByName(bocc)
+    seeds = (
+        all_occ.join(affected, "doc_id")
+        .join(dup_all, "h")
+        .select("doc_id", "pos")
+    )
+    new_spans = _substr_spans(seeds).localCheckpoint()
+    spans = old_spans.join(affected, "doc_id", "left_anti").unionByName(
+        new_spans
+    )
+
+    nxt = snapshots.snap_next(live, "sub_v")
+    nbase = os.path.join(index_path, nxt)
+    fresh.select("doc_id").write.mode("overwrite").parquet(f"{nbase}/docs")
+    bocc.write.mode("overwrite").parquet(f"{nbase}/occ")
+    newly_dup.write.mode("overwrite").parquet(f"{nbase}/dup")
+    spans.write.mode("overwrite").parquet(f"{nbase}/spans")
+    for sub in ("docs", "occ", "dup"):
+        snapshots.link_parquet_files(f"{base}/{sub}", f"{nbase}/{sub}")
+    snapshots.snap_commit(index_path, nxt, "sub_v")
+    return new_spans
+
+
+def substr_resolve(spark: SparkSession, index_path: str) -> DataFrame:
+    """Serving view over the substring index: the current span table —
+    same shape and semantics as :func:`dedup_substring` over the whole
+    indexed corpus; a pure output-proportional read."""
+    live = snapshots.snap_live(index_path)
+    return spark.read.parquet(f"{os.path.join(index_path, live)}/spans").select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    )
+
+
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for the incremental substring-dedup path:
+    bootstrap on the even-doc_id half, ingest the odd half as an update
+    batch, serve — must equal the BATCH :func:`dedup_substring` over
+    the full corpus bit-for-bit (the oracle is that entry's SQL
+    verbatim): the hash gate pins that digest-probe promotion +
+    affected-only span recompute lose nothing vs recomputing from
+    scratch."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="substr_index_entry_")
+    try:
+        substr_index_init(spark, docs.where(F.col("doc_id") % 2 == 0), tmp)
+        substr_index_update(spark, docs.where(F.col("doc_id") % 2 == 1), tmp)
+        return substr_resolve(spark, tmp).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 RECALL_TAU_E6 = 100_000  # ground-truth near-dup threshold: jaccard ≥ 0.1
@@ -2426,6 +2588,7 @@ QUERIES = {
     "dedup_er_incremental": dedup_er_incremental,
     "dedup_substring": dedup_substring,
     "dedup_substring_apply": dedup_substring_apply,
+    "dedup_substring_incremental": dedup_substring_incremental,
 }
 
 ORACLE_SQL = {
@@ -2460,4 +2623,7 @@ ORACLE_SQL = {
     "dedup_er_incremental": _entity_resolution_oracle_sql(),
     "dedup_substring": _substring_oracle_sql(),
     "dedup_substring_apply": _substring_apply_oracle_sql(),
+    # the BATCH span oracle, verbatim: the incremental path must lose
+    # nothing vs recomputing from scratch (see dedup_substring_incremental).
+    "dedup_substring_incremental": _substring_oracle_sql(),
 }

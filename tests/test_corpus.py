@@ -1210,3 +1210,53 @@ def test_substring_apply_excises_exactly_the_spans(spark, sf_dir):
         else:
             assert out[d].clean_text == text
     assert touched > 0
+
+
+def test_substr_index_update_retry_and_three_batches(spark, sf_dir, tmp_path):
+    """substr_index (round 9): a retried batch is a no-op (no affected
+    spans, identical serve, one live snapshot); init + two batches
+    serve exactly the batch dedup_substring over the full corpus."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    docs = dedup._docs(spark, sf_dir).select("doc_id", "text")
+    idx = str(tmp_path / "sub_idx")
+    dedup.substr_index_init(spark, docs.where(F.col("doc_id") % 3 == 0), idx)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    assert dedup.substr_index_update(spark, b1, idx).count() > 0
+    before = {tuple(r) for r in dedup.substr_resolve(spark, idx).collect()}
+    assert dedup.substr_index_update(spark, b1, idx).count() == 0
+    assert {tuple(r) for r in dedup.substr_resolve(spark, idx).collect()} == before
+    dedup.substr_index_update(spark, docs.where(F.col("doc_id") % 3 == 2), idx)
+    got = {tuple(r) for r in dedup.substr_resolve(spark, idx).collect()}
+    want = {tuple(r) for r in dedup.dedup_substring(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+    live = snapshots.snap_live(idx)
+    assert [d for d in os.listdir(idx) if d.startswith("sub_v")] == [live]
+
+
+def test_substr_index_promotes_stored_singleton(spark, tmp_path):
+    """The promotion path in isolation: a W-token sequence present ONCE
+    in the indexed corpus gains a span only when a batch brings its
+    duplicate — and the STORED doc's span appears too (the affected-doc
+    recompute reaches back into the log)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    W = dedup.SUBSTR_W
+    seq = " ".join(f"w{i}" for i in range(W))
+    other = " ".join(f"x{i}" for i in range(W))
+    frame = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "sub_idx_promo")
+    dedup.substr_index_init(spark, frame([(1, seq), (2, other)]), idx)
+    assert dedup.substr_resolve(spark, idx).count() == 0  # all singletons
+    out = dedup.substr_index_update(spark, frame([(3, seq)]), idx)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in out.collect()}
+    assert got == {(1, 1, W), (3, 1, W)}  # stored doc 1 gained its span
+    assert {(r.doc_id,) for r in dedup.substr_resolve(spark, idx).collect()} == {
+        (1,),
+        (3,),
+    }
