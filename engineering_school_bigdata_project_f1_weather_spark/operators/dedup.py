@@ -1734,9 +1734,11 @@ ER_CLOSURE_JUMPS = 4
 # reachable endpoint, endpoints only).
 # Sized so the driver path's peak heap (a dict of int parents over
 # ≤2·max endpoints, streamed in as plain int tuples via toLocalIterator
-# — never a collect()ed list of Row objects) stays in the tens of MB
-# (ADVICE r8); the distributed engine is correct at any size above.
-ER_DRIVER_CLOSURE_MAX_EDGES = 200_000
+# — never a collect()ed list of Row objects, ADVICE r8) stays under
+# ~100 MB, while keeping the measured sf1 half-corpus bootstrap graphs
+# (~10^5 edges, >20-round Hash-Min diameter) on the milliseconds path;
+# the distributed engine is correct at any size above.
+ER_DRIVER_CLOSURE_MAX_EDGES = 500_000
 
 
 def _er_closure(spark: SparkSession, edges: DataFrame) -> DataFrame:
