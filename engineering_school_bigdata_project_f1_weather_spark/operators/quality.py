@@ -688,6 +688,118 @@ FROM f GROUP BY file_id ORDER BY file_id
 """
 
 
+# --- Gopher quality rules (Rae et al. 2021, MassiveText filtering) --------
+
+# The named heuristic ruleset real pipelines apply before any model-based
+# filter (Gopher Appendix A; reused by MassiveText/RefinedWeb): word-count
+# bounds, mean-word-length band, symbol-to-word ratio, bullet/ellipsis
+# line fractions, alphabetic-word fraction, and required-stopword
+# presence.  All thresholds are the paper's; every test is an exact
+# integer cross-multiplication (no float ratios), so the hash gate is
+# bit-stable.  One narrow scan, no shuffle — at 100 TB this runs as a
+# scan-bound map exactly like quality_score.
+GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule evaluation: the measured features, one
+    boolean per rule, and ``keep`` = all rules pass."""
+    from ..sources.tables import load_table_spread
+
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQ_STOPWORDS)
+    d = load_table_spread(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "split(text, ' ') AS toks",
+        "split(text, '\n') AS lines",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        "CAST(regexp_count(text, '#') + regexp_count(text, '\\\\.\\\\.\\\\.')"
+        " + regexp_count(text, '…') AS BIGINT) AS n_sym",
+    )
+    f = d.selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_words",
+        # single-space separated: word chars = chars - (n_words - 1)
+        "CAST(n_chars - (size(toks) - 1) AS BIGINT) AS n_word_chars",
+        "CAST(size(filter(toks, t -> t rlike '[A-Za-z]')) AS BIGINT) AS n_alpha",
+        f"CAST(size(array_intersect(array_distinct(transform(toks, "
+        f"t -> lower(t))), array({req}))) AS BIGINT) AS n_req_stop",
+        "CAST(size(lines) AS BIGINT) AS n_lines",
+        "CAST(size(filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR "
+        "l LIKE '•%')) AS BIGINT) AS n_bullet_lines",
+        "CAST(size(filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) "
+        "AS BIGINT) AS n_ellipsis_lines",
+        "n_sym",
+    )
+    return f.selectExpr(
+        "doc_id",
+        "n_words",
+        "IF(n_words = 0, 0L, div(n_word_chars * 100, n_words)) AS mean_word_len_e2",
+        "n_sym",
+        "n_alpha",
+        "n_req_stop",
+        "n_words BETWEEN 50 AND 100000 AS r_word_count",
+        "IF(n_words = 0, false, n_word_chars * 100 >= n_words * 300 AND "
+        "n_word_chars * 100 <= n_words * 1000) AS r_mean_word_len",
+        "n_sym * 10 <= n_words AS r_symbol_ratio",
+        "n_bullet_lines * 10 < n_lines * 9 AS r_bullets",
+        "n_ellipsis_lines * 10 < n_lines * 3 AS r_ellipsis",
+        "n_alpha * 10 >= n_words * 8 AS r_alpha",
+        "n_req_stop >= 2 AS r_stopwords",
+    ).selectExpr(
+        "*",
+        "r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullets "
+        "AND r_ellipsis AND r_alpha AND r_stopwords AS keep",
+    )
+
+
+def _gopher_oracle_sql() -> str:
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQ_STOPWORDS)
+    return f"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+               AS n_word_chars,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_intersect(list_distinct(list_transform(
+                string_split(text, ' '), t -> lower(t))),
+                [{req}])) AS BIGINT) AS n_req_stop,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))
+                AS BIGINT) AS n_bullet_lines,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT)
+                AS n_ellipsis_lines,
+           CAST(len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\\.\\.\\.'))
+                + len(regexp_extract_all(text, '…')) AS BIGINT) AS n_sym
+    FROM documents
+),
+r AS (
+    SELECT doc_id, n_words,
+           CASE WHEN n_words = 0 THEN 0
+                ELSE (n_word_chars * 100) // n_words END AS mean_word_len_e2,
+           n_sym, n_alpha, n_req_stop,
+           n_words BETWEEN 50 AND 100000 AS r_word_count,
+           CASE WHEN n_words = 0 THEN false
+                ELSE n_word_chars * 100 >= n_words * 300
+                     AND n_word_chars * 100 <= n_words * 1000
+           END AS r_mean_word_len,
+           n_sym * 10 <= n_words AS r_symbol_ratio,
+           n_bullet_lines * 10 < n_lines * 9 AS r_bullets,
+           n_ellipsis_lines * 10 < n_lines * 3 AS r_ellipsis,
+           n_alpha * 10 >= n_words * 8 AS r_alpha,
+           n_req_stop >= 2 AS r_stopwords
+    FROM f
+)
+SELECT *, r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullets
+          AND r_ellipsis AND r_alpha AND r_stopwords AS keep
+FROM r
+"""
+
+
 # --- n-gram LM perplexity filter (CCNet / RedPajama shape) ----------------
 
 # Real training-data pipelines (CCNet: Wenzek et al. 2020; RedPajama)
@@ -834,11 +946,195 @@ FROM banded
 """
 
 
+# --- stupid-backoff trigram LM (Brants et al. 2007) -----------------------
+
+# "Large Language Models in Machine Translation" — the distributed
+# n-gram LM: no discounting, no normalization, just relative frequency
+# with a fixed backoff factor α = 0.4 per level.  α is rational, so the
+# whole score stays in exact e6 fixed point: trigram hit → c123·1e6/c12;
+# bigram backoff → c23·400000/c2; unigram backoff → c3·160000/N (0.4²).
+# The paper's point — scores need not be probabilities to rank well —
+# is exactly what makes the shape hash-gatable where Kneser-Ney's
+# float discounts are not.
+SB_ALPHA_E6 = 400_000  # α = 0.4
+SB_ALPHA2_E6 = 160_000  # α² = 0.16
+
+
+def quality_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff fluency: (doc_id, n_trigrams, fluency_e6,
+    band, keep) over the non-training documents — the trigram
+    complement of :func:`quality_perplexity` (same stride split, same
+    tercile banding; here HIGH score = fluent, so the tail band is the
+    LOWEST tercile).
+
+    Plan: three training-side aggregations (trigram / bigram / unigram
+    counts, all hash-partitioned with partial agg, plus the 1-row token
+    total), the scored corpus's trigram occurrence rows through five
+    equi-joins on those keys (model tables are train-vocabulary-sized;
+    AQE broadcasts them on small reference corpora, hash elsewhere),
+    one doc_id partial-agg, and the narrow (doc_id, score) tercile
+    sort."""
+    from ..functions import texts
+    from ..sources.tables import load_table_spread
+
+    d = load_table_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.where(F.col("doc_id") % PPLX_TRAIN_STRIDE == 0)
+    scored = d.where(F.col("doc_id") % PPLX_TRAIN_STRIDE != 0)
+
+    def grams(frame, k, out):
+        return texts.shingle_frame(frame, k, out=out, dedup=False)
+
+    tri = grams(train, 3, "g3").groupBy("g3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    big = grams(train, 2, "g2").groupBy("g2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    uni = (
+        train.select(F.explode(texts.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    totals = uni.agg(F.sum("cu").cast("long").alias("n_train"))
+
+    occ = grams(scored, 3, "g3").select(
+        "doc_id",
+        "g3",
+        F.concat_ws(
+            " ",
+            F.split("g3", " ").getItem(0),
+            F.split("g3", " ").getItem(1),
+        ).alias("g12"),
+        F.concat_ws(
+            " ",
+            F.split("g3", " ").getItem(1),
+            F.split("g3", " ").getItem(2),
+        ).alias("g23"),
+        F.split("g3", " ").getItem(1).alias("w2"),
+        F.split("g3", " ").getItem(2).alias("w3"),
+    )
+    terms = (
+        occ.join(tri, "g3", "left")
+        .join(big.select(F.col("g2").alias("g12"), F.col("cb").alias("c12")), "g12", "left")
+        .join(big.select(F.col("g2").alias("g23"), F.col("cb").alias("c23")), "g23", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2")), "w2", "left")
+        .join(uni.select(F.col("w").alias("w3"), F.col("cu").alias("c3")), "w3", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN coalesce(c123, 0L) > 0"
+                " THEN div(c123 * 1000000, c12)"
+                f" WHEN coalesce(c23, 0L) > 0 THEN div(c23 * {SB_ALPHA_E6}, c2)"
+                f" ELSE div(coalesce(c3, 0L) * {SB_ALPHA2_E6}, n_train) END"
+            ).alias("term_e6"),
+        )
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("term_e6").alias("_sum"),
+    )
+    from pyspark.sql import Window
+
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_trigrams",
+            F.expr("div(_sum, n_trigrams)").alias("fluency_e6"),
+        )
+        .withColumn(
+            "_nt",
+            F.ntile(PPLX_BANDS).over(
+                Window.orderBy(F.desc("fluency_e6"), F.asc("doc_id"))
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "fluency_e6",
+            F.when(F.col("_nt") == 1, F.lit("head"))
+            .when(F.col("_nt") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("band"),
+            (F.col("_nt") < PPLX_BANDS).alias("keep"),
+        )
+    )
+
+
+def _stupid_backoff_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tri AS (
+    SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3, COUNT(*) AS c123
+    FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+    WHERE doc_id % {PPLX_TRAIN_STRIDE} = 0
+    GROUP BY 1
+),
+big AS (
+    SELECT t[i] || ' ' || t[i+1] AS g2, COUNT(*) AS cb
+    FROM toks, unnest(range(1, len(t))) AS u(i)
+    WHERE doc_id % {PPLX_TRAIN_STRIDE} = 0
+    GROUP BY 1
+),
+uni AS (
+    SELECT w, COUNT(*) AS cu FROM (
+        SELECT unnest(t) AS w FROM toks
+        WHERE doc_id % {PPLX_TRAIN_STRIDE} = 0
+    ) GROUP BY w
+),
+totals AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_train FROM uni),
+occ AS (
+    SELECT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3,
+           t[i] || ' ' || t[i+1] AS g12,
+           t[i+1] || ' ' || t[i+2] AS g23,
+           t[i+1] AS w2, t[i+2] AS w3
+    FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+    WHERE doc_id % {PPLX_TRAIN_STRIDE} <> 0
+),
+terms AS (
+    SELECT o.doc_id,
+           CASE WHEN COALESCE(tr.c123, 0) > 0
+                THEN (tr.c123 * 1000000) // b12.cb
+                WHEN COALESCE(b23.cb, 0) > 0
+                THEN (b23.cb * {SB_ALPHA_E6}) // u2.cu
+                ELSE (COALESCE(u3.cu, 0) * {SB_ALPHA2_E6}) // n_train
+           END AS term_e6
+    FROM occ o
+    LEFT JOIN tri tr ON tr.g3 = o.g3
+    LEFT JOIN big b12 ON b12.g2 = o.g12
+    LEFT JOIN big b23 ON b23.g2 = o.g23
+    LEFT JOIN uni u2 ON u2.w = o.w2
+    LEFT JOIN uni u3 ON u3.w = o.w3
+    CROSS JOIN totals
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           SUM(term_e6) AS _sum
+    FROM terms GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, n_trigrams, _sum // n_trigrams AS fluency_e6,
+           ntile({PPLX_BANDS}) OVER (
+               ORDER BY _sum // n_trigrams DESC, doc_id ASC) AS nt
+    FROM per_doc
+)
+SELECT doc_id, n_trigrams, CAST(fluency_e6 AS BIGINT) AS fluency_e6,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band,
+       nt < {PPLX_BANDS} AS keep
+FROM banded
+"""
+
+
 QUERIES = {
     "dq_lineitem": dq_lineitem,
     "events_json_variant": events_json_variant,
     "quality_score": quality_score,
     "quality_perplexity": quality_perplexity,
+    "quality_gopher_rules": quality_gopher_rules,
+    "quality_stupid_backoff": quality_stupid_backoff,
     "lineitem_snapshot_diff": lineitem_snapshot_diff,
     "lineitem_snapshot_apply": lineitem_snapshot_apply,
     "lineitem_zorder_layout": lineitem_zorder_layout,
@@ -856,6 +1152,8 @@ ORACLE_SQL = {
     """,
     "quality_score": _quality_score_oracle_sql(),
     "quality_perplexity": _perplexity_oracle_sql(),
+    "quality_gopher_rules": _gopher_oracle_sql(),
+    "quality_stupid_backoff": _stupid_backoff_oracle_sql(),
     "lineitem_snapshot_diff": _snapshot_diff_oracle_sql(),
     "lineitem_snapshot_apply": _snapshot_apply_oracle_sql(),
     "lineitem_zorder_layout": _zorder_oracle_sql(),

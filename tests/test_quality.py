@@ -243,3 +243,58 @@ def test_perplexity_band_shift_fluent_vs_gibberish(spark, tmp_path):
     assert out[1].band == "head" and out[1].keep
     assert out[4].band == "middle" and out[4].keep
     assert out[2].band == "tail" and not out[2].keep
+
+
+def test_gopher_rules_trip_on_targeted_violations(spark, tmp_path):
+    """quality_gopher_rules: each rule trips on a doc built to violate
+    exactly it (and a clean doc passes all) — pins rule semantics the
+    hash gate can't distinguish from constants."""
+    clean = " ".join(
+        ["the", "be", "to", "of", "and"] + [f"word{i}" for i in range(60)]
+    )
+    rows = [
+        (1, clean),  # passes everything
+        (2, "the be " + " ".join(f"w{i}" for i in range(10))),  # < 50 words
+        (3, "the be " + " ".join("ab" for _ in range(60))),  # mean len < 3
+        (4, "the be " + " ".join("#" for _ in range(60))),  # symbols + alpha
+        (5, "\n".join("- item the be" for _ in range(5))),  # 100% bullets
+        (6, clean.replace("the be to of and", "x1 x2 x3 x4 x5")),  # no stopwords
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in quality.quality_gopher_rules(spark, str(tmp_path)).collect()}
+    assert out[1].keep, out[1]
+    assert not out[2].r_word_count and not out[2].keep
+    assert not out[3].r_mean_word_len and not out[3].keep
+    assert not out[4].r_symbol_ratio and not out[4].r_alpha and not out[4].keep
+    assert not out[5].r_bullets and not out[5].keep
+    assert not out[6].r_stopwords and not out[6].keep
+
+
+def test_stupid_backoff_levels_order_fluency(spark, tmp_path):
+    """quality_stupid_backoff: trigram hits outrank bigram-backoff docs,
+    which outrank fully-unseen gibberish (score exactly 0) — pins the
+    three backoff levels actually firing in order."""
+    pattern = "a b c d e f g h"
+    train_rows = [(i, pattern, "en", "s", 1) for i in (0, 3, 6, 9)]
+    scored_rows = [
+        (1, pattern, "en", "s", 1),  # pure training trigrams
+        (4, "c d x f g x c d x f g x", "en", "s", 1),  # bigram backoff
+        (2, "zz qq ww rr tt yy uu ii", "en", "s", 1),  # unseen everywhere
+    ]
+    spark.createDataFrame(
+        train_rows + scored_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in quality.quality_stupid_backoff(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1].fluency_e6 > out[4].fluency_e6 > out[2].fluency_e6
+    assert out[2].fluency_e6 == 0  # every backoff level missed
+    assert out[1].band == "head" and out[1].keep
+    assert out[4].band == "middle" and out[4].keep
+    assert out[2].band == "tail" and not out[2].keep
