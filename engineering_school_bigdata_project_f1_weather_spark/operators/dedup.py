@@ -2337,6 +2337,35 @@ def substr_index_update(
     return new_spans
 
 
+def substr_index_compact(spark: SparkSession, index_path: str) -> None:
+    """Merge-on-write maintenance for the substring index: rewrite the
+    accumulated per-batch occurrence/dup delta files into one compact
+    file set (a fresh snapshot via the same atomic commit — serving
+    never sees a half-compacted state).  The LSM analogue every
+    append-only index needs: per-batch ingest stays ∝ batch because
+    updates only append; compaction amortizes the read-side file-count
+    growth on its own schedule.  Idempotent; the span table rides along
+    unchanged."""
+    live = snapshots.snap_live(index_path)
+    base = os.path.join(index_path, live)
+    occ = spark.read.parquet(f"{base}/occ").localCheckpoint()
+    dup = spark.read.parquet(f"{base}/dup").localCheckpoint()
+    docs = spark.read.parquet(f"{base}/docs").localCheckpoint()
+    spans = spark.read.parquet(f"{base}/spans").localCheckpoint()
+    nxt = snapshots.snap_next(live, "sub_v")
+    nbase = os.path.join(index_path, nxt)
+    # One file per shuffle-partition-worth of rows; at 100 TB this is a
+    # repartition on the probe key (h) so the log also gets bucket
+    # locality for the update-time digest probe.
+    occ.repartition(max(1, occ.rdd.getNumPartitions() // 8), "h").write.mode(
+        "overwrite"
+    ).parquet(f"{nbase}/occ")
+    dup.coalesce(1).write.mode("overwrite").parquet(f"{nbase}/dup")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{nbase}/docs")
+    spans.write.mode("overwrite").parquet(f"{nbase}/spans")
+    snapshots.snap_commit(index_path, nxt, "sub_v")
+
+
 def substr_resolve(spark: SparkSession, index_path: str) -> DataFrame:
     """Serving view over the substring index: the current span table —
     same shape and semantics as :func:`dedup_substring` over the whole

@@ -1260,3 +1260,35 @@ def test_substr_index_promotes_stored_singleton(spark, tmp_path):
         (1,),
         (3,),
     }
+
+
+def test_substr_index_compact_preserves_serving(spark, sf_dir, tmp_path):
+    """substr_index_compact: fewer data files, identical serving view,
+    updates still work afterwards (the LSM compaction contract)."""
+    import glob
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    docs = dedup._docs(spark, sf_dir).select("doc_id", "text")
+    idx = str(tmp_path / "sub_idx_compact")
+    dedup.substr_index_init(spark, docs.where(F.col("doc_id") % 3 == 0), idx)
+    dedup.substr_index_update(spark, docs.where(F.col("doc_id") % 3 == 1), idx)
+
+    def n_occ_files():
+        live = snapshots.snap_live(idx)
+        return len(glob.glob(os.path.join(idx, live, "occ", "part-*")))
+
+    before_files = n_occ_files()
+    before = {tuple(r) for r in dedup.substr_resolve(spark, idx).collect()}
+    dedup.substr_index_compact(spark, idx)
+    assert n_occ_files() < before_files
+    assert {tuple(r) for r in dedup.substr_resolve(spark, idx).collect()} == before
+    # post-compaction ingest still reaches batch parity
+    dedup.substr_index_update(spark, docs.where(F.col("doc_id") % 3 == 2), idx)
+    got = {tuple(r) for r in dedup.substr_resolve(spark, idx).collect()}
+    want = {tuple(r) for r in dedup.dedup_substring(spark, sf_dir).collect()}
+    assert got == want
