@@ -971,6 +971,146 @@ FROM facts, dups
 """
 
 
+# --- DSIR importance weighting (Xie et al. 2023) --------------------------
+
+# "Data Selection for Language Models via Importance Resampling": fit two
+# bag-of-hashed-ngrams models — one on a small TARGET (high-quality
+# reference) corpus, one on the RAW pool — and weight each raw document
+# by how much more likely its features are under the target model.  The
+# paper's design insight is the HASHED feature space: the model is a
+# FIXED-size bucket table regardless of vocabulary, so at 100 TB the
+# scoring join is a broadcast of DSIR_B rows against a scan — no
+# vocabulary-sized shuffle at all (contrast quality_perplexity, whose
+# model tables grow with the reference vocabulary).
+#
+# Exact-integer adaptation (same contract as the other quality/selection
+# entries): per-feature weight = Laplace-smoothed probability ratio in
+# e6 fixed point; per-doc weight = arithmetic mean over its feature
+# occurrences (the order-preserving rational surrogate of the paper's
+# log-product — same move quality_perplexity documents); selection =
+# deterministic top-fraction by (weight, doc_id) rank instead of
+# Gumbel-noise resampling (RNG is not reproducible across engines; the
+# rank form is the hash-gatable variant, and a seeded-hash Gumbel can
+# layer on top unchanged).
+DSIR_B = 1024  # hashed feature buckets (unigrams + bigrams)
+DSIR_KEEP_NUM, DSIR_KEEP_DEN = 1, 4  # keep the top quarter of the pool
+
+
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, dsir_weight_e6, selected) over the raw pool
+    (doc_id % PPLX stride != 0); target model trained on the stride-0
+    reference docs."""
+    from .quality import PPLX_TRAIN_STRIDE
+
+    d = load_table_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    target = d.where(F.col("doc_id") % PPLX_TRAIN_STRIDE == 0)
+    raw = d.where(F.col("doc_id") % PPLX_TRAIN_STRIDE != 0)
+
+    def feats(frame):
+        uni = frame.select(
+            "doc_id", F.explode(texts.tokens(F.col("text"))).alias("g")
+        )
+        big = texts.shingle_frame(frame, 2, dedup=False)
+        return uni.unionByName(big).select(
+            "doc_id", (texts.hash32(F.col("g")) % DSIR_B).alias("b")
+        )
+
+    tcnt = feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    rocc = feats(raw)
+    rcnt = rocc.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    # Fixed-size model: DSIR_B rows of (b, w_e6) — built by joining the
+    # two count tables on the bucket grid so empty buckets still get the
+    # smoothed ratio.
+    grid = spark.range(DSIR_B).select(F.col("id").cast("long").alias("b"))
+    tt = tcnt.agg(F.sum("ct").cast("long").alias("t_tot"))
+    rt = rcnt.agg(F.sum("cr").cast("long").alias("r_tot"))
+    model = (
+        grid.join(tcnt, "b", "left")
+        .join(rcnt, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            F.expr(
+                f"div((coalesce(ct, 0L) + 1) * (r_tot + {DSIR_B}) * 1000000,"
+                f" (coalesce(cr, 0L) + 1) * (t_tot + {DSIR_B}))"
+            ).alias("w_e6"),
+        )
+    )
+    per_doc = (
+        rocc.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w_e6").alias("_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.expr("div(_sum, n_feats)").alias("dsir_weight_e6"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("dsir_weight_e6"), F.asc("doc_id"))
+    n = Window.partitionBy()
+    return per_doc.select(
+        "doc_id",
+        "n_feats",
+        "dsir_weight_e6",
+        (
+            F.row_number().over(w) * DSIR_KEEP_DEN
+            <= F.count(F.lit(1)).over(n) * DSIR_KEEP_NUM
+        ).alias("selected"),
+    )
+
+
+def _dsir_oracle_sql() -> str:
+    from .quality import PPLX_TRAIN_STRIDE
+
+    h = texts.hash32_sql("g")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+feats AS (
+    SELECT doc_id, {h} % {DSIR_B} AS b FROM (
+        SELECT doc_id, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    )
+),
+tcnt AS (
+    SELECT b, COUNT(*) AS ct FROM feats
+    WHERE doc_id % {PPLX_TRAIN_STRIDE} = 0 GROUP BY b
+),
+rocc AS (SELECT * FROM feats WHERE doc_id % {PPLX_TRAIN_STRIDE} <> 0),
+rcnt AS (SELECT b, COUNT(*) AS cr FROM rocc GROUP BY b),
+tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS t_tot FROM tcnt),
+rt AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS r_tot FROM rcnt),
+model AS (
+    SELECT g.b,
+           ((COALESCE(ct, 0) + 1) * (r_tot + {DSIR_B}) * 1000000)
+           // ((COALESCE(cr, 0) + 1) * (t_tot + {DSIR_B})) AS w_e6
+    FROM (SELECT unnest(range(0, {DSIR_B})) AS b) g
+    LEFT JOIN tcnt USING (b)
+    LEFT JOIN rcnt USING (b)
+    CROSS JOIN tt CROSS JOIN rt
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           SUM(w_e6) AS _sum
+    FROM rocc JOIN model USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_feats, CAST(_sum // n_feats AS BIGINT) AS dsir_weight_e6,
+       ROW_NUMBER() OVER (ORDER BY _sum // n_feats DESC, doc_id ASC)
+           * {DSIR_KEEP_DEN}
+       <= COUNT(*) OVER () * {DSIR_KEEP_NUM} AS selected
+FROM per_doc
+"""
+
+
 QUERIES = {
     "corpus_card": corpus_card,
     "sample_balanced": sample_balanced,
@@ -986,6 +1126,7 @@ QUERIES = {
     "sample_weighted_reservoir": sample_weighted_reservoir,
     "corpus_mix": corpus_mix,
     "corpus_forget": corpus_forget,
+    "sample_dsir": sample_dsir,
 }
 
 ORACLE_SQL = {
@@ -1003,4 +1144,5 @@ ORACLE_SQL = {
     "sample_weighted_reservoir": _weighted_reservoir_oracle_sql(),
     "corpus_mix": _mix_oracle_sql(),
     "corpus_forget": _forget_oracle_sql(),
+    "sample_dsir": _dsir_oracle_sql(),
 }

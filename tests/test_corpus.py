@@ -1292,3 +1292,29 @@ def test_substr_index_compact_preserves_serving(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in dedup.substr_resolve(spark, idx).collect()}
     want = {tuple(r) for r in dedup.dedup_substring(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_dsir_weights_favor_target_distribution(spark, tmp_path):
+    """sample_dsir (Xie et al. 2023 shape): raw docs made of the target
+    corpus's own n-grams outweigh novel-vocabulary docs, and exactly the
+    top keep-fraction is selected deterministically."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import corpus
+
+    target_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, target_text) for i in (0, 3, 6, 9)] + [
+        (1, target_text),  # pure target n-grams → top weight
+        (2, "nope1 nope2 nope3 nope4 nope5 nope6 nope7 nope8"),
+        (4, "alpha beta nope1 nope2 gamma delta nope3 nope4"),  # mixed
+        (5, "xx1 xx2 xx3 xx4 xx5 xx6 xx7 xx8"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in corpus.sample_dsir(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 4, 5}
+    assert out[1].dsir_weight_e6 > out[4].dsir_weight_e6
+    assert out[4].dsir_weight_e6 > max(out[2].dsir_weight_e6, out[5].dsir_weight_e6)
+    # keep fraction 1/4 of a 4-doc pool → exactly the target-like doc
+    assert out[1].selected
+    assert not any(out[i].selected for i in (2, 4, 5))
