@@ -1318,3 +1318,32 @@ def test_dsir_weights_favor_target_distribution(spark, tmp_path):
     # keep fraction 1/4 of a 4-doc pool → exactly the target-like doc
     assert out[1].selected
     assert not any(out[i].selected for i in (2, 4, 5))
+
+
+def test_substr_index_snapshot_durability(spark, sf_dir, tmp_path):
+    """The substring index rides the shared versioned-snapshot
+    convention: crash debris (a half-written next-version dir, an
+    orphan) never affects results and is GC'd by the next commit;
+    exactly one sub_v* dir is live afterwards."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    docs = dedup._docs(spark, sf_dir).select("doc_id", "text")
+    idx = str(tmp_path / "sub_idx_snap")
+    dedup.substr_index_init(spark, docs.where(F.col("doc_id") % 2 == 0), idx)
+    assert snapshots.snap_live(idx) == "sub_v0"
+    os.makedirs(os.path.join(idx, "sub_v1"))
+    open(os.path.join(idx, "sub_v1", "part-junk"), "w").write("junk")
+    os.makedirs(os.path.join(idx, "sub_v99"))
+
+    dedup.substr_index_update(spark, docs.where(F.col("doc_id") % 2 == 1), idx)
+    live = snapshots.snap_live(idx)
+    assert live == "sub_v1"
+    assert [d for d in os.listdir(idx) if d.startswith("sub_v")] == [live]
+    got = {tuple(r) for r in dedup.substr_resolve(spark, idx).collect()}
+    want = {tuple(r) for r in dedup.dedup_substring(spark, sf_dir).collect()}
+    assert got == want and got
