@@ -610,6 +610,8 @@ SLOPE_QUERIES = [
     # (init + update + resolve; VERDICT r8 item 7)
     "dedup_substring",
     "dedup_er_incremental",
+    # hashed-bucket importance scoring: growth ∝ raw-pool feature rows
+    "sample_dsir",
 ]
 
 
