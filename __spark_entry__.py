@@ -78,6 +78,7 @@ _WINDOW_R9 = [
     "dedup_substring", "dedup_substring_apply",
     "dedup_substring_incremental", "quality_perplexity",
     "quality_gopher_rules", "quality_stupid_backoff", "sample_dsir",
+    "text_decontaminate",
     # fell out of the 51-long r8 list (r5-vintage)
     "text_keywords",
     # r5-vintage: complete
@@ -97,7 +98,6 @@ _WINDOW_R9 = [
     # r6-vintage: the oldest remaining, module order
     "events_hourly", "events_hourly_incremental", "events_sessionize",
     "events_json", "events_anomaly", "events_funnel",
-    "events_retention",
 ]
 # Rotation-intent guard (VERDICT r8 item 1: the r8 list had 51 names and
 # the driver's first-50 check silently dropped the last one).

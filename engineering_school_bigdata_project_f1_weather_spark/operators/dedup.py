@@ -2043,32 +2043,32 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _substr_spans(seeds)
 
 
-def _substr_occ(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, h) rolling W-token shingle occurrence rows of a
+def _substr_occ(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """(doc_id, pos, h) rolling w-token shingle occurrence rows of a
     (doc_id, text) frame — 1-based pos, full-md5 digest, codegen
     lead-chain (one doc_id-keyed exchange)."""
     wt = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", j).over(wt).alias(f"_t{j}") for j in range(1, SUBSTR_W)]
+    leads = [F.lead("tok", j).over(wt).alias(f"_t{j}") for j in range(1, w)]
     return (
         docs.select(
             "doc_id",
             F.posexplode(texts.tokens(F.col("text"))).alias("pos", "tok"),
         )
         .select("doc_id", "pos", "tok", *leads)
-        .where(F.col(f"_t{SUBSTR_W - 1}").isNotNull())
+        .where(F.col(f"_t{w - 1}").isNotNull())
         .select(
             "doc_id",
             (F.col("pos") + 1).cast("long").alias("pos"),
             F.md5(
                 F.concat_ws(
-                    " ", "tok", *[f"_t{j}" for j in range(1, SUBSTR_W)]
+                    " ", "tok", *[f"_t{j}" for j in range(1, w)]
                 )
             ).alias("h"),
         )
     )
 
 
-def _substr_spans(seeds: DataFrame) -> DataFrame:
+def _substr_spans(seeds: DataFrame, w: int = SUBSTR_W) -> DataFrame:
     """Merge (doc_id, pos) seed rows into maximal disjoint spans
     (gaps-and-islands; one doc_id-keyed exchange reused by the final
     groupBy)."""
@@ -2081,7 +2081,7 @@ def _substr_spans(seeds: DataFrame) -> DataFrame:
         F.sum(
             F.when(
                 F.col("prev").isNull()
-                | (F.col("pos") > F.col("prev") + SUBSTR_W),
+                | (F.col("pos") > F.col("prev") + w),
                 1,
             ).otherwise(0)
         )
@@ -2094,8 +2094,8 @@ def _substr_spans(seeds: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "span_start",
-            (F.col("_mx") + SUBSTR_W - 1).cast("long").alias("span_end"),
-            (F.col("_mx") + SUBSTR_W - F.col("span_start"))
+            (F.col("_mx") + w - 1).cast("long").alias("span_end"),
+            (F.col("_mx") + w - F.col("span_start"))
             .cast("long")
             .alias("span_tokens"),
         )
@@ -2203,6 +2203,75 @@ seeds AS (
     SELECT doc_id, pos FROM (
         SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM occ
     ) WHERE cnt >= 2
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(CASE WHEN prev IS NULL OR pos > prev + {w} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM seeds)
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       CAST(MAX(pos) + {w} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {w} - MIN(pos) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+# ----------------------- eval-set decontamination (round 9)
+# GPT-3 (Brown et al. 2020, Appendix C) decontaminates training data by
+# removing every 13-gram collision with a benchmark; the Lee et al.
+# span algebra above is exactly the right machinery — only the seed
+# definition changes: a seed is a corpus window whose content occurs
+# ANYWHERE in the eval set (cross-set membership), not "≥2 times in the
+# corpus" (within-set duplication).  Same eval split convention as
+# text_contamination (doc_id % EVAL_STRIDE == 0).
+DECON_W = 13  # GPT-3's 13-gram collision window
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-collision removal list: (doc_id, span_start, span_end,
+    span_tokens) — maximal merged spans of NON-eval docs covering every
+    13-gram that also occurs in the held-out eval set.
+
+    Plan: the eval side's distinct window digests are broadcast (an
+    eval set is small by construction — the same asymmetry
+    text_contamination exploits), so the corpus side never shuffles for
+    the membership test; one doc_id exchange for the lead-chain windows
+    and one for the island merge."""
+    from .corpus import EVAL_STRIDE
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    occ = _substr_occ(docs, DECON_W)
+    eval_h = (
+        occ.where(F.col("doc_id") % EVAL_STRIDE == 0).select("h").distinct()
+    )
+    seeds = (
+        occ.where(F.col("doc_id") % EVAL_STRIDE != 0)
+        .join(F.broadcast(eval_h), "h", "left_semi")
+        .select("doc_id", "pos")
+    )
+    return _substr_spans(seeds, DECON_W)
+
+
+def _decontaminate_oracle_sql(w: int = DECON_W) -> str:
+    from .corpus import EVAL_STRIDE
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+occ AS (
+    SELECT doc_id, CAST(p AS BIGINT) AS pos,
+           md5(array_to_string(t[p:p+{w - 1}], ' ')) AS h
+    FROM toks, unnest(range(1, len(t) - {w} + 2)) AS u(p)
+    WHERE len(t) >= {w}
+),
+ev AS (SELECT DISTINCT h FROM occ WHERE doc_id % {EVAL_STRIDE} = 0),
+seeds AS (
+    SELECT doc_id, pos FROM occ
+    WHERE doc_id % {EVAL_STRIDE} <> 0 AND h IN (SELECT h FROM ev)
 ),
 isl AS (
     SELECT doc_id, pos,
@@ -2620,6 +2689,7 @@ QUERIES = {
     "dedup_substring": dedup_substring,
     "dedup_substring_apply": dedup_substring_apply,
     "dedup_substring_incremental": dedup_substring_incremental,
+    "text_decontaminate": text_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -2657,4 +2727,5 @@ ORACLE_SQL = {
     # the BATCH span oracle, verbatim: the incremental path must lose
     # nothing vs recomputing from scratch (see dedup_substring_incremental).
     "dedup_substring_incremental": _substring_oracle_sql(),
+    "text_decontaminate": _decontaminate_oracle_sql(),
 }

@@ -1347,3 +1347,29 @@ def test_substr_index_snapshot_durability(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in dedup.substr_resolve(spark, idx).collect()}
     want = {tuple(r) for r in dedup.dedup_substring(spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_decontaminate_flags_exact_13gram_not_12(spark, tmp_path):
+    """text_decontaminate (GPT-3 Appendix C shape): a raw doc embedding
+    an eval doc's 13-gram verbatim gets exactly that span; a 12-token
+    overlap (below the window) is NOT flagged; eval docs never appear."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    W = dedup.DECON_W
+    bench = " ".join(f"ev{i}" for i in range(W))  # the eval 13-gram
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (100, bench + " " + filler("tail", 5)),  # eval doc (id % 100 == 0)
+        # raw doc: 4 filler tokens, then the full 13-gram at pos 5..17
+        (7, filler("a", 4) + " " + bench + " " + filler("b", 3)),
+        # raw doc with only the first 12 tokens of the benchmark
+        (8, filler("c", 4) + " " + " ".join(f"ev{i}" for i in range(W - 1))),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup.text_decontaminate(spark, str(tmp_path)).collect()
+    assert {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out} == {
+        (7, 5, 4 + W, W)
+    }
