@@ -996,10 +996,21 @@ DSIR_B = 1024  # hashed feature buckets (unigrams + bigrams)
 DSIR_KEEP_NUM, DSIR_KEEP_DEN = 1, 4  # keep the top quarter of the pool
 
 
-def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_feats, dsir_weight_e6, selected) over the raw pool
-    (doc_id % PPLX stride != 0); target model trained on the stride-0
-    reference docs."""
+def _dsir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scoring pipeline of the two DSIR entries: (doc_id,
+    n_feats, dsir_weight_e6) over the raw pool (doc_id % PPLX stride
+    != 0); target model trained on the stride-0 reference docs.
+
+    int64 headroom (ADVICE r9): the per-bucket weight numerator is
+    ``(ct + 1) * (r_tot + B) * 1e6`` — with B = 1024 buckets the
+    expected per-bucket ct is t_tot/1024, so the product is roughly
+    ``t_tot * r_tot * 1e6 / 1024`` and overflows int64 once
+    t_tot·r_tot nears 9.4e15 (e.g. ~10⁸ target features × ~10⁸ raw
+    features).  TIGHTER than quality_perplexity's bound; under ANSI
+    the job aborts rather than wrapping.  At that scale drop the e6
+    factor (weights stay well-separated) or widen the intermediates to
+    decimal(38,0) on both engines — the fixture scales here sit ~6
+    orders below the bound."""
     from .quality import PPLX_TRAIN_STRIDE
 
     d = load_table_spread(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1037,7 +1048,7 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_e6"),
         )
     )
-    per_doc = (
+    return (
         rocc.join(F.broadcast(model), "b")
         .groupBy("doc_id")
         .agg(
@@ -1050,8 +1061,19 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("div(_sum, n_feats)").alias("dsir_weight_e6"),
         )
     )
+
+
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, dsir_weight_e6, selected): deterministic
+    top-quarter selection by (weight desc, doc_id) rank — the
+    ORACLE-TWIN form whose rank and total both come from
+    empty-partitionBy windows (one window partition holding every
+    scored doc; cross-engine reproducible, not the scale shape —
+    :func:`sample_dsir_selected` is, parity-pinned by
+    tests/test_corpus.py::test_dsir_selected_matches_window_twin)."""
     from pyspark.sql import Window
 
+    per_doc = _dsir_weighted(spark, sf_dir)
     w = Window.orderBy(F.desc("dsir_weight_e6"), F.asc("doc_id"))
     n = Window.partitionBy()
     return per_doc.select(
@@ -1062,6 +1084,30 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w) * DSIR_KEEP_DEN
             <= F.count(F.lit(1)).over(n) * DSIR_KEEP_NUM
         ).alias("selected"),
+    )
+
+
+def sample_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE DSIR selection (round 10, VERDICT r9 item 1):
+    same output contract and DuckDB oracle as :func:`sample_dsir`, but
+    the rank comes from the exact two-pass distributed global rank
+    (``functions/ranks.py``) and the total from its bounded
+    per-slice-count collect — no empty-partitionBy row_number/count
+    windows, so no task ever sorts more than one range slice of the
+    scored pool."""
+    from ..functions import ranks
+
+    per_doc = _dsir_weighted(spark, sf_dir)
+    ranked, n = ranks.global_ranked(
+        per_doc, [F.desc("dsir_weight_e6"), F.asc("doc_id")]
+    )
+    return ranked.select(
+        "doc_id",
+        "n_feats",
+        "dsir_weight_e6",
+        (F.col(ranks.RANK_COL) * DSIR_KEEP_DEN <= n * DSIR_KEEP_NUM).alias(
+            "selected"
+        ),
     )
 
 
@@ -1127,6 +1173,7 @@ QUERIES = {
     "corpus_mix": corpus_mix,
     "corpus_forget": corpus_forget,
     "sample_dsir": sample_dsir,
+    "sample_dsir_selected": sample_dsir_selected,
 }
 
 ORACLE_SQL = {
@@ -1145,4 +1192,7 @@ ORACLE_SQL = {
     "corpus_mix": _mix_oracle_sql(),
     "corpus_forget": _forget_oracle_sql(),
     "sample_dsir": _dsir_oracle_sql(),
+    # bit-identical by construction (exact rank = exact row_number):
+    # the scale path shares the window twin's oracle verbatim.
+    "sample_dsir_selected": _dsir_oracle_sql(),
 }

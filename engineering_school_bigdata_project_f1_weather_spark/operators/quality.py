@@ -25,7 +25,7 @@ plan anyway (the production data-quality monitor shape).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 
 from ..functions import texts
 from ..sources.tables import load_table
@@ -818,9 +818,9 @@ PPLX_TRAIN_STRIDE = 3  # doc_id % 3 == 0 trains the LM; the rest are scored
 PPLX_BANDS = 3  # head / middle / tail
 
 
-def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-LM fluency filter: (doc_id, n_bigrams, pplx_e6, band,
-    keep) over the non-training documents.
+def _perplexity_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scoring pipeline of the two perplexity entries: (doc_id,
+    n_bigrams, pplx_e6) over the non-training documents.
 
     Plan: two training-side aggregations (bigram counts keyed on the
     pair, unigram counts keyed on the token — both hash-partitioned
@@ -828,11 +828,7 @@ def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows through two equi-joins on those keys (strategy left to AQE —
     at 100 TB the model tables are corpus-vocabulary-sized and the
     joins stay hash-partitioned; on small reference corpora AQE
-    broadcasts them), one (doc_id) partial-agg, and a rows = |scored
-    docs| ntile sort for the terciles.  The exact global ntile is the
-    oracle-reproducible banding; a deployment derives the two band
-    thresholds once via approx_percentile and bands in the scan, like
-    :func:`quality_score`'s fixed thresholds.
+    broadcasts them), and one (doc_id) partial-agg.
 
     Per-term arithmetic: ``term_e6 = ((c1 + V) * 1e6) // (c12 + 1)``
     — the inverse Laplace-smoothed probability of the observed bigram;
@@ -876,28 +872,64 @@ def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("term_e6").alias("_sum"),
     )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("div(_sum, n_bigrams)").alias("pplx_e6"),
+    )
+
+
+def _band_cols(nt: Column) -> list[Column]:
+    """The shared (band, keep) projection of a tercile number."""
+    return [
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("band"),
+        (nt < PPLX_BANDS).alias("keep"),
+    ]
+
+
+def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency filter: (doc_id, n_bigrams, pplx_e6, band,
+    keep) over the non-training documents — the ORACLE-TWIN form whose
+    tercile banding is a literal global ntile (rows = |scored docs| in
+    one window partition; cross-engine reproducible but NOT the shape
+    to run at scale — :func:`quality_perplexity_banded` is, and its
+    parity with this entry is pinned by
+    tests/test_quality.py::test_perplexity_banded_matches_ntile_twin)."""
     from pyspark.sql import Window
 
     return (
-        per_doc.select(
-            "doc_id",
-            "n_bigrams",
-            F.expr("div(_sum, n_bigrams)").alias("pplx_e6"),
-        )
+        _perplexity_scored(spark, sf_dir)
         .withColumn(
             "_nt",
             F.ntile(PPLX_BANDS).over(Window.orderBy("pplx_e6", "doc_id")),
         )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "pplx_e6",
-            F.when(F.col("_nt") == 1, F.lit("head"))
-            .when(F.col("_nt") == 2, F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("band"),
-            (F.col("_nt") < PPLX_BANDS).alias("keep"),
-        )
+        .select("doc_id", "n_bigrams", "pplx_e6", *_band_cols(F.col("_nt")))
+    )
+
+
+def quality_perplexity_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE perplexity banding (round 10, VERDICT r9 item 1):
+    identical output contract (and DuckDB oracle) as
+    :func:`quality_perplexity`, but the terciles come from an exact
+    two-pass distributed global rank (``functions/ranks.py``: range
+    exchange + bounded per-slice-count collect + per-slice row_number)
+    and per-row ntile arithmetic evaluated in the scan — NO
+    empty-partitionBy window, so no task ever sorts more than one range
+    slice.  At 100 TB this is the plan you run; the ntile entry stays
+    as the oracle twin, the same split :func:`zorder_write_layout` /
+    :func:`lineitem_zorder_layout` use."""
+    from ..functions import ranks
+
+    scored = _perplexity_scored(spark, sf_dir)
+    ranked, n = ranks.global_ranked(
+        scored, [F.asc("pplx_e6"), F.asc("doc_id")]
+    )
+    nt = ranks.ntile_expr(n, PPLX_BANDS)
+    return ranked.select(
+        "doc_id", "n_bigrams", "pplx_e6", *_band_cols(nt)
     )
 
 
@@ -960,20 +992,16 @@ SB_ALPHA_E6 = 400_000  # α = 0.4
 SB_ALPHA2_E6 = 160_000  # α² = 0.16
 
 
-def quality_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trigram stupid-backoff fluency: (doc_id, n_trigrams, fluency_e6,
-    band, keep) over the non-training documents — the trigram
-    complement of :func:`quality_perplexity` (same stride split, same
-    tercile banding; here HIGH score = fluent, so the tail band is the
-    LOWEST tercile).
+def _backoff_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scoring pipeline of the two stupid-backoff entries:
+    (doc_id, n_trigrams, fluency_e6) over the non-training documents.
 
     Plan: three training-side aggregations (trigram / bigram / unigram
     counts, all hash-partitioned with partial agg, plus the 1-row token
     total), the scored corpus's trigram occurrence rows through five
     equi-joins on those keys (model tables are train-vocabulary-sized;
     AQE broadcasts them on small reference corpora, hash elsewhere),
-    one doc_id partial-agg, and the narrow (doc_id, score) tercile
-    sort."""
+    and one doc_id partial-agg."""
     from ..functions import texts
     from ..sources.tables import load_table_spread
 
@@ -1034,14 +1062,26 @@ def quality_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_trigrams"),
         F.sum("term_e6").alias("_sum"),
     )
+    return per_doc.select(
+        "doc_id",
+        "n_trigrams",
+        F.expr("div(_sum, n_trigrams)").alias("fluency_e6"),
+    )
+
+
+def quality_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff fluency: (doc_id, n_trigrams, fluency_e6,
+    band, keep) over the non-training documents — the trigram
+    complement of :func:`quality_perplexity` (same stride split, same
+    tercile banding; here HIGH score = fluent, so the tail band is the
+    LOWEST tercile).  Like that entry this is the ORACLE-TWIN form (one
+    global ntile window); the scale path is
+    :func:`quality_backoff_banded`, parity-pinned by
+    tests/test_quality.py::test_backoff_banded_matches_ntile_twin."""
     from pyspark.sql import Window
 
     return (
-        per_doc.select(
-            "doc_id",
-            "n_trigrams",
-            F.expr("div(_sum, n_trigrams)").alias("fluency_e6"),
-        )
+        _backoff_scored(spark, sf_dir)
         .withColumn(
             "_nt",
             F.ntile(PPLX_BANDS).over(
@@ -1049,15 +1089,27 @@ def quality_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            "doc_id",
-            "n_trigrams",
-            "fluency_e6",
-            F.when(F.col("_nt") == 1, F.lit("head"))
-            .when(F.col("_nt") == 2, F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("band"),
-            (F.col("_nt") < PPLX_BANDS).alias("keep"),
+            "doc_id", "n_trigrams", "fluency_e6", *_band_cols(F.col("_nt"))
         )
+    )
+
+
+def quality_backoff_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE stupid-backoff banding (round 10, VERDICT r9
+    item 1): same output contract and DuckDB oracle as
+    :func:`quality_stupid_backoff`, terciles from the exact two-pass
+    distributed rank (``functions/ranks.py``) instead of the
+    single-partition ntile window — see
+    :func:`quality_perplexity_banded` for the plan argument."""
+    from ..functions import ranks
+
+    scored = _backoff_scored(spark, sf_dir)
+    ranked, n = ranks.global_ranked(
+        scored, [F.desc("fluency_e6"), F.asc("doc_id")]
+    )
+    nt = ranks.ntile_expr(n, PPLX_BANDS)
+    return ranked.select(
+        "doc_id", "n_trigrams", "fluency_e6", *_band_cols(nt)
     )
 
 
@@ -1133,8 +1185,10 @@ QUERIES = {
     "events_json_variant": events_json_variant,
     "quality_score": quality_score,
     "quality_perplexity": quality_perplexity,
+    "quality_perplexity_banded": quality_perplexity_banded,
     "quality_gopher_rules": quality_gopher_rules,
     "quality_stupid_backoff": quality_stupid_backoff,
+    "quality_backoff_banded": quality_backoff_banded,
     "lineitem_snapshot_diff": lineitem_snapshot_diff,
     "lineitem_snapshot_apply": lineitem_snapshot_apply,
     "lineitem_zorder_layout": lineitem_zorder_layout,
@@ -1152,8 +1206,12 @@ ORACLE_SQL = {
     """,
     "quality_score": _quality_score_oracle_sql(),
     "quality_perplexity": _perplexity_oracle_sql(),
+    # bit-identical by construction (exact rank = exact ntile): the
+    # banded scale path shares the ntile twin's oracle verbatim.
+    "quality_perplexity_banded": _perplexity_oracle_sql(),
     "quality_gopher_rules": _gopher_oracle_sql(),
     "quality_stupid_backoff": _stupid_backoff_oracle_sql(),
+    "quality_backoff_banded": _stupid_backoff_oracle_sql(),
     "lineitem_snapshot_diff": _snapshot_diff_oracle_sql(),
     "lineitem_snapshot_apply": _snapshot_apply_oracle_sql(),
     "lineitem_zorder_layout": _zorder_oracle_sql(),

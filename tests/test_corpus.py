@@ -1373,3 +1373,27 @@ def test_decontaminate_flags_exact_13gram_not_12(spark, tmp_path):
     assert {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out} == {
         (7, 5, 4 + W, W)
     }
+
+
+def test_dsir_selected_matches_window_twin(spark, sf_dir):
+    """sample_dsir_selected (exact two-pass distributed rank, round 10,
+    VERDICT r9 item 1) must equal the window-twin sample_dsir
+    bit-for-bit, and its plan must carry no SinglePartition exchange
+    (the twin's global row_number/count windows need one)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        corpus as c,
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    twin = sorted(map(tuple, c.sample_dsir(spark, sf_dir).collect()))
+    sel = sorted(map(tuple, c.sample_dsir_selected(spark, sf_dir).collect()))
+    assert sel == twin and len(twin) > 0
+    assert sum(1 for r in twin if r[-1]) > 0  # someone is selected
+    assert "SinglePartition" in plan(c.sample_dsir(spark, sf_dir))
+    assert "SinglePartition" not in plan(c.sample_dsir_selected(spark, sf_dir))

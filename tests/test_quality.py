@@ -298,3 +298,97 @@ def test_stupid_backoff_levels_order_fluency(spark, tmp_path):
     assert out[1].band == "head" and out[1].keep
     assert out[4].band == "middle" and out[4].keep
     assert out[2].band == "tail" and not out[2].keep
+
+
+# --- scale-safe banding twins (round 10, VERDICT r9 item 1) ---------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_perplexity_banded_matches_ntile_twin(spark, sf_dir):
+    """quality_perplexity_banded (exact two-pass distributed rank) must
+    equal the ntile oracle twin BIT-FOR-BIT — stronger than the zorder
+    writer's tolerance contract because the rank here is exact, not
+    sampled.  Plan shape: the twin needs a SinglePartition exchange for
+    its global window; the banded path must have none."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        quality as q,
+    )
+
+    twin = sorted(map(tuple, q.quality_perplexity(spark, sf_dir).collect()))
+    banded = sorted(
+        map(tuple, q.quality_perplexity_banded(spark, sf_dir).collect())
+    )
+    assert banded == twin and len(twin) > 0
+    assert "SinglePartition" in _plan(q.quality_perplexity(spark, sf_dir))
+    assert "SinglePartition" not in _plan(
+        q.quality_perplexity_banded(spark, sf_dir)
+    )
+
+
+def test_backoff_banded_matches_ntile_twin(spark, sf_dir):
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        quality as q,
+    )
+
+    twin = sorted(map(tuple, q.quality_stupid_backoff(spark, sf_dir).collect()))
+    banded = sorted(
+        map(tuple, q.quality_backoff_banded(spark, sf_dir).collect())
+    )
+    assert banded == twin and len(twin) > 0
+    assert "SinglePartition" not in _plan(
+        q.quality_backoff_banded(spark, sf_dir)
+    )
+
+
+def test_global_rank_exact_vs_window_ntile(spark):
+    """functions/ranks.py property check on a synthetic frame WITH
+    duplicate sort values (ties broken by id): the two-pass rank and
+    the per-row ntile arithmetic must match row_number()/ntile() over a
+    global window exactly, for several tile counts including n % k != 0
+    and k > n."""
+    import pyspark.sql.functions as F  # noqa: F811
+    from pyspark.sql import Window
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import ranks
+
+    df = spark.range(997).select(
+        F.col("id").cast("long").alias("id"),
+        ((F.col("id") * 2654435761) % 101).cast("long").alias("v"),
+    )
+    ranked, n = ranks.global_ranked(df, [F.asc("v"), F.asc("id")])
+    assert n == 997
+    w = Window.orderBy("v", "id")
+    expected = {
+        (r.v, r.id): r.rk
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {(r.v, r.id): r._rank for r in ranked.collect()}
+    assert got == expected
+    for k in (3, 4, 7, 1000):
+        exp_nt = {
+            r.id: r.nt
+            for r in df.withColumn("nt", F.ntile(k).over(w)).collect()
+        }
+        got_nt = {
+            r.id: r.nt
+            for r in ranked.withColumn(
+                "nt", ranks.ntile_expr(n, k)
+            ).collect()
+        }
+        assert got_nt == exp_nt, f"k={k}"
+
+
+def test_global_rank_empty_frame(spark):
+    from engineering_school_bigdata_project_f1_weather_spark.functions import ranks
+    import pyspark.sql.functions as F  # noqa: F811
+
+    df = spark.range(10).where(F.col("id") < 0)
+    ranked, n = ranks.global_ranked(df, [F.asc("id")])
+    assert n == 0 and ranked.count() == 0
