@@ -2231,13 +2231,25 @@ FROM isl GROUP BY doc_id, island
 # ANYWHERE in the eval set (cross-set membership), not "≥2 times in the
 # corpus" (within-set duplication).  Same eval split convention as
 # text_contamination (doc_id % EVAL_STRIDE == 0).
-DECON_W = 13  # GPT-3's 13-gram collision window
+DECON_W = 13  # GPT-3's 13-gram collision window — the deployment default
+# Fixture-scale gate window (round 10, VERDICT r9 item 3): at sf0.01 the
+# synthetic eval split shares NO 13-gram with the corpus, so the r9
+# registry row was vacuously green (0 rows vs 0 rows — the empty hash
+# pins nothing).  The driver gate therefore runs the entry at the
+# largest window that actually collides on the fixture (W = 4 → 11 seed
+# occurrences at sf0.01; measured, see COVERAGE.md), while the paper's
+# W = 13 stays the function default and keeps its exact-window unit test
+# (tests/test_corpus.py::test_decontaminate_flags_exact_13gram_not_12).
+DECON_W_GATE = 4
 
 
-def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_decontaminate(
+    spark: SparkSession, sf_dir: str, w: int = DECON_W
+) -> DataFrame:
     """Eval-collision removal list: (doc_id, span_start, span_end,
     span_tokens) — maximal merged spans of NON-eval docs covering every
-    13-gram that also occurs in the held-out eval set.
+    w-gram (GPT-3's 13 by default) that also occurs in the held-out
+    eval set.
 
     Plan: the eval side's distinct window digests are broadcast (an
     eval set is small by construction — the same asymmetry
@@ -2247,7 +2259,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus import EVAL_STRIDE
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    occ = _substr_occ(docs, DECON_W)
+    occ = _substr_occ(docs, w)
     eval_h = (
         occ.where(F.col("doc_id") % EVAL_STRIDE == 0).select("h").distinct()
     )
@@ -2256,7 +2268,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eval_h), "h", "left_semi")
         .select("doc_id", "pos")
     )
-    return _substr_spans(seeds, DECON_W)
+    return _substr_spans(seeds, w)
+
+
+def _text_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry/gate binding of :func:`text_decontaminate` at the
+    fixture-scale window (see DECON_W_GATE note) — NON-empty on the
+    sf0.01 gate data, so the oracle hash pins the span algebra, not
+    the empty set; tools/selfcheck.py additionally asserts this entry
+    returns rows."""
+    return text_decontaminate(spark, sf_dir, DECON_W_GATE)
 
 
 def _decontaminate_oracle_sql(w: int = DECON_W) -> str:
@@ -2693,7 +2714,7 @@ QUERIES = {
     "dedup_substring": dedup_substring,
     "dedup_substring_apply": dedup_substring_apply,
     "dedup_substring_incremental": dedup_substring_incremental,
-    "text_decontaminate": text_decontaminate,
+    "text_decontaminate": _text_decontaminate_gate,
 }
 
 ORACLE_SQL = {
@@ -2731,5 +2752,5 @@ ORACLE_SQL = {
     # the BATCH span oracle, verbatim: the incremental path must lose
     # nothing vs recomputing from scratch (see dedup_substring_incremental).
     "dedup_substring_incremental": _substring_oracle_sql(),
-    "text_decontaminate": _decontaminate_oracle_sql(),
+    "text_decontaminate": _decontaminate_oracle_sql(DECON_W_GATE),
 }

@@ -34,6 +34,14 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Entries whose gate row is only meaningful when NON-EMPTY (round 10,
+# VERDICT r9 item 3): a 0-row-vs-0-row oracle match is the hash of
+# nothing and pins no behavior.  text_decontaminate's registry binding
+# runs at the fixture-scale window (DECON_W_GATE) precisely so this
+# holds; if testdata regenerates into a shape with zero eval collisions,
+# fail loudly instead of going vacuously green.
+NONZERO_EXPECTED = {"text_decontaminate"}
+
 
 def canon_cell(v) -> str:
     import math
@@ -148,6 +156,8 @@ def main() -> int:
         status = []
         if len(srows) != len(drows):
             status.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if name in NONZERO_EXPECTED and len(srows) == 0:
+            status.append("vacuous: 0 rows where a non-empty gate is required")
         if sorted(scols) != sorted(dcols):
             status.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
         if sh != dh:
