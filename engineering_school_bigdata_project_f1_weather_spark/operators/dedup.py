@@ -2192,6 +2192,82 @@ FROM marked GROUP BY doc_id
 """
 
 
+def dedup_substring_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. 2022 §3 KEEPER policy over the substring span
+    algebra (round 10, VERDICT r9 item 6): same output contract as
+    :func:`dedup_substring`, but for every duplicated window digest the
+    globally-first occurrence — min (doc_id, pos), the
+    :func:`dedup_keep_best` analogue at shingle granularity — is NOT a
+    removal seed, so one copy of every duplicated span survives the
+    excision instead of all copies vanishing (the paper keeps one
+    occurrence per duplicate cluster; ``dedup_substring`` is the
+    remove-everything variant a contamination scrub wants).
+
+    Plan: identical shuffle set as dedup_substring; the keeper comes
+    from ``min(struct(doc_id, pos))`` riding the SAME ``groupBy(h)``
+    that computes the duplicate count — map-side partial agg, fixed
+    per-key state, no extra exchange.  A keeper occurrence can still
+    fall inside a span merged from its NEIGHBORING seeds (span-granular
+    removal, exactly as in the paper's byte-range cuts); what the
+    policy guarantees — pinned by
+    tests/test_corpus.py::test_substring_keep_one_conservation — is
+    that keeper positions are never seeds, so a duplicate cluster in
+    otherwise-distinct context always retains its first copy."""
+    occ = _substr_occ(_docs(spark, sf_dir).select("doc_id", "text"))
+    dupk = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("doc_id", "pos")).alias("k"),
+        )
+        .where(F.col("c") >= 2)
+        .select("h", F.col("k.doc_id").alias("kdoc"), F.col("k.pos").alias("kpos"))
+    )
+    seeds = (
+        occ.join(dupk, "h")
+        .where(
+            (F.col("doc_id") != F.col("kdoc")) | (F.col("pos") != F.col("kpos"))
+        )
+        .select("doc_id", "pos")
+    )
+    return _substr_spans(seeds)
+
+
+def _substring_keep_one_oracle_sql(w: int = SUBSTR_W) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+occ AS (
+    SELECT doc_id, CAST(p AS BIGINT) AS pos,
+           md5(array_to_string(t[p:p+{w - 1}], ' ')) AS h
+    FROM toks, unnest(range(1, len(t) - {w} + 2)) AS u(p)
+    WHERE len(t) >= {w}
+),
+dupk AS (
+    SELECT h, min(ROW(doc_id, pos)) AS k
+    FROM occ GROUP BY h HAVING COUNT(*) >= 2
+),
+seeds AS (
+    SELECT o.doc_id, o.pos
+    FROM occ o JOIN dupk d ON o.h = d.h
+    WHERE NOT (o.doc_id = d.k[1] AND o.pos = d.k[2])
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(CASE WHEN prev IS NULL OR pos > prev + {w} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM seeds)
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       CAST(MAX(pos) + {w} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {w} - MIN(pos) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def _substring_oracle_sql(w: int = SUBSTR_W) -> str:
     return f"""
 WITH toks AS (
@@ -2713,6 +2789,7 @@ QUERIES = {
     "dedup_er_incremental": dedup_er_incremental,
     "dedup_substring": dedup_substring,
     "dedup_substring_apply": dedup_substring_apply,
+    "dedup_substring_keep_one": dedup_substring_keep_one,
     "dedup_substring_incremental": dedup_substring_incremental,
     "text_decontaminate": _text_decontaminate_gate,
 }
@@ -2749,6 +2826,7 @@ ORACLE_SQL = {
     "dedup_er_incremental": _entity_resolution_oracle_sql(),
     "dedup_substring": _substring_oracle_sql(),
     "dedup_substring_apply": _substring_apply_oracle_sql(),
+    "dedup_substring_keep_one": _substring_keep_one_oracle_sql(),
     # the BATCH span oracle, verbatim: the incremental path must lose
     # nothing vs recomputing from scratch (see dedup_substring_incremental).
     "dedup_substring_incremental": _substring_oracle_sql(),

@@ -1397,3 +1397,40 @@ def test_dsir_selected_matches_window_twin(spark, sf_dir):
     assert sum(1 for r in twin if r[-1]) > 0  # someone is selected
     assert "SinglePartition" in plan(c.sample_dsir(spark, sf_dir))
     assert "SinglePartition" not in plan(c.sample_dsir_selected(spark, sf_dir))
+
+
+def test_substring_keep_one_conservation(spark, sf_dir, tmp_path):
+    """dedup_substring_keep_one (Lee et al. §3 keeper policy, round 10):
+    (a) token conservation — it removes strictly fewer tokens than the
+    remove-everything policy and its covered positions are a subset;
+    (b) on two identical docs + one unique doc, the first copy survives
+    with NO span, the second is fully spanned, the unique doc untouched."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    all_sp = dedup.dedup_substring(spark, sf_dir).collect()
+    one_sp = dedup.dedup_substring_keep_one(spark, sf_dir).collect()
+
+    def tok(rows):
+        return sum(r.span_tokens for r in rows)
+
+    def cov(rows):
+        s = set()
+        for r in rows:
+            s.update((r.doc_id, p) for p in range(r.span_start, r.span_end + 1))
+        return s
+
+    assert 0 < tok(one_sp) < tok(all_sp)
+    assert cov(one_sp) <= cov(all_sp)
+
+    txt = " ".join(f"w{i}" for i in range(24))
+    uniq = " ".join(f"u{i}" for i in range(24))
+    spark.createDataFrame(
+        [(1, txt, "en", "s", 1), (2, txt, "en", "s", 1), (3, uniq, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spans = dedup.dedup_substring_keep_one(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in spans} == {2}
+    assert spans[0].span_start == 1 and spans[0].span_end == 24
+    # the remove-everything policy, by contrast, spans BOTH copies
+    both = dedup.dedup_substring(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in both} == {1, 2}
