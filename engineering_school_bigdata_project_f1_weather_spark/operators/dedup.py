@@ -558,10 +558,36 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_a, doc_b, edit_dist), doc_a < doc_b.
     """
-    d = _docs(spark, sf_dir).select(
+    d = _edit_docs(spark, sf_dir)
+    pgram, prefix, cand = _edit_surfaces(d)
+    keep = _edit_location_filter(pgram, prefix, cand)
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    return (
+        keep.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("_ta", "_tb", EDIT_TAU).cast("long"),
+        )
+        .where(F.col("edit_dist") >= 0)  # threshold form returns -1 past tau
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+def _edit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
         "doc_id", "text", F.length("text").alias("len")
     )
-    qg = (
+
+
+def _edit_surfaces(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The candidate-generation stages of :func:`dedup_edit_distance`,
+    exposed for reuse (tools/er_census.py audits these surfaces):
+    positional q-gram frame (doc_id, pos, x), the (df, x)-ranked prefix
+    (doc_id, x, len), and the distinct candidate pairs
+    (prefix join ∪ tiny-doc rescue)."""
+    pgram = (
         d.where(F.col("len") >= EDIT_Q)
         .select(
             "doc_id",
@@ -572,14 +598,18 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            "pos",
             texts.hash32(F.expr(f"substring(text, pos, {EDIT_Q})")).alias("x"),
         )
+    )
+    qg = (
+        pgram.select("doc_id", "x")
         .distinct()
         .persist()  # feeds df count + ranked prefix (same contract as prefix_join)
     )
     dfreq = qg.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
     lens = d.select("doc_id", "len")
-    ranked = (
+    prefix = (
         qg.join(dfreq, "x")
         .withColumn(
             "rk",
@@ -592,8 +622,8 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "x", "len")
     )
     cand = (
-        ranked.alias("a")
-        .join(ranked.alias("b"), "x")
+        prefix.alias("a")
+        .join(prefix.alias("b"), "x")
         .where(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.abs(F.col("a.len") - F.col("b.len")) <= EDIT_TAU)
@@ -617,19 +647,82 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
-    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
-    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
-    return (
-        cand.unionByName(rescue)
-        .distinct()
-        .join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn(
-            "edit_dist",
-            F.levenshtein("_ta", "_tb", EDIT_TAU).cast("long"),
+    return pgram, prefix, cand.unionByName(rescue).distinct()
+
+
+def _edit_location_filter(
+    pgram: DataFrame, prefix: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """EDjoin's LOCATION-BASED MISMATCH FILTER (Xiao-Wang-Lin VLDB'08
+    §4; round 10, VERDICT r9 item 5): prune candidate pairs whose
+    prefix-gram positions already certify edit distance > τ, BEFORE the
+    banded-Levenshtein verify.  Output-preserving by construction — it
+    only rejects pairs the verify would reject — so the entry's oracle
+    hash is unchanged.
+
+    Soundness: a positional q-gram of doc_a with NO content-equal
+    occurrence in doc_b within position shift τ must have been
+    DESTROYED by an edit (a surviving occurrence's position shifts by
+    at most the total indel count ≤ τ), and one edit at string position
+    e only destroys windows starting in [e−q+1, e] — q consecutive
+    starts.  So the greedy interval packing over the sorted mismatched
+    starts (count += 1 whenever start > last; last = start + q − 1) is
+    a lower bound on ed(a, b): ``minEditErrors`` in the paper.  Pairs
+    with bound > τ drop.  The random typo-collision this targets — two
+    docs sharing ONE rare gram at unrelated positions — has ~all of
+    doc_a's prefix grams mismatched at ≥ q spacing, certifying far
+    beyond τ and dying here instead of in the verify join.
+
+    Plan: candidate pairs × doc_a's prefix OCCURRENCES (≤ q·τ+1 rare
+    grams, ~1 occurrence each) equi-joined to doc_b's positional grams
+    on (doc_b, x) with the |Δpos| ≤ τ tolerance as a join residual; the
+    per-pair bound is one aggregate over a ≤ 33-element sorted array
+    (bounded higher-order fold, not a hot per-token lambda)."""
+    ppos = prefix.select("doc_id", "x").join(pgram, ["doc_id", "x"])
+    a_occ = cand.join(
+        ppos.select(
+            F.col("doc_id").alias("doc_a"), "x", F.col("pos").alias("pa")
+        ),
+        "doc_a",
+    )
+    b_occ = pgram.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("x").alias("xb"),
+        F.col("pos").alias("pb"),
+    )
+    hit = a_occ.join(
+        b_occ,
+        (a_occ["doc_b"] == b_occ["doc_b"])
+        & (F.col("x") == F.col("xb"))
+        & (F.abs(F.col("pa") - F.col("pb")) <= EDIT_TAU),
+        "left",
+    ).select(
+        "doc_a", a_occ["doc_b"].alias("doc_b"), "x", "pa",
+        F.col("pb").isNotNull().alias("hit"),
+    )
+    minerr = (
+        hit.groupBy("doc_a", "doc_b", "x", "pa")
+        .agg(F.max("hit").alias("any_hit"))
+        .where(~F.col("any_hit"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.array_sort(F.collect_list("pa")).alias("ps"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                f"aggregate(ps,"
+                f" named_struct('cnt', CAST(0 AS BIGINT),"
+                f"              'lst', CAST(-{EDIT_Q} AS BIGINT)),"
+                f" (acc, p) -> IF(p > acc.lst,"
+                f"   named_struct('cnt', acc.cnt + 1L,"
+                f"                'lst', CAST(p AS BIGINT) + {EDIT_Q - 1}),"
+                f"   acc),"
+                f" acc -> acc.cnt)"
+            ).alias("minerr"),
         )
-        .where(F.col("edit_dist") >= 0)  # threshold form returns -1 past tau
-        .select("doc_a", "doc_b", "edit_dist")
+    )
+    return cand.join(
+        minerr.where(F.col("minerr") > EDIT_TAU), ["doc_a", "doc_b"], "left_anti"
     )
 
 

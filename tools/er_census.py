@@ -9,8 +9,9 @@ For each sf dir, counts per evidence generator:
 - near  : LSH band-collision candidate pairs (every row
   dedup_minhash_lsh verifies) vs pairs passing the component Jaccard
   threshold (the edges the capstone consumes).
-- typo  : q-gram prefix-join candidates ∪ tiny-doc rescue pairs
-  (pre-levenshtein, the join surface) vs verified ≤ τ pairs.
+- typo  : q-gram prefix-join candidates ∪ tiny-doc rescue pairs (the
+  join surface), the post-location-filter survivors (EDjoin mismatch
+  filter, round 10), and verified ≤ τ pairs.
 - union : distinct union of the three edge sets (the closure input),
   plus non-singleton component count and max component size via the
   same closure engine the capstone uses.
@@ -28,77 +29,21 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F
-from pyspark.sql import Window
 
 from engineering_school_bigdata_project_f1_weather_spark import get_spark
-from engineering_school_bigdata_project_f1_weather_spark.functions import texts
 from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
 
 
-def _typo_candidates(spark, sf_dir):
-    """The pre-verify candidate frame of dedup_edit_distance — the
-    prefix-join surface whose growth the census isolates (mirrors the
-    operator's candidate stages; the operator itself only exposes the
-    verified output)."""
-    d = dedup._docs(spark, sf_dir).select(
-        "doc_id", "text", F.length("text").alias("len")
-    )
-    qg = (
-        d.where(F.col("len") >= dedup.EDIT_Q)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("len") - (dedup.EDIT_Q - 1))
-            ).alias("pos"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            texts.hash32(
-                F.expr(f"substring(text, pos, {dedup.EDIT_Q})")
-            ).alias("x"),
-        )
-        .distinct()
-    )
-    dfreq = qg.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
-    lens = d.select("doc_id", "len")
-    ranked = (
-        qg.join(dfreq, "x")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("x"))
-            ),
-        )
-        .where(F.col("rk") <= dedup.EDIT_Q * dedup.EDIT_TAU + 1)
-        .join(lens, "doc_id")
-        .select("doc_id", "x", "len")
-    )
-    cand = (
-        ranked.alias("a")
-        .join(ranked.alias("b"), "x")
-        .where(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= dedup.EDIT_TAU)
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
-    tiny = d.where(F.col("len") < dedup.EDIT_Q + dedup.EDIT_TAU)
-    rescue = (
-        tiny.alias("a")
-        .join(
-            tiny.alias("b"),
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= dedup.EDIT_TAU)
-            & (F.least(F.col("a.len"), F.col("b.len")) < dedup.EDIT_Q),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
-    return cand.unionByName(rescue).distinct()
+def _typo_surfaces(spark, sf_dir):
+    """The pre-verify candidate frames of dedup_edit_distance — taken
+    from the operator's OWN staged helpers (round 10: the census used
+    to mirror them by hand; it now audits the real code paths).
+    Returns (prefix-join candidate frame, post-location-filter frame):
+    the gap between the two counts is what EDjoin's location-based
+    mismatch filter buys before the banded-Levenshtein verify."""
+    d = dedup._edit_docs(spark, sf_dir)
+    pgram, prefix, cand = dedup._edit_surfaces(d)
+    return cand, dedup._edit_location_filter(pgram, prefix, cand)
 
 
 def census(spark, sf_dir: str) -> dict:
@@ -119,7 +64,9 @@ def census(spark, sf_dir: str) -> dict:
     near_e = near.where(
         F.col("jaccard_e6") >= dedup.COMPONENT_MIN_JACCARD_E6
     ).select("doc_a", "doc_b")
-    typo_cand = _typo_candidates(spark, sf_dir).count()
+    typo_c, typo_loc = _typo_surfaces(spark, sf_dir)
+    typo_cand = typo_c.count()
+    typo_loc_cand = typo_loc.count()
     typo = dedup.dedup_edit_distance(spark, sf_dir).select("doc_a", "doc_b")
     typo_edges = typo.count()
     keeper = hashes.groupBy("h").agg(F.min("doc_id").alias("k"))
@@ -143,6 +90,7 @@ def census(spark, sf_dir: str) -> dict:
         "near_cand": near_cand,
         "near_edges": near_edges,
         "typo_cand": typo_cand,
+        "typo_loc_cand": typo_loc_cand,
         "typo_edges": typo_edges,
         "union_edges": union_edges,
         "n_multi_components": int(stats["n_comp"]),
