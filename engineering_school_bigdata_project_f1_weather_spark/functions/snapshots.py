@@ -71,12 +71,20 @@ def link_parquet_files(src_dir: str, dst_dir: str) -> None:
     """Carry ``src_dir``'s parquet data files into ``dst_dir`` by hard
     link (copy fallback).  Data files are immutable once written, so
     sharing them across snapshot versions is safe; only ``part-*`` files
-    are carried (markers like _SUCCESS are per-write).  Collisions are
+    are carried (markers like _SUCCESS are per-write).  Hive-partitioned
+    layouts (``col=value`` subdirectories — round 10: the substring occ
+    log is h-bucket partitioned for probe-time pruning) are carried
+    recursively, preserving the partition tree.  Collisions are
     impossible in practice (Spark part-file names embed a UUID) but are
     skipped defensively — a skipped link would surface as a row-count
     mismatch in the idempotency tests, never as corruption."""
     os.makedirs(dst_dir, exist_ok=True)
     for name in os.listdir(src_dir):
+        if "=" in name and os.path.isdir(os.path.join(src_dir, name)):
+            link_parquet_files(
+                os.path.join(src_dir, name), os.path.join(dst_dir, name)
+            )
+            continue
         if not name.startswith("part-"):
             continue
         src = os.path.join(src_dir, name)

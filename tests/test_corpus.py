@@ -1279,8 +1279,13 @@ def test_substr_index_compact_preserves_serving(spark, sf_dir, tmp_path):
     dedup.substr_index_update(spark, docs.where(F.col("doc_id") % 3 == 1), idx)
 
     def n_occ_files():
+        # hb-bucketed layout (round 10): data files live under hb=*/
         live = snapshots.snap_live(idx)
-        return len(glob.glob(os.path.join(idx, live, "occ", "part-*")))
+        return len(
+            glob.glob(
+                os.path.join(idx, live, "occ", "**", "part-*"), recursive=True
+            )
+        )
 
     before_files = n_occ_files()
     before = {tuple(r) for r in dedup.substr_resolve(spark, idx).collect()}
