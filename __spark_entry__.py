@@ -63,47 +63,47 @@ _MODULES = [
     sketch, graph, olap_deep, bpe,
 ]
 
-# First-50 driver window for round 9 (VERDICT r8 item 4): slots 1-2 are
-# the two round-9 additions (never driver-witnessed by construction:
-# substring-level dedup and the bigram-LM perplexity filter); the rest
-# is the least-recently-witnessed fill computed from the union of
-# CORRECTNESS_r01..r08 green rows — text_keywords first (it was #51 on
-# the r8 list and silently fell out of the checked window), then ALL 34
-# remaining r5-vintage entries (streaming drains, the PQ/kNN similarity
-# wave, deep-OLAP analytics) and the 13 oldest r6-vintage entries in
-# module order.  Every entry is additionally re-verified on current
-# data via tools/selfcheck.py → SELFCHECK_r09.json.
-_WINDOW_R9 = [
-    # round-9 additions (never driver-witnessed)
-    "dedup_substring", "dedup_substring_apply",
-    "dedup_substring_incremental", "quality_perplexity",
-    "quality_gopher_rules", "quality_stupid_backoff", "sample_dsir",
+# First-50 driver window for round 10 (VERDICT r9 item 7): slots 1-4
+# are the four round-10 additions (never driver-witnessed by
+# construction: the three scale-safe banding/selection twins and the
+# Lee-et-al keep-one substring policy); slot 5 is text_decontaminate,
+# whose r9 witness was the VACUOUS 0-row match — its gate now runs at
+# the fixture-scale window and needs a real driver witness (VERDICT r9
+# item 3).  The rest is the least-recently-witnessed fill computed from
+# the union of CORRECTNESS_r01..r09 green rows: ALL 43 remaining
+# r6-vintage entries (events wave-2, multimodal, the corpus-prep
+# family, reshape, quality/search/similarity singles, the monthly
+# sketch pair, stream drains) plus the 2 oldest r7-vintage entries.
+# Every entry is additionally re-verified on current data via
+# tools/selfcheck.py → SELFCHECK_r10.json.
+_WINDOW_R10 = [
+    # round-10 additions (never driver-witnessed)
+    "quality_perplexity_banded", "quality_backoff_banded",
+    "sample_dsir_selected", "dedup_substring_keep_one",
+    # r9-witnessed but vacuously (0 rows); gate re-parameterized this round
     "text_decontaminate",
-    # fell out of the 51-long r8 list (r5-vintage)
-    "text_keywords",
-    # r5-vintage: complete
-    "stream_transitions", "stream_view_purchase_join", "stream_dau",
-    "stream_enriched", "stream_dedup", "sim_ivf_pq",
-    "sim_recall_report", "embedding_outliers", "sim_pq",
-    "sim_pq_trained", "sim_knn_graph", "events_heavy_hitters",
-    "events_dau_hll", "graph_triangles", "graph_link_predict",
-    "tpch_returned_revenue", "tpch_top_supplier", "part_affinity_rules",
-    "tpch_small_qty_revenue", "tpch_priority_late_orders",
-    "customer_cohort_ltv", "supplier_concentration",
-    "discount_elasticity", "customer_rfm", "lineitem_benford",
-    "tpch_cust_distribution", "tpch_promo_share", "tpch_market_share",
-    "tpch_supplier_counts", "tpch_special_revenue",
-    "tpch_idle_customers", "tpch_volume_shipping", "tpch_large_orders",
-    "tpch_waiting_suppliers", "dedup_prefix_join",
-    # r6-vintage: the oldest remaining, module order
-    "events_hourly", "events_hourly_incremental", "events_sessionize",
-    "events_json", "events_anomaly", "events_funnel",
+    # r6-vintage: complete (43 entries, registry order within modules)
+    "events_retention", "events_resample", "events_user_spend_salted",
+    "events_concurrency", "events_asof_purchase", "events_value_bands",
+    "events_multigrain", "multimodal_features", "multimodal_frames",
+    "multimodal_energy", "corpus_curate", "text_chunk",
+    "text_contamination", "sample_split", "text_repetition", "text_pii",
+    "corpus_pack", "corpus_shuffle", "sample_stratified", "corpus_mix",
+    "corpus_forget", "events_pivot", "weather_melt", "segment_overlap",
+    "dq_lineitem", "events_json_variant", "quality_score",
+    "lineitem_snapshot_diff", "lineitem_zorder_layout", "text_postings",
+    "text_search", "text_hash_embed", "stream_view_purchase_outer",
+    "stream_hourly", "stream_sessions", "sim_topk", "sim_lsh",
+    "sim_lsh_banded", "sim_ivf_trained", "dedup_embedding_ann",
+    "events_mau_hll", "events_user_cms", "tpch_forecast_revenue",
+    # r7-vintage: the two oldest
+    "q1_wins", "q2_fastestlap",
 ]
 # Rotation-intent guard (VERDICT r8 item 1: the r8 list had 51 names and
 # the driver's first-50 check silently dropped the last one).
-assert len(_WINDOW_R9) == 50, f"window must be exactly 50, got {len(_WINDOW_R9)}"
-assert len(set(_WINDOW_R9)) == 50, "window has duplicate entries"
-_WINDOW = _WINDOW_R9
+assert len(_WINDOW_R10) == 50, f"window must be exactly 50, got {len(_WINDOW_R10)}"
+assert len(set(_WINDOW_R10)) == 50, "window has duplicate entries"
+_WINDOW = _WINDOW_R10
 
 
 def _ordered(merged: dict) -> dict:

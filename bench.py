@@ -733,12 +733,21 @@ def compare(prior_path: str, current: dict[str, float], factor: float = 1.5) -> 
         p = prior_q.get(name)
         if p and p > 0:
             matched += 1
-            # Sub-second spans sit inside the host's scheduler/GC noise
-            # band — a 0.3 s -> 0.5 s move is not a plan regression and
-            # single-run tail entries would trip the gate spuriously.
-            # Anything that REACHES 1 s from below still gates.
-            if t > factor * p and t >= 1.0:
-                regressed.append((name, p, t))
+            # Noise handling is tiered (ADVICE r9: a blanket t >= 1.0
+            # floor silenced sub-second plan-shape regressions on
+            # headline queries — a 0.05s -> 0.95s broadcast-to-shuffle
+            # slip is 19x and scales badly even though it stays under
+            # 1 s at bench SF).  TAIL entries are single-run, so they
+            # keep the absolute 1 s floor; headline/EXTRA entries are
+            # median-of-3, so a small ADDITIVE slack (0.2 s) absorbs
+            # scheduler/GC jitter while large ratios on fast queries
+            # still gate.
+            if t > factor * p:
+                if name in TAIL_BENCH:
+                    if t >= 1.0:
+                        regressed.append((name, p, t))
+                elif t > factor * p + 0.2:
+                    regressed.append((name, p, t))
     for name, p, t in regressed:
         print(
             f"# REGRESSION {name}: {p}s -> {t}s ({t / p:.2f}x)",
