@@ -612,6 +612,13 @@ SLOPE_QUERIES = [
     "dedup_er_incremental",
     # hashed-bucket importance scoring: growth ∝ raw-pool feature rows
     "sample_dsir",
+    # round-10: the scale-safe exact-rank banding/selection twins (the
+    # empty-partitionBy windows they replace hid their cost in one
+    # task; the twins should scale with the range-partitioned sort)
+    # and the keep-one substring policy
+    "quality_perplexity_banded",
+    "sample_dsir_selected",
+    "dedup_substring_keep_one",
 ]
 
 
