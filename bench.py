@@ -619,6 +619,14 @@ SLOPE_QUERIES = [
     "quality_perplexity_banded",
     "sample_dsir_selected",
     "dedup_substring_keep_one",
+    # round-10 second wave: SemDeDup (cluster-scoped pair verify; slope
+    # probed on the DEPLOYMENT path — k rescales with the corpus so
+    # per-cluster pair enumeration stays bounded, same dispatch as
+    # dedup_embedding_ann), the cross-source leakage matrix (minhash-
+    # pair-bounded), and the component-keyed leakage-safe split
+    "dedup_semantic",
+    "dedup_source_overlap",
+    "sample_split_safe",
 ]
 
 
@@ -654,6 +662,19 @@ def scale_slope() -> None:
         # records the steady-state batch cost, same basis as BENCH.
         if name == "dedup_embedding_ann":
             _bench_embedding_ann_scaled_k(spark, sf_dir)
+            return None
+        if name == "dedup_semantic":
+            # registry pins k=16 for the unrolled-CTE oracle; the slope
+            # of interest holds per-cluster size constant via scaled k
+            from engineering_school_bigdata_project_f1_weather_spark.operators import (
+                similarity as _sim,
+            )
+
+            n = _sim._quantized(spark, sf_dir).count()
+            k, _ = _sim.scaled_ann_params(n)
+            _sim.dedup_semantic(spark, sf_dir, k=k).write.format(
+                "noop"
+            ).mode("overwrite").save()
             return None
         if name == "sim_knn_graph":
             # same deployment-sizing dispatch as dedup_embedding_ann:

@@ -219,6 +219,69 @@ FROM t GROUP BY lang, split
 """
 
 
+def sample_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split key is the md5
+    bucket of a document's NEAR-DUP COMPONENT (:func:`~..operators.dedup.
+    dedup_components`), not the document itself — every member of a
+    near-duplicate cluster lands on the same side, so no test document
+    has a near-copy in train. Doc-level hashing (:func:`sample_split`)
+    cannot give this: two near-dups hash independently and straddle the
+    boundary with probability 2·p·(1−p) per pair — exactly the
+    train/test contamination Lee et al. 2022 (§6.2) measure leaking
+    benchmark answers into training sets. Extension surface; output is
+    the same per-(lang, split) census as :func:`sample_split` so the two
+    policies diff directly.
+
+    100 TB shape: composes the component labeling (iterative Hash-Min
+    over the LSH-verified pair graph — candidate-bounded, never
+    all-pairs) with one doc_id-keyed join and a map-side-combinable
+    rollup; the split itself is a pure md5 map on the component label.
+    Isolated documents (the overwhelming majority) carry their own id as
+    the component, so their assignment cost is identical to the
+    doc-level policy."""
+    from .dedup import dedup_components
+
+    comp = dedup_components(spark, sf_dir)
+    bucket = texts.hash32(F.col("component").cast("string")) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < TRAIN_LT, F.lit("train"))
+        .when(bucket < VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    d = _docs_tokens(spark, sf_dir)
+    return (
+        d.join(comp, "doc_id")
+        .select(
+            "lang", split.alias("split"), F.size("toks").cast("long").alias("n")
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _sample_split_safe_oracle_sql() -> str:
+    from .dedup import _components_oracle_sql
+
+    b = texts.hash32_sql("CAST(component AS VARCHAR)")
+    return f"""
+WITH comp AS ({_components_oracle_sql()}),
+t AS (
+    SELECT d.lang,
+           CASE WHEN {b} % {SPLIT_BUCKETS} < {TRAIN_LT} THEN 'train'
+                WHEN {b} % {SPLIT_BUCKETS} < {VAL_LT} THEN 'val'
+                ELSE 'test' END AS split,
+           len(string_split(d.text, ' ')) AS n
+    FROM documents d JOIN comp USING (doc_id)
+)
+SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM t GROUP BY lang, split
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signal: the most frequent token's share of each
     document. One (doc_id, token) partial-agg shuffle, then a per-doc max —
@@ -1163,6 +1226,7 @@ QUERIES = {
     "text_chunk": text_chunk,
     "text_contamination": text_contamination,
     "sample_split": sample_split,
+    "sample_split_safe": sample_split_safe,
     "text_repetition": text_repetition,
     "text_pii": text_pii,
     "corpus_pack": corpus_pack,
@@ -1182,6 +1246,7 @@ ORACLE_SQL = {
     "text_chunk": _chunk_oracle_sql(),
     "text_contamination": _contamination_oracle_sql(),
     "sample_split": _sample_split_oracle_sql(),
+    "sample_split_safe": _sample_split_safe_oracle_sql(),
     "text_repetition": _repetition_oracle_sql(),
     "text_pii": _pii_oracle_sql(),
     "corpus_pack": _pack_oracle_sql(),

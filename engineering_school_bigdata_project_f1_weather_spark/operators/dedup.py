@@ -2914,6 +2914,65 @@ FROM sizes GROUP BY size ORDER BY size
 """
 
 
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate leakage matrix: for every (unordered)
+    pair of corpus sources, how many verified minhash near-dup pairs span
+    them — the diagnostic a curation run publishes before mixing sources
+    (a hot cell means two "independent" sources are substantially the
+    same crawl, so their mixture weights double-count content; the
+    diagonal counts within-source redundancy). Extension surface — the
+    reference has no multi-source notion; cf. the overlap audits in
+    corpus reports like Gao et al. 2020 (The Pile, §4) and Penedo et al.
+    2024 (FineWeb dump-overlap analysis).
+
+    Plan: the verified pair set (:func:`dedup_minhash_lsh` — candidate
+    generation is banded LSH, never all-pairs) joined twice against the
+    (doc_id → source) projection, normalized to an unordered (lo, hi)
+    key, one partial-agg count. Both enrichment joins key on doc_id;
+    the source table projection is two thin columns of the documents
+    scan. At 100 TB the pair set is orders of magnitude smaller than
+    the corpus and the final matrix is |sources|² rows — tiny; the
+    count shuffle is map-side combinable on the (lo, hi) key."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    enriched = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        enriched.select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _source_overlap_oracle_sql() -> str:
+    return f"""
+WITH p AS ({_minhash_oracle_sql()}),
+s AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_lo,
+       greatest(sa.source, sb.source) AS source_hi,
+       COUNT(*) AS n_pairs
+FROM p
+JOIN s sa ON p.doc_a = sa.doc_id
+JOIN s sb ON p.doc_b = sb.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_recall_report": dedup_recall_report,
     "dedup_cluster_stats": dedup_cluster_stats,
@@ -2936,6 +2995,7 @@ QUERIES = {
     "dedup_substring_apply": dedup_substring_apply,
     "dedup_substring_keep_one": dedup_substring_keep_one,
     "dedup_substring_incremental": dedup_substring_incremental,
+    "dedup_source_overlap": dedup_source_overlap,
     "text_decontaminate": _text_decontaminate_gate,
 }
 
@@ -2975,5 +3035,6 @@ ORACLE_SQL = {
     # the BATCH span oracle, verbatim: the incremental path must lose
     # nothing vs recomputing from scratch (see dedup_substring_incremental).
     "dedup_substring_incremental": _substring_oracle_sql(),
+    "dedup_source_overlap": _source_overlap_oracle_sql(),
     "text_decontaminate": _decontaminate_oracle_sql(DECON_W_GATE),
 }

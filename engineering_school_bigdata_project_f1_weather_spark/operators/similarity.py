@@ -957,6 +957,157 @@ WHERE {sim} >= {EMBED_DUP_MIN_E6}
 """
 
 
+# SemDeDup threshold: within-cluster cosine at/above this marks a pair as
+# semantic duplicates (the synthetic corpus caps near 0.48, so 0.35 drops
+# a realistic ~12% at sf0.01; real-embedding deployments sit near 0.95+).
+SEMDEDUP_TAU_E6 = 350_000
+
+
+def dedup_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CENTROIDS,
+    tau_e6: int = SEMDEDUP_TAU_E6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine. Each
+    vector is assigned to its single nearest trained centroid; pairs
+    within a cluster at cosine ≥ ``tau_e6`` are semantic duplicates; per
+    the paper's keeper rule, the member with the LOWEST similarity to its
+    centroid survives (keep the outlier — it adds the most diversity),
+    ties on centroid-similarity broken by lowest vec_id. Extension
+    surface — the reference has no embedding dedup; this is the
+    cluster-scoped complement to :func:`dedup_embedding_ann` (which finds
+    pairs across lists via multi-assignment; SemDeDup's single-assignment
+    restricts the pair search to one cluster per vector, the paper's
+    exact shape). Dominance is per-PAIR (a vector is dropped iff some
+    same-cluster duplicate beats it), not per transitive ε-group — the
+    difference only shows on chains that straddle the threshold, and the
+    pairwise form is what the oracle can state as one EXISTS.
+
+    Output: (vec_id, cluster_id, cent_sim_e6, keep) for every vector.
+
+    100 TB shape: training + assignment are the shared IVF machinery
+    (broadcast centroids, one narrow pass, per-k Arrow/matmul dispatch);
+    the within-cluster candidate join shuffles on cluster_id, and the
+    pair verify rides ``_verify_pairs_arrow`` (batch matmul, threshold
+    fused). k scales as n / TARGET_LIST_SIZE (:func:`scaled_ann_params`),
+    so per-cluster pair enumeration stays bounded at ~TARGET_LIST_SIZE²/2
+    while total work grows linearly — identical contract to the ANN
+    dedup. The registry entry pins k=K_CENTROIDS so the oracle's unrolled
+    kc3 CTE matches the trained quantizer bit-for-bit; the loser-side
+    enrichment joins are id-keyed on a pair set orders of magnitude
+    smaller than the corpus."""
+    import functools
+
+    base = _quantized(spark, sf_dir)
+    cents = kmeans_centroids(spark, sf_dir, k=k)
+    csim = vectors.sim_e6(
+        vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
+    )
+    # Single-assignment with the assigned centroid's similarity kept:
+    # reuse the dispatched assignment path for the argmax, then one
+    # k-row broadcast join recomputes the single surviving csim exactly.
+    a1 = _assign_lists(base, cents, 1, k=k).withColumnRenamed(
+        "centroid_id", "cluster_id"
+    )
+    withcs = (
+        a1.join(base, "vec_id")
+        .join(
+            F.broadcast(cents.withColumnRenamed("centroid_id", "cluster_id")),
+            "cluster_id",
+        )
+        .select(
+            "vec_id", "cluster_id", csim.alias("cent_sim_e6"), "q", "n2"
+        )
+        # Feeds both sides of the within-cluster self-join, the loser
+        # enrichment, and the output projection — materialize once.
+        .localCheckpoint()
+    )
+    cand = (
+        withcs.select(
+            F.col("vec_id").alias("vec_a"),
+            "cluster_id",
+            F.col("q").alias("qa"),
+            F.col("n2").alias("na"),
+        )
+        .join(
+            withcs.select(
+                F.col("vec_id").alias("vec_b"),
+                "cluster_id",
+                F.col("q").alias("qb"),
+                F.col("n2").alias("nb"),
+            ),
+            "cluster_id",
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+    )
+    edges = cand.select("vec_a", "vec_b", "qa", "qb", "na", "nb").mapInPandas(
+        functools.partial(_verify_pairs_arrow, min_e6=tau_e6),
+        schema="vec_a long, vec_b long, sim_e6 long",
+    )
+    cs = withcs.select("vec_id", "cent_sim_e6")
+    el = edges.join(
+        cs.select(F.col("vec_id").alias("vec_a"), F.col("cent_sim_e6").alias("ca")),
+        "vec_a",
+    ).join(
+        cs.select(F.col("vec_id").alias("vec_b"), F.col("cent_sim_e6").alias("cb")),
+        "vec_b",
+    )
+    # Per-edge loser: the endpoint closer to the centroid is dropped
+    # (keep the outlier); centroid-sim ties drop the larger vec_id
+    # (vec_a < vec_b by construction, so the tie loser is vec_b).
+    loser = (
+        F.when(F.col("ca") < F.col("cb"), F.col("vec_b"))
+        .when(F.col("ca") > F.col("cb"), F.col("vec_a"))
+        .otherwise(F.col("vec_b"))
+    )
+    dominated = el.select(loser.alias("vec_id")).distinct()
+    return (
+        withcs.select("vec_id", "cluster_id", "cent_sim_e6")
+        .join(dominated.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cent_sim_e6",
+            F.col("_d").isNull().alias("keep"),
+        )
+    )
+
+
+def _semantic_oracle_sql() -> str:
+    csim = vectors.sim_e6_sql(vectors.dot_sql("v.q", "c.cq"), "v.n2", "c.cn2")
+    psim = vectors.sim_e6_sql(vectors.dot_sql("a.q", "b.q"), "a.n2", "b.n2")
+    q = vectors.quantize_sql("embedding")
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
+{_kmeans_cents_ctes()}
+ranked AS (
+    SELECT v.vec_id, c.centroid_id, {csim} AS csim,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {csim} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM en v CROSS JOIN kc3 c
+),
+av AS (
+    SELECT r.vec_id, r.centroid_id AS cluster_id, r.csim AS cent_sim_e6,
+           en.q, en.n2
+    FROM ranked r JOIN en ON en.vec_id = r.vec_id WHERE r.rk = 1
+)
+SELECT b.vec_id, b.cluster_id, b.cent_sim_e6,
+       NOT EXISTS (
+           SELECT 1 FROM av a
+           WHERE a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+             AND {psim} >= {SEMDEDUP_TAU_E6}
+             AND (a.cent_sim_e6 < b.cent_sim_e6 OR
+                  (a.cent_sim_e6 = b.cent_sim_e6 AND a.vec_id < b.vec_id))
+       ) AS keep
+FROM av b
+"""
+
+
 KNN_GRAPH_DEGREE = 8  # neighbors kept per vector
 
 
@@ -2451,6 +2602,7 @@ QUERIES = {
     "sim_ivf": sim_ivf,
     "sim_ivf_trained": sim_ivf_trained,
     "dedup_embedding_ann": dedup_embedding_ann,
+    "dedup_semantic": dedup_semantic,
     "sim_clusters": sim_clusters,
     "sim_knn_graph": sim_knn_graph,
     "sim_mmr": sim_mmr,
@@ -2468,6 +2620,7 @@ ORACLE_SQL = {
     "sim_ivf": _ivf_oracle_sql(),
     "sim_ivf_trained": _ivf_trained_oracle_sql(),
     "dedup_embedding_ann": _embedding_ann_oracle_sql(),
+    "dedup_semantic": _semantic_oracle_sql(),
     "sim_clusters": _clusters_oracle_sql(),
     "sim_knn_graph": _knn_graph_oracle_sql(),
     "sim_mmr": _mmr_oracle_sql(),

@@ -1439,3 +1439,71 @@ def test_substring_keep_one_conservation(spark, sf_dir, tmp_path):
     # the remove-everything policy, by contrast, spans BOTH copies
     both = dedup.dedup_substring(spark, str(tmp_path)).collect()
     assert {r.doc_id for r in both} == {1, 2}
+
+
+def test_split_safe_no_near_dup_leakage(spark, sf_dir):
+    """sample_split_safe's whole point: no verified near-dup pair may
+    straddle a split boundary (component-keyed hashing), while the
+    doc-keyed policy demonstrably leaks on the same fixture — the
+    Lee et al. 2022 §6.2 train/test contamination this entry exists to
+    prevent."""
+    from engineering_school_bigdata_project_f1_weather_spark.functions import texts
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    pairs = dedup.dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("jaccard_e6") >= dedup.COMPONENT_MIN_JACCARD_E6
+    )
+
+    def crossing(asg):
+        return (
+            pairs.join(
+                asg.select(
+                    F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+                ),
+                "doc_a",
+            )
+            .join(
+                asg.select(
+                    F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+                ),
+                "doc_b",
+            )
+            .where(F.col("sa") != F.col("sb"))
+            .count()
+        )
+
+    def split_of(key):
+        b = texts.hash32(key.cast("string")) % corpus.SPLIT_BUCKETS
+        return (
+            F.when(b < corpus.TRAIN_LT, F.lit("train"))
+            .when(b < corpus.VAL_LT, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    comp = dedup.dedup_components(spark, sf_dir)
+    safe = comp.select("doc_id", split_of(F.col("component")).alias("split"))
+    doc_level = comp.select("doc_id", split_of(F.col("doc_id")).alias("split"))
+
+    assert crossing(safe) == 0
+    assert crossing(doc_level) > 0  # the failure mode being prevented
+
+    # same documents, same totals — only the boundary placement differs
+    tot = lambda df: tuple(  # noqa: E731
+        df.agg(F.sum("n_docs"), F.sum("n_tokens")).collect()[0]
+    )
+    assert tot(corpus.sample_split_safe(spark, sf_dir)) == tot(
+        corpus.sample_split(spark, sf_dir)
+    )
+
+
+def test_source_overlap_conserves_pairs(spark, sf_dir):
+    """The leakage matrix is a partition of the verified pair set: cell
+    counts sum to the pair total, keys are normalized (lo <= hi), and the
+    fixture's cross-source redundancy makes the matrix non-vacuous."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    cells = dedup.dedup_source_overlap(spark, sf_dir).collect()
+    assert cells
+    assert all(r.source_lo <= r.source_hi for r in cells)
+    n_pairs = dedup.dedup_minhash_lsh(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in cells) == n_pairs > 0

@@ -532,3 +532,44 @@ def test_mmr_singleton_pool_emits_rank1(spark, sf_dir):
     r = rows[0]
     assert (r.query_id, r.rank, r.neighbor_id, r.rel_e6) == (qid, 1, cand, 777_000)
     assert r.mmr_score10 == sim.MMR_LAMBDA_NUM * 777_000
+
+
+def test_semdedup_keeper_policy_matches_bruteforce(spark, sf_dir):
+    """dedup_semantic's dominance set must equal the one recomputed from
+    the exact BRUTE-FORCE pair truth (dedup.dedup_embedding, a different
+    candidate path: all-pairs vs within-cluster), with the paper's keeper
+    rule (lowest centroid-similarity survives, ties to the lower vec_id);
+    and the per-cluster minimum can never be dropped."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    out = similarity.dedup_semantic(spark, sf_dir).collect()
+    rows = {r.vec_id: r for r in out}
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    dropped = {v for v, r in rows.items() if not r.keep}
+    assert dropped and len(dropped) < n_vecs  # non-vacuous both ways
+
+    # the cluster-global minimum (cent_sim, vec_id) has no dominator
+    best = {}
+    for r in out:
+        key = (r.cent_sim_e6, r.vec_id)
+        if r.cluster_id not in best or key < best[r.cluster_id]:
+            best[r.cluster_id] = key
+    for _, vid in best.values():
+        assert rows[vid].keep
+
+    # exact equivalence vs brute-force same-cluster edges at tau
+    edges = [
+        (p.vec_a, p.vec_b)
+        for p in dedup.dedup_embedding(spark, sf_dir).collect()
+        if p.sim_e6 >= similarity.SEMDEDUP_TAU_E6
+    ]
+    assert edges
+    expected = set()
+    for a, b in edges:
+        ra, rb = rows[a], rows[b]
+        if ra.cluster_id != rb.cluster_id:
+            continue
+        ka, kb = (ra.cent_sim_e6, a), (rb.cent_sim_e6, b)
+        expected.add(b if ka < kb else a)
+    assert dropped == expected

@@ -16,8 +16,24 @@ def test_bench_compare_gate(tmp_path):
 
     # within factor → pass
     assert bench.compare(str(prior), {"a": 1.4, "b": 2.9, "new": 9.9}) == 0
-    # any common query beyond factor → fail
-    assert bench.compare(str(prior), {"a": 1.6, "b": 1.0}) == 1
+    # headline query beyond factor AND the 0.2 s additive slack → fail
+    assert bench.compare(str(prior), {"a": 1.75, "b": 1.0}) == 1
+    # beyond factor but inside the additive slack → jitter, pass
+    # (tiered gate, ADVICE r9: median-of-3 headline entries absorb
+    # scheduler/GC noise additively instead of via a blanket 1 s floor)
+    assert bench.compare(str(prior), {"a": 1.6, "b": 1.0}) == 0
+    # sub-second plan-shape regression on a headline query still gates
+    # (the case the old absolute floor silenced: 0.05 s -> 0.95 s = 19x)
+    fast = tmp_path / "fast.json"
+    fast.write_text(json.dumps({"queries": {"a": 0.05}}))
+    assert bench.compare(str(fast), {"a": 0.95}) == 1
+    # TAIL entries are single-run: under the 1 s floor any ratio passes,
+    # at/above it the factor gates
+    tail_name = bench.TAIL_BENCH[0]
+    tprior = tmp_path / "tail.json"
+    tprior.write_text(json.dumps({"queries": {tail_name: 0.1}}))
+    assert bench.compare(str(tprior), {tail_name: 0.9}) == 0
+    assert bench.compare(str(tprior), {tail_name: 1.1}) == 1
     # driver-wrapped {"parsed": {...}} form also accepted
     wrapped = tmp_path / "wrapped.json"
     wrapped.write_text(
