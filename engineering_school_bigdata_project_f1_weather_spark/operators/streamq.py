@@ -1033,8 +1033,94 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE eval-set decontamination: the continuous-crawl twin of
+    ``dedup.text_decontaminate`` — an incoming DOCUMENT stream is checked
+    per micro-batch against the held-out eval split's w-gram digests, so
+    contaminated docs are flagged at ingest time instead of by a later
+    batch sweep (the shape a training-data pipeline runs in front of its
+    landing zone). Output: per flagged doc, the collision census
+    (n_hits, first_pos, last_pos).
+
+    Plan: the static side (distinct eval digests — small by construction,
+    the same asymmetry the batch entry exploits) is broadcast into every
+    task; the stream side is a STATELESS narrow pipeline — tokenize,
+    rolling w-gram digests via ``transform`` + ``slice`` over the token
+    array (the batch path's ``lead()`` window is illegal on a stream;
+    the array form is the same md5-over-space-joined-tokens digest,
+    bit-identical), then the broadcast join. No watermark, no state
+    store: memory is bounded per micro-batch at ANY ingest rate, and the
+    static side is re-read per batch so a growing eval registry is
+    picked up for free (same contract as stream_enriched). The per-doc
+    rollup runs on the drained frame — seed hits are
+    output-proportional, orders smaller than the corpus. Gate window
+    w = DECON_W_GATE (fixture-scale, non-vacuous; see the batch gate's
+    note); deployments pass the GPT-3 default through the batch entry."""
+    from .corpus import EVAL_STRIDE
+    from .dedup import DECON_W_GATE, _substr_occ
+    from ..functions import texts
+    from ..sources.tables import load_table
+
+    w = DECON_W_GATE
+    ev_docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % EVAL_STRIDE == 0)
+        .select("doc_id", "text")
+    )
+    eval_h = _substr_occ(ev_docs, w).select("h").distinct()
+
+    d = (
+        events_stream.stream_documents(spark, sf_dir)
+        .where(F.col("doc_id") % EVAL_STRIDE != 0)
+        .select("doc_id", texts.tokens(F.col("text")).alias("t"))
+        .where(F.size("t") >= w)
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (w - 1)),
+        lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("t"), p, w))),
+    )
+    occ = d.select(
+        "doc_id", F.posexplode(shingles).alias("i", "h")
+    ).select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "h")
+    seeds = occ.join(F.broadcast(eval_h), "h").select("doc_id", "pos")
+
+    drained = _drain_append(seeds, "stream_decontaminate", spark)
+    return drained.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+    )
+
+
+def _decontaminate_stream_oracle_sql() -> str:
+    from .corpus import EVAL_STRIDE
+    from .dedup import DECON_W_GATE
+
+    w = DECON_W_GATE
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+occ AS (
+    SELECT doc_id, CAST(p AS BIGINT) AS pos,
+           md5(array_to_string(t[p:p+{w - 1}], ' ')) AS h
+    FROM toks, unnest(range(1, len(t) - {w} + 2)) AS u(p)
+    WHERE len(t) >= {w}
+),
+ev AS (SELECT DISTINCT h FROM occ WHERE doc_id % {EVAL_STRIDE} = 0),
+seeds AS (
+    SELECT doc_id, pos FROM occ
+    WHERE doc_id % {EVAL_STRIDE} <> 0 AND h IN (SELECT h FROM ev)
+)
+SELECT doc_id, COUNT(*) AS n_hits,
+       MIN(pos) AS first_pos, MAX(pos) AS last_pos
+FROM seeds GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "stream_transitions": stream_transitions,
+    "stream_decontaminate": stream_decontaminate,
     "stream_view_purchase_join": stream_view_purchase_join,
     "stream_view_purchase_outer": stream_view_purchase_outer,
     "stream_view_purchase_full": stream_view_purchase_full,
@@ -1061,6 +1147,7 @@ _TRANSITIONS_ORACLE = _EVENTS_ORACLE_SQL["events_transitions"]
 
 ORACLE_SQL = {
     "stream_transitions": _TRANSITIONS_ORACLE,
+    "stream_decontaminate": _decontaminate_stream_oracle_sql(),
     "stream_view_purchase_join": _VP_JOIN_ORACLE,
     "stream_view_purchase_outer": _VP_OUTER_ORACLE,
     "stream_view_purchase_full": _VP_FULL_ORACLE,

@@ -48,6 +48,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("event_time", F.col("ts"))
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the
+    continuous-crawl ingest shape (used by the online decontamination
+    drain, operators/streamq.py::stream_decontaminate)."""
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def hourly_counts_stream(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windowed counts with late-data watermark."""
     return (

@@ -1460,3 +1460,49 @@ def test_stream_bottomk_state_folds_across_microbatches(spark, sf_dir, tmp_path)
         for r in sketch._daily_kmv_of(ev.load_events(spark, sf_dir)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_decontaminate_matches_batch_census(spark, sf_dir):
+    """The window-free streaming digest (transform+slice over the token
+    array) must be bit-identical to the batch lead-chain digest: the
+    drained per-doc collision census equals one recomputed from
+    dedup._substr_occ on the same data, and is non-empty at the gate
+    window."""
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        corpus,
+        dedup,
+        streamq,
+    )
+
+    got = {
+        r.doc_id: (r.n_hits, r.first_pos, r.last_pos)
+        for r in streamq.stream_decontaminate(spark, sf_dir).collect()
+    }
+
+    occ = dedup._substr_occ(
+        dedup._docs(spark, sf_dir).select("doc_id", "text"),
+        dedup.DECON_W_GATE,
+    )
+    eval_h = (
+        occ.where(F.col("doc_id") % corpus.EVAL_STRIDE == 0)
+        .select("h")
+        .distinct()
+    )
+    batch = {
+        r.doc_id: (r.n_hits, r.first_pos, r.last_pos)
+        for r in (
+            occ.where(F.col("doc_id") % corpus.EVAL_STRIDE != 0)
+            .join(F.broadcast(eval_h), "h", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_hits"),
+                F.min("pos").alias("first_pos"),
+                F.max("pos").alias("last_pos"),
+            )
+            .collect()
+        )
+    }
+    assert got == batch
+    assert got  # the gate window is non-vacuous at fixture scale
