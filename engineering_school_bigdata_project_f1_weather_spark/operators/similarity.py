@@ -1108,6 +1108,168 @@ FROM av b
 """
 
 
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift report between two corpus cohorts —
+    the monitoring pass a production pipeline runs when a new crawl
+    snapshot lands: per label, how much the POPULATION share moved and
+    how far the class CENTROID rotated (cosine between the cohorts'
+    centroids). A share shift flags sampling/upstream changes; a
+    centroid rotation flags embedding-model or content drift within a
+    class. Cohorts here are the deterministic parity split (vec_id
+    even = ref, odd = cur) standing in for two snapshot windows; a
+    deployment passes two time-partitioned scans. Extension surface —
+    the reference has no embedding notion.
+
+    Output per label: (label, n_ref, n_cur, share_delta_e6 = cur share −
+    ref share in integer e6, cent_sim_e6 = cosine between the exact
+    integer-rounded mean centroids, 0 when a side is empty).
+
+    Exact-arithmetic contract: centroids use the same
+    ``floor(s/c + 1/2) = (2s+c − pmod(2s+c, 2c)) div (2c)`` rounded mean
+    as the k-means trainer (bit-stable under partial-sum reordering);
+    shares are nonnegative integer floor-divisions. So both engines
+    produce identical BIGINTs.
+
+    100 TB shape: one narrow posexplode, one (cohort, label, dim)
+    partial-agg shuffle whose output is |labels|·dim·2 rows (broadcast-
+    sized forever), label-keyed reassembly, and a |labels|-row join —
+    the scan dominates; nothing grows with the corpus except the two
+    keyed aggregations, both map-side combinable."""
+    base = load_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vectors.quantize(F.col("embedding")).alias("q")
+    )
+    cohort = F.when(F.col("vec_id") % 2 == 0, F.lit("ref")).otherwise(
+        F.lit("cur")
+    )
+    ex = base.select(
+        cohort.alias("cohort"), "label", F.posexplode("q").alias("d", "x")
+    )
+    means = (
+        ex.groupBy("cohort", "label", "d")
+        .agg(F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "cohort",
+            "label",
+            "d",
+            F.expr("div(2*s + c - pmod(2*s + c, 2*c), 2*c)").alias("m"),
+        )
+    )
+    cents = (
+        means.groupBy("cohort", "label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+        .select(
+            "cohort",
+            "label",
+            F.transform("dm", lambda s: s["m"]).alias("cq"),
+        )
+        .withColumn("n2", vectors.norm2(F.col("cq")))
+    )
+    counts = base.select(cohort.alias("cohort"), "label").groupBy(
+        "cohort", "label"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tots = counts.groupBy("cohort").agg(F.sum("n").alias("t"))
+    side = counts.join(tots, "cohort").join(cents, ["cohort", "label"])
+
+    def _half(name: str):
+        return side.where(F.col("cohort") == name).select(
+            "label",
+            F.col("n").alias(f"n_{name}"),
+            F.col("t").alias(f"t_{name}"),
+            F.col("cq").alias(f"cq_{name}"),
+            F.col("n2").alias(f"n2_{name}"),
+        )
+
+    j = _half("ref").join(_half("cur"), "label", "full")
+    # a label absent from one cohort: its count is 0, its share term 0
+    # (0 * 1e6 // t = 0 for any t), and the centroid cosine is defined 0
+    share_ref = F.expr("div(coalesce(n_ref, 0) * 1000000, t_ref)")
+    share_cur = F.expr("div(coalesce(n_cur, 0) * 1000000, t_cur)")
+    # pull the cohort totals from ANY row (they are cohort constants);
+    # when one side of the full join is null its total is too — take it
+    # from a 1-row broadcast instead so missing labels still get shares
+    tref = tots.where(F.col("cohort") == "ref").select(
+        F.col("t").alias("t_ref_all")
+    )
+    tcur = tots.where(F.col("cohort") == "cur").select(
+        F.col("t").alias("t_cur_all")
+    )
+    j = j.crossJoin(F.broadcast(tref)).crossJoin(F.broadcast(tcur))
+    share_delta = F.expr(
+        "div(coalesce(n_cur, 0) * 1000000, t_cur_all)"
+        " - div(coalesce(n_ref, 0) * 1000000, t_ref_all)"
+    )
+    cent_sim = F.when(
+        F.col("cq_ref").isNotNull() & F.col("cq_cur").isNotNull(),
+        vectors.sim_e6(
+            vectors.dot(F.col("cq_ref"), F.col("cq_cur")),
+            F.col("n2_ref"),
+            F.col("n2_cur"),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    return j.select(
+        "label",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        share_delta.cast("long").alias("share_delta_e6"),
+        cent_sim.alias("cent_sim_e6"),
+    )
+
+
+def _drift_oracle_sql() -> str:
+    q = vectors.quantize_sql("embedding")
+    sim = vectors.sim_e6_sql(
+        vectors.dot_sql("r.cq", "u.cq"), "r.n2", "u.n2"
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS cohort,
+           label, {q} AS q
+    FROM embeddings
+),
+ex AS (
+    SELECT cohort, label,
+           CAST(generate_subscripts(q, 1) AS BIGINT) AS d,
+           CAST(unnest(q) AS BIGINT) AS x
+    FROM e
+),
+mm AS (
+    SELECT cohort, label, d,
+           CAST((2 * s + c - (((2 * s + c) % (2 * c)) + 2 * c) % (2 * c))
+                // (2 * c) AS BIGINT) AS m
+    FROM (
+        SELECT cohort, label, d, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS c
+        FROM ex GROUP BY cohort, label, d
+    )
+),
+cents AS (
+    SELECT cohort, label, list(CAST(m AS DOUBLE) ORDER BY d) AS cq
+    FROM mm GROUP BY cohort, label
+),
+counts AS (SELECT cohort, label, COUNT(*) AS n FROM e GROUP BY cohort, label),
+tots AS (SELECT cohort, SUM(n) AS t FROM counts GROUP BY cohort),
+r AS (
+    SELECT c.label, c.n, cc.cq, {vectors.dot_sql('cc.cq', 'cc.cq')} AS n2
+    FROM counts c JOIN cents cc USING (cohort, label) WHERE c.cohort = 'ref'
+),
+u AS (
+    SELECT c.label, c.n, cc.cq, {vectors.dot_sql('cc.cq', 'cc.cq')} AS n2
+    FROM counts c JOIN cents cc USING (cohort, label) WHERE c.cohort = 'cur'
+)
+SELECT COALESCE(r.label, u.label) AS label,
+       CAST(COALESCE(r.n, 0) AS BIGINT) AS n_ref,
+       CAST(COALESCE(u.n, 0) AS BIGINT) AS n_cur,
+       CAST(COALESCE(u.n, 0) * 1000000
+                // (SELECT t FROM tots WHERE cohort = 'cur')
+            - COALESCE(r.n, 0) * 1000000
+                // (SELECT t FROM tots WHERE cohort = 'ref')
+            AS BIGINT) AS share_delta_e6,
+       CAST(CASE WHEN r.cq IS NOT NULL AND u.cq IS NOT NULL
+                 THEN {sim} ELSE 0 END AS BIGINT) AS cent_sim_e6
+FROM r FULL JOIN u ON r.label = u.label
+"""
+
+
 KNN_GRAPH_DEGREE = 8  # neighbors kept per vector
 
 
@@ -2603,6 +2765,7 @@ QUERIES = {
     "sim_ivf_trained": sim_ivf_trained,
     "dedup_embedding_ann": dedup_embedding_ann,
     "dedup_semantic": dedup_semantic,
+    "embedding_drift": embedding_drift,
     "sim_clusters": sim_clusters,
     "sim_knn_graph": sim_knn_graph,
     "sim_mmr": sim_mmr,
@@ -2621,6 +2784,7 @@ ORACLE_SQL = {
     "sim_ivf_trained": _ivf_trained_oracle_sql(),
     "dedup_embedding_ann": _embedding_ann_oracle_sql(),
     "dedup_semantic": _semantic_oracle_sql(),
+    "embedding_drift": _drift_oracle_sql(),
     "sim_clusters": _clusters_oracle_sql(),
     "sim_knn_graph": _knn_graph_oracle_sql(),
     "sim_mmr": _mmr_oracle_sql(),

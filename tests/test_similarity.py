@@ -573,3 +573,37 @@ def test_semdedup_keeper_policy_matches_bruteforce(spark, sf_dir):
         ka, kb = (ra.cent_sim_e6, a), (rb.cent_sim_e6, b)
         expected.add(b if ka < kb else a)
     assert dropped == expected
+
+
+def test_embedding_drift_detects_injected_shift(spark, sf_dir, tmp_path):
+    """Conservation on the fixture, exact behavior on a synthetic
+    corpus: an unchanged label reports cosine 1.0, a rotated label
+    cosine 0, a label present only in the current cohort a positive
+    share delta with zero centroid similarity."""
+    out = similarity.embedding_drift(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_ref + r.n_cur for r in out) == n
+    # shares are floor-divided e6 integers: deltas sum to ~0 up to one
+    # rounding unit per label per side
+    assert abs(sum(r.share_delta_e6 for r in out)) <= 2 * len(out)
+
+    rows = [
+        (2, [1.0, 0.0, 0.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0, 0.0], 1),
+        (5, [0.0, 1.0, 0.0, 0.0], 1),
+        (7, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.label: r
+        for r in similarity.embedding_drift(spark, str(tmp_path)).collect()
+    }
+    assert got[0].cent_sim_e6 == 1_000_000  # identical centroids
+    assert got[1].cent_sim_e6 == 0  # orthogonal rotation
+    assert got[2].n_ref == 0 and got[2].cent_sim_e6 == 0
+    # ref totals 2, cur totals 3: label 2 gains 1/3 of cur share
+    assert got[2].share_delta_e6 == 1_000_000 // 3
+    assert got[0].share_delta_e6 == 1_000_000 // 3 - 1_000_000 // 2
