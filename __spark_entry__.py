@@ -63,13 +63,13 @@ _MODULES = [
     sketch, graph, olap_deep, bpe,
 ]
 
-# First-50 driver window for round 10 (VERDICT r9 item 7): slots 1-9
-# are the nine round-10 additions (never driver-witnessed by
+# First-50 driver window for round 10 (VERDICT r9 item 7): slots 1-10
+# are the ten round-10 additions (never driver-witnessed by
 # construction: the three scale-safe banding/selection twins, the
 # Lee-et-al keep-one substring policy, SemDeDup, the cross-source
 # near-dup leakage matrix, the leakage-safe split, the online
-# decontamination drain, and the embedding-drift report); slot 10 is
-# text_decontaminate,
+# decontamination drain, the embedding-drift report, and the
+# rendezvous shard census); slot 11 is text_decontaminate,
 # whose r9 witness was the VACUOUS 0-row match — its gate now runs at
 # the fixture-scale window and needs a real driver witness (VERDICT r9
 # item 3).  The rest is the least-recently-witnessed fill computed from
@@ -84,7 +84,7 @@ _WINDOW_R10 = [
     "quality_perplexity_banded", "quality_backoff_banded",
     "sample_dsir_selected", "dedup_substring_keep_one",
     "dedup_semantic", "dedup_source_overlap", "sample_split_safe",
-    "stream_decontaminate", "embedding_drift",
+    "stream_decontaminate", "embedding_drift", "corpus_shard",
     # r9-witnessed but vacuously (0 rows); gate re-parameterized this round
     "text_decontaminate",
     # r6-vintage: complete (43 entries, registry order within modules)
@@ -93,7 +93,7 @@ _WINDOW_R10 = [
     "events_multigrain", "multimodal_features", "multimodal_frames",
     "multimodal_energy", "corpus_curate", "text_chunk",
     "text_contamination", "sample_split", "text_repetition", "text_pii",
-    "corpus_pack", "sample_stratified", "corpus_mix",
+    "sample_stratified", "corpus_mix",
     "corpus_forget", "events_pivot", "weather_melt", "segment_overlap",
     "dq_lineitem", "events_json_variant", "quality_score",
     "lineitem_snapshot_diff", "lineitem_zorder_layout", "text_postings",
@@ -107,10 +107,12 @@ _WINDOW_R10 = [
 # tests/test_marts.py), sim_topk (r6-vintage, but the ground-truth set
 # for four recall pytests — the strongest non-driver evidence in the
 # r6 cohort), text_hash_embed (r6-vintage; dedicated end-to-end pytest
-# test_hash_embed_feeds_similarity_stack), and corpus_shuffle
+# test_hash_embed_feeds_similarity_stack), corpus_shuffle
 # (r6-vintage; determinism-pinned by
-# test_shuffle_is_deterministic_permutation); never-witnessed entries
-# outrank any witnessed one.
+# test_shuffle_is_deterministic_permutation), and corpus_pack
+# (r6-vintage; budget-arithmetic-pinned by
+# test_pack_sequences_respect_budget_arithmetic); never-witnessed
+# entries outrank any witnessed one.
 # Rotation-intent guard (VERDICT r8 item 1: the r8 list had 51 names and
 # the driver's first-50 check silently dropped the last one).
 assert len(_WINDOW_R10) == 50, f"window must be exactly 50, got {len(_WINDOW_R10)}"

@@ -282,6 +282,94 @@ FROM t GROUP BY lang, split
 """
 
 
+SHARDS_FROM = 8
+SHARDS_TO = 9
+
+
+def _rendezvous_shard(n: int):
+    """Rendezvous (highest-random-weight) shard of ``doc_id`` over ``n``
+    shards: argmax over s of md5-weight(doc_id:s), ties to the LOWEST s.
+    Encoded as one injective BIGINT key ``w·16 − s`` (w < 2³², s < 16 —
+    exact, and order-equivalent to (w DESC, s ASC)), so Spark's struct
+    array_max and DuckDB's arg_max pick the identical shard."""
+    assert n <= 16
+    key = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda s: F.struct(
+            (
+                texts.hash32(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        s.cast("string"),
+                    )
+                )
+                * 16
+                - s
+            ).alias("k"),
+            s.cast("int").alias("s"),
+        ),
+    )
+    return F.array_max(key)["s"]
+
+
+def corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic shard-assignment census under RENDEZVOUS hashing (Thaler &
+    Ravishankar 1998 — highest random weight): every document picks the
+    shard with the largest md5 weight over (doc_id, shard), so growing
+    the fleet from N to N+1 moves ONLY the docs whose new shard wins the
+    weight race — an expected 1/(N+1) of the corpus — while modulo
+    hashing (`sample_split`'s bucket shape) would reshuffle ~all of it.
+    That is the property a 100 TB store needs to rescale without a full
+    rewrite; this entry is the census a rescale plan is costed from:
+    per current shard (N=8), how many docs it holds and how many leave
+    when N→9. Extension surface — the reference has no sharding notion.
+
+    The per-doc weight race is a narrow 9-element array expression in
+    the scan (no explode, no shuffle); the census is one
+    map-side-combinable rollup. Deterministic md5 weights — task retry,
+    engine change, or repartitioning never reassigns a document (same
+    retry-safety contract as sample_split)."""
+    d = load_table_spread(spark, sf_dir, "documents").select("doc_id")
+    s_from = _rendezvous_shard(SHARDS_FROM)
+    s_to = _rendezvous_shard(SHARDS_TO)
+    return (
+        d.select(s_from.alias("shard"), s_to.alias("shard_next"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard") != F.col("shard_next"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _shard_oracle_sql() -> str:
+    def shard_sql(n: int) -> str:
+        h = texts.hash32_sql(
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(u.s AS VARCHAR)"
+        )
+        return f"""(
+    SELECT doc_id, CAST(arg_max(u.s, {h} * 16 - u.s) AS INT) AS shard
+    FROM documents, unnest(range(0, {n})) AS u(s)
+    GROUP BY doc_id
+)"""
+
+    return f"""
+WITH a AS {shard_sql(SHARDS_FROM)},
+b AS {shard_sql(SHARDS_TO)}
+SELECT a.shard, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+FROM a JOIN b USING (doc_id)
+GROUP BY a.shard ORDER BY a.shard
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signal: the most frequent token's share of each
     document. One (doc_id, token) partial-agg shuffle, then a per-doc max —
@@ -1227,6 +1315,7 @@ QUERIES = {
     "text_contamination": text_contamination,
     "sample_split": sample_split,
     "sample_split_safe": sample_split_safe,
+    "corpus_shard": corpus_shard,
     "text_repetition": text_repetition,
     "text_pii": text_pii,
     "corpus_pack": corpus_pack,
@@ -1247,6 +1336,7 @@ ORACLE_SQL = {
     "text_contamination": _contamination_oracle_sql(),
     "sample_split": _sample_split_oracle_sql(),
     "sample_split_safe": _sample_split_safe_oracle_sql(),
+    "corpus_shard": _shard_oracle_sql(),
     "text_repetition": _repetition_oracle_sql(),
     "text_pii": _pii_oracle_sql(),
     "corpus_pack": _pack_oracle_sql(),

@@ -1507,3 +1507,24 @@ def test_source_overlap_conserves_pairs(spark, sf_dir):
     assert all(r.source_lo <= r.source_hi for r in cells)
     n_pairs = dedup.dedup_minhash_lsh(spark, sf_dir).count()
     assert sum(r.n_pairs for r in cells) == n_pairs > 0
+
+
+def test_corpus_shard_minimal_movement(spark, sf_dir):
+    """Rendezvous hashing's reason to exist: rescaling 8 → 9 shards
+    moves ≈ 1/9 of documents (we assert < 2× that), while modulo
+    hashing reshuffles most of the corpus on the same rescale."""
+    from engineering_school_bigdata_project_f1_weather_spark.functions import texts
+
+    out = corpus.corpus_shard(spark, sf_dir).collect()
+    docs = corpus._docs_tokens(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    assert sum(r.n_docs for r in out) == n
+    assert {r.shard for r in out} <= set(range(corpus.SHARDS_FROM))
+    moved = sum(r.n_moved for r in out)
+    assert 0 < moved / n < 2 / corpus.SHARDS_TO
+
+    h = texts.hash32(F.col("doc_id").cast("string"))
+    mod_moved = docs.where(
+        h % corpus.SHARDS_FROM != h % corpus.SHARDS_TO
+    ).count()
+    assert mod_moved / n > 0.5  # the failure mode rendezvous avoids
