@@ -627,6 +627,13 @@ SLOPE_QUERIES = [
     "dedup_semantic",
     "dedup_source_overlap",
     "sample_split_safe",
+    # round-10 third wave: the stateless streaming decontamination
+    # drain (broadcast static side, per-micro-batch memory), the
+    # two-cohort drift report (scan + label-keyed rollups), and the
+    # rendezvous shard census (one narrow array expression + rollup)
+    "stream_decontaminate",
+    "embedding_drift",
+    "corpus_shard",
 ]
 
 
