@@ -549,6 +549,23 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the number of near-empty docs, and empty at every test SF
     (min doc length 48).
 
+    EDjoin's location-based mismatch filter (Xiao-Wang-Lin VLDB'08 §4,
+    :func:`_edit_location_filter`) was implemented, hash-verified, and
+    REJECTED from this hot path on measurement (round 10): it collapses
+    the verify surface spectacularly (25,667 → 254 candidates at sf0.1;
+    597,778 → 16 at sf0.5 — tools/er_census.py still audits both
+    counts), but Spark's banded ``levenshtein(a, b, τ)`` early-exit
+    verify costs ~15 µs/pair on these ~300-char docs, so the pairs the
+    filter saves are worth ~0.4 s while its own occurrence join +
+    interval-packing aggregate costs 4.3 s at sf0.1 and is a 2.5× NET
+    LOSS at sf0.5 (18.3 s filtered vs 7.3 s direct, measured quiet,
+    warm). Same verdict shape as sparse-sim's rejected PPJoin prefix
+    filter: exact candidate pruning loses to a cheap codegen verify at
+    every probed scale. The filter stays available for the census and
+    as the escape hatch for regimes where the verify IS expensive
+    (multi-KB strings, where per-pair Levenshtein cost grows with
+    length but the filter's cost per pair does not).
+
     100 TB shape: the q-gram frame is codegen end-to-end (explode a
     position ``sequence``, substring at (text, pos) — no interpreted
     higher-order lambda, the round-6 shingle lesson), one distinct
@@ -559,12 +576,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, edit_dist), doc_a < doc_b.
     """
     d = _edit_docs(spark, sf_dir)
-    pgram, prefix, cand = _edit_surfaces(d)
-    keep = _edit_location_filter(pgram, prefix, cand)
+    _pgram, _prefix, cand = _edit_surfaces(d)
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
     return (
-        keep.join(ta, "doc_a")
+        cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn(
             "edit_dist",
@@ -655,10 +671,14 @@ def _edit_location_filter(
 ) -> DataFrame:
     """EDjoin's LOCATION-BASED MISMATCH FILTER (Xiao-Wang-Lin VLDB'08
     §4; round 10, VERDICT r9 item 5): prune candidate pairs whose
-    prefix-gram positions already certify edit distance > τ, BEFORE the
-    banded-Levenshtein verify.  Output-preserving by construction — it
-    only rejects pairs the verify would reject — so the entry's oracle
-    hash is unchanged.
+    prefix-gram positions already certify edit distance > τ, before a
+    Levenshtein verify.  Output-preserving by construction — it only
+    rejects pairs the verify would reject.  NOT in the hot path:
+    measured a net loss against the banded JVM verify at every probed
+    scale (see the rejection note in :func:`dedup_edit_distance`);
+    retained for tools/er_census.py's surface audit and as the
+    escape hatch for long-string regimes where per-pair verify cost
+    grows with length.
 
     Soundness: a positional q-gram of doc_a with NO content-equal
     occurrence in doc_b within position shift τ must have been
@@ -2491,8 +2511,9 @@ FROM isl GROUP BY doc_id, island
 # and the occurrence log are append-only — no remap chains, no
 # contraction. Per-batch work: the batch's occurrence rows (∝ batch),
 # one probe of the stored log keyed on the batch's distinct digests —
-# the log is stored HIVE-PARTITIONED on the digest's leading byte
-# (``hb`` = 256 buckets, round 10, VERDICT r9 item 4), so the probe
+# the log is stored HIVE-PARTITIONED on the digest's leading hex chars
+# (``hb`` = 16**OCC_BUCKET_CHARS buckets, round 10, VERDICT r9 item 4 —
+# a capacity knob, see the constant's note), so the probe
 # filters to the batch's touched buckets and parquet partition pruning
 # skips the rest of the log on disk (plan-pinned by
 # tests/test_plans.py::test_substr_occ_probe_prunes_buckets;
@@ -2505,12 +2526,25 @@ FROM isl GROUP BY doc_id, island
 # sketch families' bounded-state full rewrites.
 
 
+# Hive-partition fan-out of the occ log: 16**OCC_BUCKET_CHARS buckets.
+# A CAPACITY knob, not a semantic one (same contract as
+# STREAM_STATE_PARTITIONS): the default 1 hex char = 16 buckets keeps
+# per-snapshot file counts small at bench scale — the round-10 first
+# cut hardcoded 2 chars = 256 buckets and the composed incremental
+# entry paid 6.6 → 10.2 s at sf0.1 in pure small-file listing/write
+# overhead; 16 buckets restores it while keeping the probe's partition
+# pruning plan-pinned. A deployment whose log outgrows 16 files per
+# compaction sets SPARK_GRAFT_OCC_BUCKET_CHARS=2 (256) or 3 (4096).
+OCC_BUCKET_CHARS = int(os.environ.get("SPARK_GRAFT_OCC_BUCKET_CHARS", "1"))
+
+
 def _occ_bucket(col: str = "h"):
-    """Hive-partition bucket of a digest: its leading byte, prefixed so
-    the partition values never type-infer to integers ('b00'..'bff' —
-    a pure-digit value set would flip the discovered column to int and
-    break unionByName between stored and batch frames)."""
-    return F.concat(F.lit("b"), F.substring(col, 1, 2))
+    """Hive-partition bucket of a digest: its leading OCC_BUCKET_CHARS
+    hex chars, prefixed so the partition values never type-infer to
+    integers ('b0'..'bf' at the default width — a pure-digit value set
+    would flip the discovered column to int and break unionByName
+    between stored and batch frames)."""
+    return F.concat(F.lit("b"), F.substring(col, 1, OCC_BUCKET_CHARS))
 
 
 def _write_occ_bucketed(occ: DataFrame, path: str) -> None:
@@ -2589,7 +2623,8 @@ def substr_index_update(
     )
     bocc = _substr_occ(fresh).localCheckpoint()
     batch_h = bocc.groupBy("h").agg(F.count(F.lit(1)).alias("bc"))
-    # Buckets the batch touches — a bounded (≤256) driver list; the
+    # Buckets the batch touches — a bounded (≤ 16**OCC_BUCKET_CHARS)
+    # driver list; the
     # stored-log probe below filters on the hb PARTITION column, so
     # parquet partition pruning skips every untouched bucket's files
     # (the on-disk realization of "probe ∝ batch", VERDICT r9 item 4).
