@@ -2538,22 +2538,51 @@ FROM isl GROUP BY doc_id, island
 OCC_BUCKET_CHARS = int(os.environ.get("SPARK_GRAFT_OCC_BUCKET_CHARS", "1"))
 
 
-def _occ_bucket(col: str = "h"):
-    """Hive-partition bucket of a digest: its leading OCC_BUCKET_CHARS
-    hex chars, prefixed so the partition values never type-infer to
-    integers ('b0'..'bf' at the default width — a pure-digit value set
-    would flip the discovered column to int and break unionByName
-    between stored and batch frames)."""
-    return F.concat(F.lit("b"), F.substring(col, 1, OCC_BUCKET_CHARS))
+def _occ_width_write(base: str, chars: int) -> None:
+    """Record the bucket width a snapshot's occ log was written at,
+    INSIDE the snapshot directory — so it commits (and GCs) atomically
+    with the snapshot via the CURRENT pointer swap."""
+    os.makedirs(base, exist_ok=True)
+    with open(os.path.join(base, "OCC_WIDTH"), "w") as f:
+        f.write(str(chars))
 
 
-def _write_occ_bucketed(occ: DataFrame, path: str) -> None:
+def _occ_width(base: str) -> int:
+    """Bucket width of a snapshot's occ log (round 11, ADVICE r10):
+    updates MUST bucket and probe at the width the stored partitions
+    were written at — the env knob only changing the width of FUTURE
+    layouts.  Without this, flipping SPARK_GRAFT_OCC_BUCKET_CHARS
+    mid-index-life left mixed-width partitions ('b0' vs 'b00') the
+    isin(touched) probe silently skipped, so stored occurrences went
+    unseen and spans were wrong with no error.  Width migration is a
+    compaction (the full rewrite is the sanctioned point to re-bucket).
+    Pre-round-11 snapshots carry no width file; they fall back to the
+    env value, their only possible width."""
+    p = os.path.join(base, "OCC_WIDTH")
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(f.read().strip())
+    return OCC_BUCKET_CHARS
+
+
+def _occ_bucket(col: str = "h", chars: int | None = None):
+    """Hive-partition bucket of a digest: its leading ``chars``
+    (default: the env knob) hex chars, prefixed so the partition
+    values never type-infer to integers ('b0'..'bf' at the default
+    width — a pure-digit value set would flip the discovered column to
+    int and break unionByName between stored and batch frames)."""
+    return F.concat(
+        F.lit("b"), F.substring(col, 1, chars or OCC_BUCKET_CHARS)
+    )
+
+
+def _write_occ_bucketed(occ: DataFrame, path: str, chars: int | None = None) -> None:
     """Write occurrence rows hive-partitioned on the digest bucket —
     one shuffle on ``hb`` (∝ the rows being written, i.e. the batch)
     so each bucket lands as one file per write; update-time probes
     then prune to touched buckets via parquet partition pruning."""
     (
-        occ.withColumn("hb", _occ_bucket())
+        occ.withColumn("hb", _occ_bucket(chars=chars))
         .repartition("hb")
         .write.partitionBy("hb")
         .mode("overwrite")
@@ -2588,9 +2617,10 @@ def substr_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> 
     )
     spans = _substr_spans(occ.join(dup, "h").select("doc_id", "pos"))
     d.select("doc_id").write.mode("overwrite").parquet(f"{base}/docs")
-    _write_occ_bucketed(occ, f"{base}/occ")
+    _write_occ_bucketed(occ, f"{base}/occ", OCC_BUCKET_CHARS)
     dup.write.mode("overwrite").parquet(f"{base}/dup")
     spans.write.mode("overwrite").parquet(f"{base}/spans")
+    _occ_width_write(base, OCC_BUCKET_CHARS)
     snapshots.snap_commit(index_path, snap, "sub_v")
 
 
@@ -2612,6 +2642,12 @@ def substr_index_update(
     every other doc's seed set, hence span set, is untouched."""
     live = snapshots.snap_live(index_path)
     base = os.path.join(index_path, live)
+    # Probe AND write deltas at the width the stored layout was built
+    # at (snapshot metadata, never the env — ADVICE r10): the new
+    # snapshot hard-links the old occ files, so a different delta width
+    # would mix 'b0'/'b00' partitions in one directory and the pruned
+    # probe would silently skip stored occurrences.
+    chars = _occ_width(base)
     old_docs = spark.read.parquet(f"{base}/docs")
     old_occ_b = _read_occ(spark, f"{base}/occ")  # carries the hb column
     old_occ = old_occ_b.select("doc_id", "pos", "h")
@@ -2630,7 +2666,9 @@ def substr_index_update(
     # (the on-disk realization of "probe ∝ batch", VERDICT r9 item 4).
     touched = [
         r["hb"]
-        for r in bocc.select(_occ_bucket().alias("hb")).distinct().collect()
+        for r in bocc.select(
+            _occ_bucket(chars=chars).alias("hb")
+        ).distinct().collect()
     ]
     probe_base = old_occ_b.where(F.col("hb").isin(touched)).select(
         "doc_id", "pos", "h"
@@ -2675,11 +2713,12 @@ def substr_index_update(
     nxt = snapshots.snap_next(live, "sub_v")
     nbase = os.path.join(index_path, nxt)
     fresh.select("doc_id").write.mode("overwrite").parquet(f"{nbase}/docs")
-    _write_occ_bucketed(bocc, f"{nbase}/occ")
+    _write_occ_bucketed(bocc, f"{nbase}/occ", chars)
     newly_dup.write.mode("overwrite").parquet(f"{nbase}/dup")
     spans.write.mode("overwrite").parquet(f"{nbase}/spans")
     for sub in ("docs", "occ", "dup"):
         snapshots.link_parquet_files(f"{base}/{sub}", f"{nbase}/{sub}")
+    _occ_width_write(nbase, chars)
     snapshots.snap_commit(index_path, nxt, "sub_v")
     return new_spans
 
@@ -2708,11 +2747,16 @@ def substr_index_compact(spark: SparkSession, index_path: str) -> None:
     # The compaction rewrite collapses each bucket's accumulated
     # per-batch delta files into ONE file per hb partition (the
     # repartition("hb") inside the bucketed writer), restoring O(1)
-    # files per bucket for the update-time pruned probe.
-    _write_occ_bucketed(occ, f"{nbase}/occ")
+    # files per bucket for the update-time pruned probe.  Compaction is
+    # also the sanctioned WIDTH-MIGRATION point (ADVICE r10): it
+    # re-buckets the full log at the current env width and stamps that
+    # width into the new snapshot, so updates after a knob change probe
+    # a uniform layout.
+    _write_occ_bucketed(occ, f"{nbase}/occ", OCC_BUCKET_CHARS)
     dup.coalesce(1).write.mode("overwrite").parquet(f"{nbase}/dup")
     docs.coalesce(1).write.mode("overwrite").parquet(f"{nbase}/docs")
     spans.write.mode("overwrite").parquet(f"{nbase}/spans")
+    _occ_width_write(nbase, OCC_BUCKET_CHARS)
     snapshots.snap_commit(index_path, nxt, "sub_v")
 
 

@@ -1181,19 +1181,20 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     j = _half("ref").join(_half("cur"), "label", "full")
     # a label absent from one cohort: its count is 0, its share term 0
-    # (0 * 1e6 // t = 0 for any t), and the centroid cosine is defined 0
-    share_ref = F.expr("div(coalesce(n_ref, 0) * 1000000, t_ref)")
-    share_cur = F.expr("div(coalesce(n_cur, 0) * 1000000, t_cur)")
-    # pull the cohort totals from ANY row (they are cohort constants);
-    # when one side of the full join is null its total is too — take it
-    # from a 1-row broadcast instead so missing labels still get shares
-    tref = tots.where(F.col("cohort") == "ref").select(
-        F.col("t").alias("t_ref_all")
+    # (0 * 1e6 // t = 0 for any t), and the centroid cosine is defined 0.
+    # Cohort totals ride in on a single global agg — an ungrouped agg is
+    # exactly ONE row even when a cohort (or the whole input) is empty,
+    # so an empty cohort yields NULL totals (and NULL share terms per
+    # the oracle) instead of collapsing the report to 0 rows.
+    tot_row = tots.agg(
+        F.sum(F.when(F.col("cohort") == "ref", F.col("t"))).alias(
+            "t_ref_all"
+        ),
+        F.sum(F.when(F.col("cohort") == "cur", F.col("t"))).alias(
+            "t_cur_all"
+        ),
     )
-    tcur = tots.where(F.col("cohort") == "cur").select(
-        F.col("t").alias("t_cur_all")
-    )
-    j = j.crossJoin(F.broadcast(tref)).crossJoin(F.broadcast(tcur))
+    j = j.crossJoin(F.broadcast(tot_row))
     share_delta = F.expr(
         "div(coalesce(n_cur, 0) * 1000000, t_cur_all)"
         " - div(coalesce(n_ref, 0) * 1000000, t_ref_all)"

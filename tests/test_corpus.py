@@ -1262,6 +1262,56 @@ def test_substr_index_promotes_stored_singleton(spark, tmp_path):
     }
 
 
+def test_substr_index_bucket_width_persisted(spark, tmp_path, monkeypatch):
+    """Flipping SPARK_GRAFT_OCC_BUCKET_CHARS mid-index-life must not
+    desync the probe from the stored partition layout (ADVICE r10):
+    the snapshot records its occ-log bucket width, updates probe AND
+    write deltas at that recorded width (a stored singleton is still
+    promoted after the knob changes), and compaction is the sanctioned
+    migration point that re-buckets at the new width."""
+    import glob
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    W = dedup.SUBSTR_W
+    seq = " ".join(f"w{i}" for i in range(W))
+    other = " ".join(f"x{i}" for i in range(W))
+    frame = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "sub_idx_width")
+    monkeypatch.setattr(dedup, "OCC_BUCKET_CHARS", 1)
+    dedup.substr_index_init(spark, frame([(1, seq), (2, other)]), idx)
+    live = snapshots.snap_live(idx)
+    assert dedup._occ_width(os.path.join(idx, live)) == 1
+
+    def hb_widths():
+        live = snapshots.snap_live(idx)
+        return {
+            len(os.path.basename(d).split("=", 1)[1]) - 1  # strip 'b'
+            for d in glob.glob(os.path.join(idx, live, "occ", "hb=*"))
+        }
+
+    assert hb_widths() == {1}
+    # knob flips mid-life: the update must still promote the stored
+    # singleton (probe at the RECORDED width, not the env's)
+    monkeypatch.setattr(dedup, "OCC_BUCKET_CHARS", 2)
+    out = dedup.substr_index_update(spark, frame([(3, seq)]), idx)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in out.collect()}
+    assert got == {(1, 1, W), (3, 1, W)}
+    assert hb_widths() == {1}  # delta written at the stored width too
+    # compaction migrates the layout and stamps the new width
+    dedup.substr_index_compact(spark, idx)
+    assert hb_widths() == {2}
+    assert dedup._occ_width(os.path.join(idx, snapshots.snap_live(idx))) == 2
+    # post-migration ingest probes the new layout correctly
+    out2 = dedup.substr_index_update(spark, frame([(4, other)]), idx)
+    got2 = {(r.doc_id, r.span_start, r.span_end) for r in out2.collect()}
+    assert got2 == {(2, 1, W), (4, 1, W)}
+
+
 def test_substr_index_compact_preserves_serving(spark, sf_dir, tmp_path):
     """substr_index_compact: fewer data files, identical serving view,
     updates still work afterwards (the LSM compaction contract)."""

@@ -607,3 +607,26 @@ def test_embedding_drift_detects_injected_shift(spark, sf_dir, tmp_path):
     # ref totals 2, cur totals 3: label 2 gains 1/3 of cur share
     assert got[2].share_delta_e6 == 1_000_000 // 3
     assert got[0].share_delta_e6 == 1_000_000 // 3 - 1_000_000 // 2
+
+
+def test_embedding_drift_empty_cohort_keeps_rows(spark, tmp_path):
+    """An empty cohort (all vec_ids share parity) must NOT collapse the
+    report to 0 rows (ADVICE r10): every label still reports, counts on
+    the empty side are 0, and share terms involving the empty cohort's
+    total are NULL (matching the oracle's div-by-NULL)."""
+    rows = [  # all even vec_ids → ref only, cur cohort empty
+        (2, [1.0, 0.0, 0.0, 0.0], 0),
+        (4, [0.0, 1.0, 0.0, 0.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.label: r
+        for r in similarity.embedding_drift(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1}
+    for r in got.values():
+        assert r.n_cur == 0 and r.n_ref == 1
+        assert r.share_delta_e6 is None  # cur total is NULL
+        assert r.cent_sim_e6 == 0  # one side empty → defined 0
