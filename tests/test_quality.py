@@ -392,3 +392,80 @@ def test_global_rank_empty_frame(spark):
     df = spark.range(10).where(F.col("id") < 0)
     ranked, n = ranks.global_ranked(df, [F.asc("id")])
     assert n == 0 and ranked.count() == 0
+
+
+def test_quality_classifier_generalizes_to_holdout(spark, sf_dir):
+    """The trained Bernoulli-NB classifier must beat the majority-class
+    baseline on docs it NEVER saw (odd doc_ids are excluded from
+    training): its held-out predictions are compared to the heuristic
+    bands it was weakly supervised from."""
+    pred = {
+        r.doc_id: r
+        for r in quality.quality_classifier_scored(spark, sf_dir).collect()
+    }
+    band = {
+        r.doc_id: r.band for r in quality.quality_score(spark, sf_dir).collect()
+    }
+    assert set(pred) == set(band)  # one row per document, always
+    # trainers carry their label; held-out and mid docs don't
+    for d, r in pred.items():
+        if r.train_label is not None:
+            assert d % quality.QC_TRAIN_STRIDE == 0
+            assert band[d] == ("high" if r.train_label == "pos" else "low")
+    holdout = [
+        d for d in pred
+        if d % quality.QC_TRAIN_STRIDE != 0 and band[d] in ("high", "low")
+    ]
+    assert len(holdout) > 20
+    correct = sum(
+        1 for d in holdout if pred[d].predicted_high == (band[d] == "high")
+    )
+    majority = max(
+        sum(1 for d in holdout if band[d] == "high"),
+        sum(1 for d in holdout if band[d] == "low"),
+    )
+    assert correct > majority, (correct, majority, len(holdout))
+    assert correct >= int(0.9 * len(holdout))
+
+
+def test_quality_classifier_learns_token_signal(spark, tmp_path):
+    """Distribution-shift shape (the sample_dsir test model): on a
+    corpus where vocabulary correlates with the band labels, held-out
+    docs are classified by their TOKENS — two mid-band held-out docs
+    with identical engineered stats but disjoint vocab get opposite
+    predictions."""
+    good_vocab = "wisdom insight clarity depth nuance rigor".split()
+    bad_vocab = "spam0 spam1 spam2 spam3 spam4 spam5".split()
+    stop_pad = ["the", "of", "and", "to", "in", "is"]
+
+    def doc(vocab, n):
+        # cycle vocab + stopwords to length n (no digits)
+        words = [vocab[i % len(vocab)] for i in range(n - n // 3)]
+        words += [stop_pad[i % len(stop_pad)] for i in range(n // 3)]
+        return " ".join(words[:n])
+
+    rows = []
+    for i in range(40):
+        # trainers (even ids): long good-vocab docs band high,
+        # short bad-vocab docs band low
+        rows.append((2 * i, doc(good_vocab, 80), "en", "s", 1))
+        rows.append((2 * i + 1000, doc(bad_vocab, 12), "en", "s", 1))
+    # held-out odd ids, BOTH mid-band length (~40 tokens): identical
+    # engineered stats, opposite vocabulary
+    rows.append((9001, doc(good_vocab, 40), "en", "s", 1))
+    rows.append((9003, doc(bad_vocab, 40), "en", "s", 1))
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s, _ in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.doc_id: r
+        for r in quality.quality_classifier_scored(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # both held-out docs were unlabeled (odd id) and mid-band
+    assert out[9001].train_label is None and out[9003].train_label is None
+    assert out[9001].predicted_high and not out[9003].predicted_high
+    assert out[9001].qc_llr_q16 > out[9003].qc_llr_q16
