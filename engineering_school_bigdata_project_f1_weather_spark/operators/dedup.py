@@ -2502,6 +2502,109 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+# --------------------- line-level exact dedup (round 11, VERDICT r10 #7)
+# CCNet's preprocessing step (Wenzek et al. 2020): hash every LINE of
+# every document, keep only the globally FIRST occurrence of each
+# duplicated line (min (doc_id, line_no)), drop the rest — the cheap
+# exact precursor the substring family (Lee et al. 2022) sits above.
+LINE_W = 8  # tokens per synthetic line on the single-line fixture corpus
+# first-occurrence encoding capacity: line_no < 2**20 (a million lines
+# per document) keeps doc_id * 2**20 + line_no injective in int64 up to
+# doc_id < 2**43.
+LINE_NO_BITS = 20
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup over the documents table.
+
+    The fixture corpus is single-line (no newlines), so the registry
+    entry segments each doc into consecutive LINE_W-token windows as
+    its 'lines' — the frame core :func:`dedup_lines_of` takes a real
+    delimiter for production newline corpora (pytest-pinned).
+
+    Output: one row per line — (doc_id, line_no 0-based, n_line_toks,
+    dup_count = global occurrences of this line's text, removed =
+    duplicated AND not the global first occurrence).  The kept lines
+    of each doc are exactly CCNet's cleaned document.
+
+    100 TB shape: one narrow (doc, line) explode, ONE line-hash groupBy
+    (map-side combinable count + min — no window, so a hot line, e.g.
+    the empty line that dominates web corpora, never builds a giant
+    window partition), one shuffle join back on the hash.  Output is
+    line-proportional, like the input."""
+    return dedup_lines_of(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def dedup_lines_of(docs: DataFrame, delim: str | None = None) -> DataFrame:
+    """Frame core of :func:`dedup_lines`: ``delim`` (e.g. '\\n') splits
+    real lines; None segments into LINE_W-token windows."""
+    if delim is not None:
+        lines = docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", delim)).alias("line_no", "line"),
+        )
+    else:
+        w = LINE_W
+        lines = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, div(size(split(text, ' ')) "
+                    f"+ {w - 1}, {w}) - 1), "
+                    f"i -> array_join(slice(split(text, ' '), "
+                    f"i * {w} + 1, {w}), ' '))"
+                )
+            ).alias("line_no", "line"),
+        )
+    hl = lines.select(
+        "doc_id",
+        F.col("line_no").cast("long").alias("line_no"),
+        F.size(F.split("line", " ")).cast("long").alias("n_line_toks"),
+        F.md5("line").alias("h"),
+        (
+            F.col("doc_id") * (1 << LINE_NO_BITS) + F.col("line_no")
+        ).alias("k"),
+    )
+    grp = hl.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_count"),
+        F.min("k").alias("first_k"),
+    )
+    return hl.join(grp, "h").select(
+        "doc_id",
+        "line_no",
+        "n_line_toks",
+        "dup_count",
+        ((F.col("dup_count") >= 2) & (F.col("k") != F.col("first_k"))).alias(
+            "removed"
+        ),
+    )
+
+
+def _dedup_lines_oracle_sql(w: int = LINE_W) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lines AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+           array_to_string(t[i*{w}+1 : i*{w}+{w}], ' ') AS line
+    FROM toks, unnest(range(0, (len(t) + {w - 1}) // {w})) AS u(i)
+),
+hl AS (
+    SELECT doc_id, line_no,
+           CAST(len(string_split(line, ' ')) AS BIGINT) AS n_line_toks,
+           md5(line) AS h,
+           doc_id * {1 << LINE_NO_BITS} + line_no AS k
+    FROM lines
+),
+grp AS (
+    SELECT h, CAST(COUNT(*) AS BIGINT) AS dup_count, MIN(k) AS first_k
+    FROM hl GROUP BY h
+)
+SELECT doc_id, line_no, n_line_toks, dup_count,
+       dup_count >= 2 AND k <> first_k AS removed
+FROM hl JOIN grp USING (h)
+"""
+
+
 # --------------------- incremental substring-dedup index (round 9)
 # The continuous-ingest twin of dedup_substring, on the shared
 # versioned-snapshot convention (functions/snapshots.py — the eighth
@@ -3070,6 +3173,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_entity_resolution": dedup_entity_resolution,
     "dedup_er_incremental": dedup_er_incremental,
+    "dedup_lines": dedup_lines,
     "dedup_substring": dedup_substring,
     "dedup_substring_apply": dedup_substring_apply,
     "dedup_substring_keep_one": dedup_substring_keep_one,
@@ -3108,6 +3212,7 @@ ORACLE_SQL = {
     # must lose nothing vs recomputing from scratch (see
     # dedup_er_incremental).
     "dedup_er_incremental": _entity_resolution_oracle_sql(),
+    "dedup_lines": _dedup_lines_oracle_sql(),
     "dedup_substring": _substring_oracle_sql(),
     "dedup_substring_apply": _substring_apply_oracle_sql(),
     "dedup_substring_keep_one": _substring_keep_one_oracle_sql(),

@@ -1578,3 +1578,74 @@ def test_corpus_shard_minimal_movement(spark, sf_dir):
         h % corpus.SHARDS_FROM != h % corpus.SHARDS_TO
     ).count()
     assert mod_moved / n > 0.5  # the failure mode rendezvous avoids
+
+
+def test_dedup_lines_conservation_and_first_keeper(spark, sf_dir):
+    """dedup_lines (CCNet line dedup): every token of the corpus is in
+    exactly one line row (conservation); within each duplicated line
+    group exactly the min-(doc_id, line_no) occurrence is kept; unique
+    lines are never removed."""
+    from collections import defaultdict
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    rows = dedup.dedup_lines(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in dedup._docs(spark, sf_dir).select("doc_id", "text").collect()
+    }
+    per_doc = defaultdict(int)
+    for r in rows:
+        per_doc[r.doc_id] += r.n_line_toks
+    assert set(per_doc) == set(docs)
+    for d, text in docs.items():
+        assert per_doc[d] == len(text.split(" ")), d
+    # group lines by reconstructed text: keeper is the min (doc, line)
+    groups = defaultdict(list)
+    for r in rows:
+        w = dedup.LINE_W
+        toks = docs[r.doc_id].split(" ")
+        line = " ".join(toks[r.line_no * w : r.line_no * w + w])
+        groups[line].append(r)
+    n_removed = 0
+    for line, g in groups.items():
+        assert all(r.dup_count == len(g) for r in g)
+        if len(g) == 1:
+            assert not g[0].removed
+            continue
+        keeper = min(g, key=lambda r: (r.doc_id, r.line_no))
+        for r in g:
+            assert r.removed == (
+                (r.doc_id, r.line_no) != (keeper.doc_id, keeper.line_no)
+            )
+            n_removed += r.removed
+    assert n_removed > 0  # the fixture exercises the removal path
+
+
+def test_dedup_lines_newline_delimiter(spark):
+    """Production mode: real '\\n'-delimited lines; a line shared by
+    three docs keeps only its first occurrence, per-doc unique lines
+    survive."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nshared line text\nunique beta"),
+            (2, "shared line text\nunique gamma"),
+            (3, "unique delta\nshared line text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.line_no): r
+        for r in dedup.dedup_lines_of(docs, delim="\n").collect()
+    }
+    assert len(out) == 7
+    shared = [(1, 1), (2, 0), (3, 1)]
+    for key in shared:
+        assert out[key].dup_count == 3
+    assert not out[(1, 1)].removed  # first occurrence kept
+    assert out[(2, 0)].removed and out[(3, 1)].removed
+    for key, r in out.items():
+        if key not in shared:
+            assert r.dup_count == 1 and not r.removed
