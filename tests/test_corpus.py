@@ -1580,6 +1580,31 @@ def test_corpus_shard_minimal_movement(spark, sf_dir):
     assert mod_moved / n > 0.5  # the failure mode rendezvous avoids
 
 
+def test_corpus_shard_wide_past_old_cap(spark, sf_dir):
+    """The widened rendezvous encoding at fleet scale (64 → 65 shards,
+    past the old 16-shard cap): the census covers all 64 shards,
+    movement stays ≈ 1/65, and — the defining rendezvous property —
+    every doc that moves on grow-by-one moves TO the new shard (its old
+    winner's weight is unchanged; only shard 64's weight is new)."""
+    out = corpus.corpus_shard_wide(spark, sf_dir).collect()
+    docs = corpus._docs_tokens(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    assert sum(r.n_docs for r in out) == n
+    assert {r.shard for r in out} <= set(range(corpus.SHARDS_WIDE_FROM))
+    moved = sum(r.n_moved for r in out)
+    assert 0 < moved / n < 3 / corpus.SHARDS_WIDE_TO
+
+    a = corpus._rendezvous_shard(corpus.SHARDS_WIDE_FROM)
+    b = corpus._rendezvous_shard(corpus.SHARDS_WIDE_TO)
+    movers = docs.select(a.alias("s_a"), b.alias("s_b")).where(
+        F.col("s_a") != F.col("s_b")
+    )
+    assert movers.count() == moved
+    assert movers.where(
+        F.col("s_b") != corpus.SHARDS_WIDE_FROM
+    ).count() == 0
+
+
 def test_dedup_lines_conservation_and_first_keeper(spark, sf_dir):
     """dedup_lines (CCNet line dedup): every token of the corpus is in
     exactly one line row (conservation); within each duplicated line
