@@ -528,7 +528,9 @@ SELECT query_id, neighbor_id, sim_e6, CAST(rank AS INT) AS rank FROM (
 """
 
 
-def _kmeans_cents_ctes(iters: int = 3, k: int = K_CENTROIDS) -> str:
+def _kmeans_cents_ctes(
+    iters: int = 3, k: int = K_CENTROIDS, src: str = "en"
+) -> str:
     """The distributed Lloyd's loop of :func:`kmeans_centroids`, UNROLLED
     as generated DuckDB CTEs (one assign/mean/reassemble block per
     iteration — recursive CTEs cannot aggregate in the recursive term,
@@ -542,7 +544,7 @@ def _kmeans_cents_ctes(iters: int = 3, k: int = K_CENTROIDS) -> str:
     sim = vectors.sim_e6_sql(vectors.dot_sql("v.q", "c.cq"), "v.n2", "c.cn2")
     parts = [
         f"""kc0 AS (
-    SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2 FROM en
+    SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2 FROM {src}
     WHERE vec_id BETWEEN 1 AND {k}
 ),
 """
@@ -551,14 +553,14 @@ def _kmeans_cents_ctes(iters: int = 3, k: int = K_CENTROIDS) -> str:
         parts.append(f"""asg{i} AS (
     SELECT v.vec_id,
            arg_max(c.centroid_id, {sim} * {ORD_MULT} - c.centroid_id) AS cluster
-    FROM en v CROSS JOIN kc{i - 1} c
+    FROM {src} v CROSS JOIN kc{i - 1} c
     GROUP BY v.vec_id
 ),
 ex{i} AS (
     SELECT a.cluster,
            CAST(generate_subscripts(v.q, 1) AS BIGINT) AS pos,
            CAST(unnest(v.q) AS BIGINT) AS val
-    FROM asg{i} a JOIN en v USING (vec_id)
+    FROM asg{i} a JOIN {src} v USING (vec_id)
 ),
 mm{i} AS (
     SELECT cluster, pos,
@@ -998,71 +1000,27 @@ def dedup_semantic(
     kc3 CTE matches the trained quantizer bit-for-bit; the loser-side
     enrichment joins are id-keyed on a pair set orders of magnitude
     smaller than the corpus."""
-    import functools
-
     base = _quantized(spark, sf_dir)
     cents = kmeans_centroids(spark, sf_dir, k=k)
-    csim = vectors.sim_e6(
-        vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
-    )
-    # Single-assignment with the assigned centroid's similarity kept:
-    # reuse the dispatched assignment path for the argmax, then one
-    # k-row broadcast join recomputes the single surviving csim exactly.
-    a1 = _assign_lists(base, cents, 1, k=k).withColumnRenamed(
-        "centroid_id", "cluster_id"
-    )
-    withcs = (
-        a1.join(base, "vec_id")
-        .join(
-            F.broadcast(cents.withColumnRenamed("centroid_id", "cluster_id")),
-            "cluster_id",
-        )
-        .select(
-            "vec_id", "cluster_id", csim.alias("cent_sim_e6"), "q", "n2"
-        )
-        # Feeds both sides of the within-cluster self-join, the loser
-        # enrichment, and the output projection — materialize once.
-        .localCheckpoint()
-    )
+    # Feeds both sides of the within-cluster self-join, the loser
+    # enrichment, and the output projection — materialize once.
+    withcs = _semantic_withcs(base, cents, k).localCheckpoint()
     cand = (
         withcs.select(
             F.col("vec_id").alias("vec_a"),
             "cluster_id",
-            F.col("q").alias("qa"),
-            F.col("n2").alias("na"),
         )
         .join(
             withcs.select(
                 F.col("vec_id").alias("vec_b"),
                 "cluster_id",
-                F.col("q").alias("qb"),
-                F.col("n2").alias("nb"),
             ),
             "cluster_id",
         )
         .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
     )
-    edges = cand.select("vec_a", "vec_b", "qa", "qb", "na", "nb").mapInPandas(
-        functools.partial(_verify_pairs_arrow, min_e6=tau_e6),
-        schema="vec_a long, vec_b long, sim_e6 long",
-    )
-    cs = withcs.select("vec_id", "cent_sim_e6")
-    el = edges.join(
-        cs.select(F.col("vec_id").alias("vec_a"), F.col("cent_sim_e6").alias("ca")),
-        "vec_a",
-    ).join(
-        cs.select(F.col("vec_id").alias("vec_b"), F.col("cent_sim_e6").alias("cb")),
-        "vec_b",
-    )
-    # Per-edge loser: the endpoint closer to the centroid is dropped
-    # (keep the outlier); centroid-sim ties drop the larger vec_id
-    # (vec_a < vec_b by construction, so the tie loser is vec_b).
-    loser = (
-        F.when(F.col("ca") < F.col("cb"), F.col("vec_b"))
-        .when(F.col("ca") > F.col("cb"), F.col("vec_a"))
-        .otherwise(F.col("vec_b"))
-    )
-    dominated = el.select(loser.alias("vec_id")).distinct()
+    dominated = _semantic_dominated(cand, withcs, tau_e6)
     return (
         withcs.select("vec_id", "cluster_id", "cent_sim_e6")
         .join(dominated.withColumn("_d", F.lit(True)), "vec_id", "left")
@@ -1075,6 +1033,71 @@ def dedup_semantic(
     )
 
 
+def _semantic_withcs(base: DataFrame, cents: DataFrame, k: int) -> DataFrame:
+    """Single-assignment with the assigned centroid's similarity kept:
+    reuse the dispatched assignment path for the argmax, then one k-row
+    broadcast join recomputes the single surviving csim exactly.
+    Returns (vec_id, cluster_id, cent_sim_e6, q, n2) — shared by the
+    batch entry and the incremental index (round 11)."""
+    csim = vectors.sim_e6(
+        vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
+    )
+    a1 = _assign_lists(base, cents, 1, k=k).withColumnRenamed(
+        "centroid_id", "cluster_id"
+    )
+    return (
+        a1.join(base, "vec_id")
+        .join(
+            F.broadcast(cents.withColumnRenamed("centroid_id", "cluster_id")),
+            "cluster_id",
+        )
+        .select("vec_id", "cluster_id", csim.alias("cent_sim_e6"), "q", "n2")
+    )
+
+
+def _semantic_dominated(
+    cand: DataFrame, withcs: DataFrame, tau_e6: int = SEMDEDUP_TAU_E6
+) -> DataFrame:
+    """Verify candidate (vec_a < vec_b) id pairs at ``tau_e6`` (Arrow
+    batch matmul) and return the DISTINCT per-edge losers: the endpoint
+    closer to its centroid is dropped (keep the outlier); centroid-sim
+    ties drop the larger vec_id (vec_a < vec_b by construction, so the
+    tie loser is vec_b). ``withcs`` supplies q/n2 for the verify and
+    the frozen cent_sims for the loser rule."""
+    import functools
+
+    av = withcs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na"),
+        F.col("cent_sim_e6").alias("ca"),
+    )
+    bv = withcs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb"),
+        F.col("cent_sim_e6").alias("cb"),
+    )
+    edges = (
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
+        .select("vec_a", "vec_b", "qa", "qb", "na", "nb")
+        .mapInPandas(
+            functools.partial(_verify_pairs_arrow, min_e6=tau_e6),
+            schema="vec_a long, vec_b long, sim_e6 long",
+        )
+    )
+    el = edges.join(
+        av.select("vec_a", "ca"), "vec_a"
+    ).join(bv.select("vec_b", "cb"), "vec_b")
+    loser = (
+        F.when(F.col("ca") < F.col("cb"), F.col("vec_b"))
+        .when(F.col("ca") > F.col("cb"), F.col("vec_a"))
+        .otherwise(F.col("vec_b"))
+    )
+    return el.select(loser.alias("vec_id")).distinct()
+
+
 def _semantic_oracle_sql() -> str:
     csim = vectors.sim_e6_sql(vectors.dot_sql("v.q", "c.cq"), "v.n2", "c.cn2")
     psim = vectors.sim_e6_sql(vectors.dot_sql("a.q", "b.q"), "a.n2", "b.n2")
@@ -1083,6 +1106,242 @@ def _semantic_oracle_sql() -> str:
 WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
 en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
 {_kmeans_cents_ctes()}
+ranked AS (
+    SELECT v.vec_id, c.centroid_id, {csim} AS csim,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {csim} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM en v CROSS JOIN kc3 c
+),
+av AS (
+    SELECT r.vec_id, r.centroid_id AS cluster_id, r.csim AS cent_sim_e6,
+           en.q, en.n2
+    FROM ranked r JOIN en ON en.vec_id = r.vec_id WHERE r.rk = 1
+)
+SELECT b.vec_id, b.cluster_id, b.cent_sim_e6,
+       NOT EXISTS (
+           SELECT 1 FROM av a
+           WHERE a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+             AND {psim} >= {SEMDEDUP_TAU_E6}
+             AND (a.cent_sim_e6 < b.cent_sim_e6 OR
+                  (a.cent_sim_e6 = b.cent_sim_e6 AND a.vec_id < b.vec_id))
+       ) AS keep
+FROM av b
+"""
+
+
+# ------------- incremental SemDeDup index (round 11, VERDICT r10 #2)
+# The continuous-ingest twin of dedup_semantic — the last dedup family
+# member without one (minhash, substring, ER and ANN all have theirs).
+# State algebra is MONOTONE like the substring index: edges are only
+# ever ADDED (new vectors create new same-cluster pairs; old pairs are
+# never removed), the per-edge loser depends only on the two endpoints'
+# FROZEN cent_sims (assignment to the frozen quantizer never changes),
+# so the dominated set only grows and keep only flips true -> false.
+# Union of edge sets across batches = the full within-cluster pair set
+# (a pair is examined exactly when its LATER member arrives), hence
+# serving equals the batch SemDeDup run under the same frozen quantizer
+# bit-for-bit — the registry entry's oracle states exactly that.
+
+
+def _semdedup_write_vectors(withcs: DataFrame, path: str) -> None:
+    """Persist assignment rows hive-partitioned on the cluster (string
+    'c{id}' — a pure-digit partition value set would type-infer to int
+    and break unionByName, same trick as the substring occ log's 'b'
+    prefix), so update-time probes prune to the batch's touched
+    clusters on disk."""
+    (
+        withcs.withColumn(
+            "cb", F.concat(F.lit("c"), F.col("cluster_id"))
+        )
+        .repartition("cb")
+        .write.partitionBy("cb")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def semdedup_index_init(
+    spark: SparkSession,
+    vectors_df: DataFrame,
+    index_path: str,
+    k: int = K_CENTROIDS,
+) -> None:
+    """Bootstrap the semantic-dedup index: train the quantizer on the
+    initial corpus (deterministic Lloyd's — frozen afterwards, standard
+    IVF practice), assign, run the within-cluster dedup once, persist
+    ``centroids/`` + ``meta/`` (frozen) and ``sem_v0/{vectors,dominated}``
+    on the shared versioned-snapshot convention."""
+    base = _quantize_vectors(vectors_df).cache()
+    cents = _train_centroids(spark, base, k=k)
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    spark.createDataFrame([(int(k),)], "k long").write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/meta")
+    withcs = _semantic_withcs(base, cents, k).localCheckpoint()
+    cand = (
+        withcs.select(F.col("vec_id").alias("vec_a"), "cluster_id")
+        .join(
+            withcs.select(F.col("vec_id").alias("vec_b"), "cluster_id"),
+            "cluster_id",
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    dominated = _semantic_dominated(cand, withcs)
+    snap = "sem_v0"
+    sdir = f"{index_path}/{snap}"
+    _semdedup_write_vectors(withcs, f"{sdir}/vectors")
+    dominated.write.mode("overwrite").parquet(f"{sdir}/dominated")
+    snapshots.snap_commit(index_path, snap, "sem_v")
+
+
+def semdedup_index_update(
+    spark: SparkSession, new_vectors: DataFrame, index_path: str
+) -> DataFrame:
+    """Incremental semantic-dedup step: assign only NEW vectors to the
+    frozen quantizer, pair-verify only within the batch's TOUCHED
+    clusters (the stored-vector probe prunes to those partitions on
+    disk), extend the dominated set with the new edges' losers — which
+    can include STORED vectors: a new outlier dethrones a stored keeper
+    — and commit one atomic snapshot.  Idempotent (anti-join on
+    vec_id); returns the newly dominated (vec_id, cluster_id) rows
+    (empty on a retry).
+
+    Per-batch work: |batch|·k assignment, candidate pairs only against
+    touched clusters (≤ |batch| clusters of ~TARGET_LIST_SIZE each),
+    batch-sized writes via hard-linked snapshots."""
+    live = snapshots.snap_live(index_path)
+    live_dir = f"{index_path}/{live}"
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    k = int(spark.read.parquet(f"{index_path}/meta").first()["k"])
+    old_vecs = spark.read.parquet(f"{live_dir}/vectors")
+    old_dom = spark.read.parquet(f"{live_dir}/dominated")
+
+    new_base = (
+        _quantize_vectors(new_vectors)
+        .join(old_vecs.select("vec_id"), "vec_id", "left_anti")
+        .localCheckpoint()
+    )
+    new_cs = _semantic_withcs(new_base, cents, k).localCheckpoint()
+    # Clusters the batch touches — bounded (<= k) driver list; the
+    # stored probe filters on the cb PARTITION column so parquet
+    # partition pruning skips every untouched cluster's files.
+    touched = [
+        r["cb"]
+        for r in new_cs.select(
+            F.concat(F.lit("c"), F.col("cluster_id")).alias("cb")
+        )
+        .distinct()
+        .collect()
+    ]
+    stored_touched = old_vecs.where(F.col("cb").isin(touched)).select(
+        "vec_id", "cluster_id", "cent_sim_e6", "q", "n2"
+    )
+    both = stored_touched.unionByName(new_cs).localCheckpoint()
+    # pairs with at least one NEW member: new x (stored-in-touched or
+    # new), normalized to vec_a < vec_b; distinct collapses the double
+    # count of new x new.
+    cand = (
+        new_cs.select(F.col("vec_id").alias("va"), "cluster_id")
+        .join(
+            both.select(F.col("vec_id").alias("vb"), "cluster_id"),
+            "cluster_id",
+        )
+        .where(F.col("va") != F.col("vb"))
+        .select(
+            F.least("va", "vb").alias("vec_a"),
+            F.greatest("va", "vb").alias("vec_b"),
+        )
+        .distinct()
+    )
+    newly_dom = (
+        _semantic_dominated(cand, both)
+        .join(old_dom, "vec_id", "left_anti")
+        .join(
+            both.select("vec_id", "cluster_id"), "vec_id"
+        )
+        .localCheckpoint()  # materialize BEFORE mutating the index
+    )
+
+    nxt = snapshots.snap_next(live, "sem_v")
+    nxt_dir = f"{index_path}/{nxt}"
+    _semdedup_write_vectors(new_cs, f"{nxt_dir}/vectors")
+    newly_dom.select("vec_id").write.mode("overwrite").parquet(
+        f"{nxt_dir}/dominated"
+    )
+    snapshots.link_parquet_files(f"{live_dir}/vectors", f"{nxt_dir}/vectors")
+    snapshots.link_parquet_files(
+        f"{live_dir}/dominated", f"{nxt_dir}/dominated"
+    )
+    snapshots.snap_commit(index_path, nxt, "sem_v")
+    return newly_dom
+
+
+def semdedup_resolve(spark: SparkSession, index_path: str) -> DataFrame:
+    """Serving view over the semantic-dedup index: (vec_id, cluster_id,
+    cent_sim_e6, keep) for every indexed vector — same contract as the
+    batch :func:`dedup_semantic` under the index's frozen quantizer."""
+    live = snapshots.snap_live(index_path)
+    live_dir = f"{index_path}/{live}"
+    vecs = spark.read.parquet(f"{live_dir}/vectors")
+    dom = spark.read.parquet(f"{live_dir}/dominated")
+    return vecs.join(
+        dom.withColumn("_d", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        "cent_sim_e6",
+        F.col("_d").isNull().alias("keep"),
+    )
+
+
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for the incremental SemDeDup path: bootstrap on
+    the first half of the corpus (vec_id <= max/2 — the quantizer's
+    deterministic seeds vec_id 1..k live there), ingest the second half
+    as an update batch, serve.  The oracle is the batch SemDeDup SQL
+    with the quantizer trained on the SAME first half — the hash gate
+    pins that touched-cluster probing + per-edge domination lose
+    nothing vs recomputing from scratch under the frozen quantizer."""
+    import shutil
+    import tempfile
+
+    vecs = load_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    half = vecs.agg(
+        F.expr("div(max(vec_id), 2)").alias("h")
+    ).first()["h"]
+    tmp = tempfile.mkdtemp(prefix="semdedup_idx_")
+    try:
+        semdedup_index_init(
+            spark, vecs.where(F.col("vec_id") <= half), f"{tmp}/idx"
+        )
+        semdedup_index_update(
+            spark, vecs.where(F.col("vec_id") > half), f"{tmp}/idx"
+        )
+        return semdedup_resolve(spark, f"{tmp}/idx").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _semantic_incremental_oracle_sql() -> str:
+    """Batch SemDeDup under the frozen first-half quantizer: identical
+    to ``_semantic_oracle_sql`` except kc3 trains on ``en0`` (vec_id <=
+    max/2) while assignment and dedup run over the full corpus."""
+    csim = vectors.sim_e6_sql(vectors.dot_sql("v.q", "c.cq"), "v.n2", "c.cn2")
+    psim = vectors.sim_e6_sql(vectors.dot_sql("a.q", "b.q"), "a.n2", "b.n2")
+    q = vectors.quantize_sql("embedding")
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+en AS (SELECT vec_id, q, {vectors.dot_sql('q', 'q')} AS n2 FROM e),
+en0 AS (
+    SELECT * FROM en
+    WHERE vec_id <= (SELECT MAX(vec_id) // 2 FROM en)
+),
+{_kmeans_cents_ctes(src="en0")}
 ranked AS (
     SELECT v.vec_id, c.centroid_id, {csim} AS csim,
            ROW_NUMBER() OVER (
@@ -2766,6 +3025,7 @@ QUERIES = {
     "sim_ivf_trained": sim_ivf_trained,
     "dedup_embedding_ann": dedup_embedding_ann,
     "dedup_semantic": dedup_semantic,
+    "dedup_semantic_incremental": dedup_semantic_incremental,
     "embedding_drift": embedding_drift,
     "sim_clusters": sim_clusters,
     "sim_knn_graph": sim_knn_graph,
@@ -2785,6 +3045,10 @@ ORACLE_SQL = {
     "sim_ivf_trained": _ivf_trained_oracle_sql(),
     "dedup_embedding_ann": _embedding_ann_oracle_sql(),
     "dedup_semantic": _semantic_oracle_sql(),
+    # the batch SemDeDup oracle under the index's frozen first-half
+    # quantizer: the incremental path must lose nothing vs recomputing
+    # from scratch (see dedup_semantic_incremental).
+    "dedup_semantic_incremental": _semantic_incremental_oracle_sql(),
     "embedding_drift": _drift_oracle_sql(),
     "sim_clusters": _clusters_oracle_sql(),
     "sim_knn_graph": _knn_graph_oracle_sql(),

@@ -630,3 +630,111 @@ def test_embedding_drift_empty_cohort_keeps_rows(spark, tmp_path):
         assert r.n_cur == 0 and r.n_ref == 1
         assert r.share_delta_e6 is None  # cur total is NULL
         assert r.cent_sim_e6 == 0  # one side empty → defined 0
+
+
+def test_semdedup_index_matches_frozen_batch_and_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """semdedup_index (round 11): init on the first half + one update
+    batch must serve exactly the batch SemDeDup under the SAME frozen
+    quantizer; a retried batch is a no-op (returns nothing, serving
+    unchanged, one live snapshot)."""
+    import os
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+
+    vecs = similarity.load_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    half = vecs.agg(F.expr("div(max(vec_id), 2)").alias("h")).first()["h"]
+    first = vecs.where(F.col("vec_id") <= half)
+    second = vecs.where(F.col("vec_id") > half)
+    idx = str(tmp_path / "sem_idx")
+    similarity.semdedup_index_init(spark, first, idx)
+    out1 = similarity.semdedup_index_update(spark, second, idx)
+    assert out1.count() > 0  # the second half dominates/loses something
+    got = {tuple(r) for r in similarity.semdedup_resolve(spark, idx).collect()}
+
+    # batch twin under the SAME frozen quantizer (trained on `first`)
+    base = similarity._quantize_vectors(vecs)
+    cents = similarity._train_centroids(
+        spark, similarity._quantize_vectors(first).cache()
+    )
+    withcs = similarity._semantic_withcs(
+        base, cents, similarity.K_CENTROIDS
+    ).localCheckpoint()
+    cand = (
+        withcs.select(F.col("vec_id").alias("vec_a"), "cluster_id")
+        .join(
+            withcs.select(F.col("vec_id").alias("vec_b"), "cluster_id"),
+            "cluster_id",
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    dom = similarity._semantic_dominated(cand, withcs)
+    want = {
+        tuple(r)
+        for r in withcs.select("vec_id", "cluster_id", "cent_sim_e6")
+        .join(dom.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cluster_id", "cent_sim_e6",
+            F.col("_d").isNull().alias("keep"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    assert any(not r[3] for r in got)  # some vector is actually dropped
+
+    # retry: no-op, serving unchanged, exactly one live snapshot
+    assert similarity.semdedup_index_update(spark, second, idx).count() == 0
+    assert {
+        tuple(r) for r in similarity.semdedup_resolve(spark, idx).collect()
+    } == got
+    live = snapshots.snap_live(idx)
+    assert [d for d in os.listdir(idx) if d.startswith("sem_v")] == [live]
+
+
+def test_semdedup_update_dethrones_stored_keeper(spark, tmp_path):
+    """A stored keeper must flip keep -> False when a new batch lands a
+    duplicate that is FARTHER from the centroid (SemDeDup keeps the
+    outlier)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    # seeds need vec_id 1..K; give every seed its own direction so the
+    # trained centroids stay distinct, then work inside cluster of dim 0
+    dim = 20
+    def unit(i, scale=1.0):
+        v = [0.0] * dim
+        v[i % dim] = float(scale)
+        return v
+
+    init = [(i, unit(i)) for i in range(1, similarity.K_CENTROIDS + 1)]
+    idx = str(tmp_path / "sem_idx2")
+    similarity.semdedup_index_init(spark, frame(init), idx)
+    before = {
+        r.vec_id: r.keep
+        for r in similarity.semdedup_resolve(spark, idx).collect()
+    }
+    assert all(before.values())  # orthogonal directions: all kept
+    # new vector: same direction as vec 1 (dim 1) but slightly rotated —
+    # a near-duplicate farther from the centroid than vec 1 itself
+    rot = [0.0] * dim
+    rot[1], rot[2] = 0.98, 0.19
+    out = similarity.semdedup_index_update(spark, frame([(100, rot)]), idx)
+    dethroned = {r.vec_id for r in out.collect()}
+    after = {
+        r.vec_id: r.keep
+        for r in similarity.semdedup_resolve(spark, idx).collect()
+    }
+    assert 1 in dethroned  # the STORED keeper lost to the new outlier
+    assert after[1] is False and after[100] is True
