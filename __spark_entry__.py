@@ -113,11 +113,52 @@ _WINDOW_R10 = [
 # (r6-vintage; budget-arithmetic-pinned by
 # test_pack_sequences_respect_budget_arithmetic); never-witnessed
 # entries outrank any witnessed one.
+# Round-11 window (VERDICT r10 item 4): slots 1-4 are the round-11
+# additions (never driver-witnessed by construction: the trained
+# Bernoulli-NB quality classifier, CCNet line-level dedup, the
+# fleet-scale 64→65 rendezvous census, and the incremental SemDeDup
+# index); then the 4 r6-vintage entries the r10 window deferred on
+# pytest evidence (now the registry's OLDEST witnesses — age beats the
+# deferral rationale on the second pass); then 42 of the 50 r7-vintage
+# entries, computed from the CORRECTNESS_r01..r10 green-row union.
+# Deferred to r12: the 8 r7-vintage entries with the strongest
+# independent evidence — q1_wins, q2_fastestlap, q4_weather,
+# q5_evopoints, q8_circuit_stats, q9_top10, p1_f1_formatted,
+# p3_combined (all golden-pinned in tests/test_marts.py, benched
+# headline every round, and q9/p3 plan-pinned in tests/test_plans.py).
+# Every registry entry is additionally re-verified on current data via
+# tools/selfcheck.py → SELFCHECK_r11.json.
+_WINDOW_R11 = [
+    # round-11 additions (never driver-witnessed)
+    "quality_classifier_scored", "dedup_lines", "corpus_shard_wide",
+    "dedup_semantic_incremental",
+    # r6-vintage (oldest witnesses in the registry)
+    "corpus_pack", "corpus_shuffle", "sim_topk", "text_hash_embed",
+    # r7-vintage fill (42 of 50, least-recently-witnessed)
+    "dedup_edit_distance", "dedup_entity_resolution",
+    "events_attribution", "events_funnel_windowed",
+    "events_heavy_hitters_monthly", "events_kmv_monthly",
+    "events_user_bloom_monthly", "events_user_cms_monthly",
+    "events_value_hist_monthly", "events_value_quantiles_monthly",
+    "hybrid_search_rrf", "lineitem_snapshot_apply",
+    "orders_above_avg", "orders_bloom_semi_join", "orders_distribution",
+    "orders_rolling_7d", "orders_skyline", "p2_weather_daily",
+    "q3_filter", "q6_constructor", "q7_pitstops",
+    "sample_weighted_reservoir", "segment_jaccard_kmv",
+    "segment_overlap_hll", "sim_clusters", "sim_ivf", "sim_mmr",
+    "stream_dau_hll", "stream_view_purchase_full",
+    "t10_weather_filled", "t6_parse_time", "text_bpe_apply",
+    "text_search_bm25", "tpch_big_orders", "tpch_important_stock",
+    "tpch_min_cost_supplier", "tpch_pricing_summary",
+    "tpch_product_profit", "tpch_promo_suppliers",
+    "tpch_revenue_by_nation", "tpch_shipmode_priority",
+    "tpch_shipping_priority",
+]
 # Rotation-intent guard (VERDICT r8 item 1: the r8 list had 51 names and
 # the driver's first-50 check silently dropped the last one).
-assert len(_WINDOW_R10) == 50, f"window must be exactly 50, got {len(_WINDOW_R10)}"
-assert len(set(_WINDOW_R10)) == 50, "window has duplicate entries"
-_WINDOW = _WINDOW_R10
+assert len(_WINDOW_R11) == 50, f"window must be exactly 50, got {len(_WINDOW_R11)}"
+assert len(set(_WINDOW_R11)) == 50, "window has duplicate entries"
+_WINDOW = _WINDOW_R11
 
 
 def _ordered(merged: dict) -> dict:
