@@ -1674,3 +1674,33 @@ def test_dedup_lines_newline_delimiter(spark):
     for key, r in out.items():
         if key not in shared:
             assert r.dup_count == 1 and not r.removed
+
+
+def test_edit_distance_filter_setting_is_output_invariant(
+    spark, sf_dir, monkeypatch
+):
+    """The EDjoin location filter is output-preserving by construction
+    (it only rejects pairs the verify would reject): forcing it ON must
+    produce exactly the direct path's pairs on the fixture corpus, and
+    the auto decision keeps it OFF for this short-doc corpus while a
+    long-doc frame flips it on."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    monkeypatch.setenv("SPARK_GRAFT_EDIT_FILTER", "off")
+    direct = {
+        tuple(r) for r in dedup.dedup_edit_distance(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_EDIT_FILTER", "on")
+    filtered = {
+        tuple(r) for r in dedup.dedup_edit_distance(spark, sf_dir).collect()
+    }
+    assert direct == filtered and len(direct) > 0
+
+    monkeypatch.setenv("SPARK_GRAFT_EDIT_FILTER", "auto")
+    d = dedup._edit_docs(spark, sf_dir)
+    assert not dedup._edit_filter_enabled(d)  # ~300-char docs: stay off
+    long_docs = spark.createDataFrame(
+        [(1, "x" * (2 * dedup.EDIT_FILTER_MIN_AVG_CHARS))],
+        "doc_id long, text string",
+    ).select("doc_id", "text", F.length("text").alias("len"))
+    assert dedup._edit_filter_enabled(long_docs)
