@@ -2570,6 +2570,53 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lines_of(docs: DataFrame, delim: str | None = None) -> DataFrame:
     """Frame core of :func:`dedup_lines`: ``delim`` (e.g. '\\n') splits
     real lines; None segments into LINE_W-token windows."""
+    return _dedup_lines_marked(docs, delim).select(
+        "doc_id", "line_no", "n_line_toks", "dup_count", "removed"
+    )
+
+
+def dedup_lines_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the :func:`dedup_lines` removal flags: re-emit the corpus
+    with every removed line excised — (doc_id, n_lines, n_removed_lines,
+    n_tokens, n_removed_tokens, clean_text) for EVERY document (a doc
+    whose every line was removed keeps an empty clean_text rather than
+    vanishing — same contract as dedup_substring_apply). The kept lines
+    re-join in line order; this IS CCNet's cleaned corpus.
+
+    Plan: one extra doc_id-keyed groupBy over the per-line frame (the
+    hash join back on ``h`` already exists in dedup_lines); the
+    reassembly array is per-doc-line-count bounded."""
+    per_line = _dedup_lines_marked(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    return per_line.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed_lines"),
+        F.sum("n_line_toks").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("removed"), F.col("n_line_toks")).otherwise(0))
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("removed"),
+                            F.struct("line_no", "line"),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def _dedup_lines_marked(docs: DataFrame, delim: str | None = None) -> DataFrame:
+    """:func:`dedup_lines_of` plus the line text column — shared by the
+    flag entry (which projects it away) and the apply entry (which
+    reassembles kept lines)."""
     if delim is not None:
         lines = docs.select(
             "doc_id",
@@ -2591,6 +2638,7 @@ def dedup_lines_of(docs: DataFrame, delim: str | None = None) -> DataFrame:
     hl = lines.select(
         "doc_id",
         F.col("line_no").cast("long").alias("line_no"),
+        "line",
         F.size(F.split("line", " ")).cast("long").alias("n_line_toks"),
         F.md5("line").alias("h"),
         (
@@ -2604,12 +2652,49 @@ def dedup_lines_of(docs: DataFrame, delim: str | None = None) -> DataFrame:
     return hl.join(grp, "h").select(
         "doc_id",
         "line_no",
+        "line",
         "n_line_toks",
         "dup_count",
         ((F.col("dup_count") >= 2) & (F.col("k") != F.col("first_k"))).alias(
             "removed"
         ),
     )
+
+
+def _lines_apply_oracle_sql(w: int = LINE_W) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lines AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+           array_to_string(t[i*{w}+1 : i*{w}+{w}], ' ') AS line
+    FROM toks, unnest(range(0, (len(t) + {w - 1}) // {w})) AS u(i)
+),
+hl AS (
+    SELECT doc_id, line_no, line,
+           CAST(len(string_split(line, ' ')) AS BIGINT) AS n_line_toks,
+           md5(line) AS h,
+           doc_id * {1 << LINE_NO_BITS} + line_no AS k
+    FROM lines
+),
+grp AS (
+    SELECT h, CAST(COUNT(*) AS BIGINT) AS dup_count, MIN(k) AS first_k
+    FROM hl GROUP BY h
+),
+marked AS (
+    SELECT doc_id, line_no, line, n_line_toks,
+           dup_count >= 2 AND k <> first_k AS removed
+    FROM hl JOIN grp USING (h)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed_lines,
+       CAST(SUM(n_line_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN removed THEN n_line_toks ELSE 0 END) AS BIGINT)
+           AS n_removed_tokens,
+       COALESCE(string_agg(line, ' ' ORDER BY line_no)
+                FILTER (WHERE NOT removed), '') AS clean_text
+FROM marked GROUP BY doc_id
+"""
 
 
 def _dedup_lines_oracle_sql(w: int = LINE_W) -> str:
@@ -3206,6 +3291,7 @@ QUERIES = {
     "dedup_entity_resolution": dedup_entity_resolution,
     "dedup_er_incremental": dedup_er_incremental,
     "dedup_lines": dedup_lines,
+    "dedup_lines_apply": dedup_lines_apply,
     "dedup_substring": dedup_substring,
     "dedup_substring_apply": dedup_substring_apply,
     "dedup_substring_keep_one": dedup_substring_keep_one,
@@ -3245,6 +3331,7 @@ ORACLE_SQL = {
     # dedup_er_incremental).
     "dedup_er_incremental": _entity_resolution_oracle_sql(),
     "dedup_lines": _dedup_lines_oracle_sql(),
+    "dedup_lines_apply": _lines_apply_oracle_sql(),
     "dedup_substring": _substring_oracle_sql(),
     "dedup_substring_apply": _substring_apply_oracle_sql(),
     "dedup_substring_keep_one": _substring_keep_one_oracle_sql(),

@@ -1704,3 +1704,37 @@ def test_edit_distance_filter_setting_is_output_invariant(
         "doc_id long, text string",
     ).select("doc_id", "text", F.length("text").alias("len"))
     assert dedup._edit_filter_enabled(long_docs)
+
+
+def test_dedup_lines_apply_reconstructs_kept_text(spark, sf_dir):
+    """dedup_lines_apply: clean_text is exactly the kept lines in line
+    order; token accounting is conserved against the flag entry; every
+    document appears even if fully removed."""
+    from collections import defaultdict
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    flags = defaultdict(dict)
+    for r in dedup.dedup_lines(spark, sf_dir).collect():
+        flags[r.doc_id][r.line_no] = r
+    docs = {
+        r.doc_id: r.text
+        for r in dedup._docs(spark, sf_dir).select("doc_id", "text").collect()
+    }
+    out = {r.doc_id: r for r in dedup.dedup_lines_apply(spark, sf_dir).collect()}
+    assert set(out) == set(docs)
+    w = dedup.LINE_W
+    for d, text in docs.items():
+        toks = text.split(" ")
+        kept = []
+        for ln in sorted(flags[d]):
+            if not flags[d][ln].removed:
+                kept.extend(toks[ln * w : ln * w + w])
+        r = out[d]
+        assert r.clean_text == " ".join(kept), d
+        assert r.n_lines == len(flags[d])
+        assert r.n_removed_lines == sum(
+            1 for x in flags[d].values() if x.removed
+        )
+        assert r.n_tokens == len(toks)
+        assert r.n_tokens - r.n_removed_tokens == len(kept)
