@@ -1279,6 +1279,33 @@ def semdedup_index_update(
     return newly_dom
 
 
+def semdedup_index_compact(spark: SparkSession, index_path: str) -> None:
+    """Merge-on-write maintenance for the semantic-dedup index (the LSM
+    compaction every append-only index family carries — the substring
+    index's precedent): rewrite the accumulated per-batch vector/
+    dominated delta files into one compact file set per cluster
+    partition, committed as a fresh snapshot via the same atomic
+    CURRENT swap — serving never sees a half-compacted state.
+    Idempotent; per-batch ingest stays ∝ batch because updates only
+    append, and compaction amortizes read-side file-count growth on its
+    own schedule."""
+    live = snapshots.snap_live(index_path)
+    live_dir = f"{index_path}/{live}"
+    vecs = (
+        spark.read.parquet(f"{live_dir}/vectors")
+        .select("vec_id", "cluster_id", "cent_sim_e6", "q", "n2")
+        .localCheckpoint()
+    )
+    dom = spark.read.parquet(f"{live_dir}/dominated").localCheckpoint()
+    nxt = snapshots.snap_next(live, "sem_v")
+    nxt_dir = f"{index_path}/{nxt}"
+    # one file per cluster partition (the repartition("cb") inside the
+    # bucketed writer), restoring O(1) files per touched-cluster probe
+    _semdedup_write_vectors(vecs, f"{nxt_dir}/vectors")
+    dom.coalesce(1).write.mode("overwrite").parquet(f"{nxt_dir}/dominated")
+    snapshots.snap_commit(index_path, nxt, "sem_v")
+
+
 def semdedup_resolve(spark: SparkSession, index_path: str) -> DataFrame:
     """Serving view over the semantic-dedup index: (vec_id, cluster_id,
     cent_sim_e6, keep) for every indexed vector — same contract as the

@@ -738,3 +738,56 @@ def test_semdedup_update_dethrones_stored_keeper(spark, tmp_path):
     }
     assert 1 in dethroned  # the STORED keeper lost to the new outlier
     assert after[1] is False and after[100] is True
+
+
+def test_semdedup_index_compact_preserves_serving(spark, sf_dir, tmp_path):
+    """semdedup_index_compact: fewer vector data files, identical
+    serving view, updates still work afterwards (the LSM compaction
+    contract shared with the substring index)."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+
+    vecs = similarity.load_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "sem_idx3")
+    similarity.semdedup_index_init(
+        spark, vecs.where(F.col("vec_id") % 3 != 2), idx
+    )
+    similarity.semdedup_index_update(
+        spark, vecs.where((F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 2 == 0)), idx
+    )
+
+    def n_vec_files():
+        live = snapshots.snap_live(idx)
+        return len(
+            glob.glob(
+                os.path.join(idx, live, "vectors", "**", "part-*"),
+                recursive=True,
+            )
+        )
+
+    before_files = n_vec_files()
+    before = {
+        tuple(r) for r in similarity.semdedup_resolve(spark, idx).collect()
+    }
+    similarity.semdedup_index_compact(spark, idx)
+    assert n_vec_files() < before_files
+    assert {
+        tuple(r) for r in similarity.semdedup_resolve(spark, idx).collect()
+    } == before
+    # post-compaction ingest still works and extends serving
+    out = similarity.semdedup_index_update(
+        spark, vecs.where((F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 2 == 1)), idx
+    )
+    after = {
+        r.vec_id for r in similarity.semdedup_resolve(spark, idx).collect()
+    }
+    total = vecs.count()
+    assert len(after) == total  # every vector indexed across the 3 batches
