@@ -231,3 +231,43 @@ def test_substr_occ_probe_prunes_buckets(spark, sf_dir, tmp_path):
     ).distinct().collect()
     assert 0 < len(pruned_files) < len(hb_dirs)
     assert all(any(f"/hb={t}/" in r.f for t in touch) for r in pruned_files)
+
+
+def test_semdedup_vectors_probe_prunes_clusters(spark, sf_dir, tmp_path):
+    """The semantic-dedup index stores vectors hive-partitioned on the
+    cluster ('cb' — round 11); an update-time probe filtered to the
+    batch's touched clusters must (a) land as a PartitionFilters entry
+    on the parquet scan and (b) actually read fewer partitions than the
+    full table — the occ-log pruning contract, embedding side."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        similarity,
+    )
+
+    vecs = similarity.load_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "semidx_plan")
+    similarity.semdedup_index_init(spark, vecs, idx)
+    base = os.path.join(idx, snapshots.snap_live(idx))
+
+    cb_dirs = [
+        d for d in os.listdir(f"{base}/vectors") if d.startswith("cb=")
+    ]
+    assert len(cb_dirs) > 1
+
+    stored = spark.read.parquet(f"{base}/vectors")
+    touch = sorted(d.split("=", 1)[1] for d in cb_dirs)[:2]
+    probe = stored.where(F.col("cb").isin(touch))
+    plan = _formatted(probe)
+    assert "PartitionFilters" in plan
+    assert "cb" in plan.split("PartitionFilters", 1)[1][:200]
+    pruned_files = probe.select(
+        F.input_file_name().alias("f")
+    ).distinct().collect()
+    assert 0 < len(pruned_files) < len(cb_dirs)
+    assert all(any(f"/cb={t}/" in r.f for t in touch) for r in pruned_files)
