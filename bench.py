@@ -750,15 +750,17 @@ def compare(prior_path: str, current: dict[str, float], factor: float = 1.5) -> 
         # reported so an empty comparison is visible).
         import re as _re
 
-        # Anchor the extraction to the FIRST queries object (ADVICE r5 +
-        # round 11): the tail now ends with the compact summary line, so
-        # scanning from the first '"queries"' recovers the big line's
-        # remaining entries AND the compact line's headline set; known
-        # metadata keys are excluded, and parsed entries win on overlap.
+        # Scan the WHOLE tail (ADVICE r11, medium): anchoring at the first
+        # '"queries"' landed on the trailing compact-summary line (the big
+        # line's own key is always front-truncated out of the ~2000-char
+        # tail), discarding every big-line per-query timing before it —
+        # 14 recovered vs 69 present on BENCH_r11.json. Anchoring is
+        # unnecessary: a front-truncated partial key lacks its opening
+        # quote so the regex can't match it, and a stray short key (e.g.
+        # the tail starting exactly at a key's quote) never collides with
+        # a current query name, so setdefault junk is inert. Known
+        # metadata keys are excluded; parsed entries win on overlap.
         tail = prior["tail"]
-        qpos = tail.find('"queries"')
-        if qpos >= 0:
-            tail = tail[qpos:]
         meta_keys = ("value", "sf", "queries", "n_queries", "median_runs")
         for m in _re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail):
             if m.group(1) not in meta_keys:
@@ -851,13 +853,14 @@ def _emit(timings: dict[str, float], median_runs: int = 1) -> None:
     # summary as the LAST line — totals plus the headline-query subset,
     # well under the capture window — so the machine-readable artifact
     # parses. compare() unions this with the tail-recovered full set.
-    compact_set = [
-        "q1_wins", "q2_fastestlap", "q3_filter", "q4_weather",
-        "q5_evopoints", "q6_constructor", "q7_pitstops",
-        "q8_circuit_stats", "q9_top10", "p1_f1_formatted",
-        "p2_weather_daily", "p3_combined", "t6_parse_time",
-        "t10_weather_filled",
-    ]
+    # Derived from the reference-mart registry, not hardcoded (ADVICE r11,
+    # low): a renamed/dropped mart entry now fails loudly at emit time
+    # instead of silently shrinking the parsed artifact the gate relies on.
+    from engineering_school_bigdata_project_f1_weather_spark.operators import marts as _marts
+
+    compact_set = list(_marts.QUERIES)
+    missing = [q for q in compact_set if q not in timings]
+    assert not missing, f"compact summary lost mart entries: {missing}"
     compact = {
         "metric": "headline_queries_total",
         "value": out["value"],

@@ -2776,12 +2776,33 @@ def _occ_width(base: str) -> int:
     isin(touched) probe silently skipped, so stored occurrences went
     unseen and spans were wrong with no error.  Width migration is a
     compaction (the full rewrite is the sanctioned point to re-bucket).
-    Pre-round-11 snapshots carry no width file; they fall back to the
-    env value, their only possible width."""
+    Pre-round-11 snapshots carry no width file; their width is derived
+    from the on-disk layout itself (ADVICE r11: falling back to the
+    CURRENT env knob silently desyncs the probe from the stored 'b…'
+    partitions if the knob changed since the snapshot was written —
+    the exact wrong-spans failure the width file exists to prevent):
+    every 'hb=b…' partition directory name encodes the width as
+    len(value) - len('b'). Env is the last resort only when the occ
+    log has no partitions to read it from (empty log — nothing to
+    desync against)."""
     p = os.path.join(base, "OCC_WIDTH")
     if os.path.exists(p):
         with open(p) as f:
             return int(f.read().strip())
+    occ_dir = os.path.join(base, "occ")
+    if os.path.isdir(occ_dir):
+        widths = {
+            len(d) - len("hb=b")
+            for d in os.listdir(occ_dir)
+            if d.startswith("hb=b")
+        }
+        if len(widths) > 1:
+            raise ValueError(
+                f"mixed occ bucket widths {sorted(widths)} under {occ_dir} — "
+                "corrupt layout; recompact the index"
+            )
+        if widths:
+            return widths.pop()
     return OCC_BUCKET_CHARS
 
 

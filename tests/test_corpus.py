@@ -1312,6 +1312,38 @@ def test_substr_index_bucket_width_persisted(spark, tmp_path, monkeypatch):
     assert got2 == {(2, 1, W), (4, 1, W)}
 
 
+def test_occ_width_legacy_snapshot_derived_from_layout(
+    spark, tmp_path, monkeypatch
+):
+    """Pre-round-11 snapshots carry no OCC_WIDTH file; their width must
+    come from the on-disk 'hb=b…' layout, NOT the current env knob
+    (ADVICE r11: the env fallback silently desyncs the probe if the
+    knob changed since the legacy snapshot was written — the wrong-spans
+    failure the width file prevents for new snapshots)."""
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    W = dedup.SUBSTR_W
+    seq = " ".join(f"w{i}" for i in range(W))
+    frame = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "sub_idx_legacy")
+    monkeypatch.setattr(dedup, "OCC_BUCKET_CHARS", 1)
+    dedup.substr_index_init(spark, frame([(1, seq)]), idx)
+    base = os.path.join(idx, snapshots.snap_live(idx))
+    os.remove(os.path.join(base, "OCC_WIDTH"))  # simulate a legacy snapshot
+    monkeypatch.setattr(dedup, "OCC_BUCKET_CHARS", 3)  # knob changed since
+    assert dedup._occ_width(base) == 1  # layout wins over env
+    # and the update path (which routes through _occ_width) still
+    # promotes the stored singleton at the layout's width
+    out = dedup.substr_index_update(spark, frame([(2, seq)]), idx)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in out.collect()}
+    assert got == {(1, 1, W), (2, 1, W)}
+
+
 def test_substr_index_compact_preserves_serving(spark, sf_dir, tmp_path):
     """substr_index_compact: fewer data files, identical serving view,
     updates still work afterwards (the LSM compaction contract)."""
