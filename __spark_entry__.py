@@ -28,6 +28,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     bpe,
     corpus,
     curate,
+    curate_index,
     dedup,
     events,
     graph,
@@ -59,8 +60,8 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 # the complete current-data correctness record.
 _MODULES = [
     marts, analytics, dedup, text, events, temporal, multimodal,
-    curate, corpus, reshape, quality, search, streamq, similarity,
-    sketch, graph, olap_deep, bpe,
+    curate, curate_index, corpus, reshape, quality, search, streamq,
+    similarity, sketch, graph, olap_deep, bpe,
 ]
 
 # First-50 driver window for round 10 (VERDICT r9 item 7): slots 1-10

@@ -634,6 +634,11 @@ SLOPE_QUERIES = [
     "stream_decontaminate",
     "embedding_drift",
     "corpus_shard",
+    # round-12: the continuous-curation capstone (init + update +
+    # resolve across four index families; fixture pins k=K_CENTROIDS
+    # for the unrolled-CTE oracle, so the semdedup leg's slope caveat
+    # from dedup_semantic_incremental applies here too)
+    "curate_incremental",
 ]
 
 

@@ -1025,6 +1025,66 @@ def _minhash_live_dir(index_path: str) -> str:
     return os.path.join(index_path, snapshots.snap_live(index_path))
 
 
+def minhash_pairs_of(probe_sig: DataFrame, all_sig: DataFrame) -> DataFrame:
+    """Verified near-dup pairs with at least one member in ``probe_sig``:
+    banded candidates (probe × all on any shared minhash band, normalized
+    to doc_a < doc_b) → exact set-jaccard verify over the stored shingle
+    sets.  The pair engine shared by :func:`minhash_index_update` (probe
+    = the new batch) and the continuous-curation index (round 12), which
+    also bootstraps with probe = all for the within-init pairs.  Output
+    (doc_a, doc_b, inter, un, jaccard_e6), the :func:`dedup_minhash_lsh`
+    shape."""
+    n_h = len(MINHASH_A)
+    stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        return sig.select("doc_id", F.expr(f"stack({n_h}, {stack_args}) AS (h, v)"))
+
+    cand = (
+        _bands(probe_sig)
+        .alias("a")
+        .join(
+            _bands(all_sig).alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    docs_nx = all_sig.select("doc_id", "n", "xs")
+    return (
+        cand.join(
+            docs_nx.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("xs").alias("xa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs_nx.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("xs").alias("xb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("xa", "xb")).cast("long"))
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "un",
+            F.expr("div(inter * 1000000, un)").alias("jaccard_e6"),
+        )
+    )
+
+
 def minhash_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None:
     """Materialize the signature index for an initial corpus, as the
     first snapshot of the shared versioned-snapshot convention
@@ -1074,57 +1134,8 @@ def minhash_index_update(
         .join(old_sig.select("doc_id"), "doc_id", "left_anti")
         .localCheckpoint()
     )
-    n_h = len(MINHASH_A)
-    stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_h))
-
-    def _bands(sig: DataFrame) -> DataFrame:
-        return sig.select("doc_id", F.expr(f"stack({n_h}, {stack_args}) AS (h, v)"))
-
-    # candidates: (new × all) on any shared band, dedup'd by unordered pair
     all_sig = old_sig.unionByName(new_sig)
-    cand = (
-        _bands(new_sig)
-        .alias("a")
-        .join(
-            _bands(all_sig).alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    docs_nx = all_sig.select("doc_id", "n", "xs")
-    pairs = (
-        cand.join(
-            docs_nx.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("n").alias("na"),
-                F.col("xs").alias("xa"),
-            ),
-            "doc_a",
-        )
-        .join(
-            docs_nx.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("n").alias("nb"),
-                F.col("xs").alias("xb"),
-            ),
-            "doc_b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("xa", "xb")).cast("long"))
-        .withColumn("un", F.col("na") + F.col("nb") - F.col("inter"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "inter",
-            "un",
-            F.expr("div(inter * 1000000, un)").alias("jaccard_e6"),
-        )
-    )
+    pairs = minhash_pairs_of(new_sig, all_sig)
     result = pairs.localCheckpoint()  # materialize BEFORE mutating the index
     # Commit protocol: write the batch to the NEXT version dir (mode
     # overwrite clears any crash debris reusing the name), hard-link the

@@ -629,7 +629,6 @@ def quality_classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     with l = functions.intlog.ilog2_q16 (exact Q16 log2) and dp/dn the
     per-bucket pos/neg document frequencies; the second sum is
     doc-independent and folded into the broadcast constant."""
-    from ..functions import intlog
     from ..sources.tables import load_table_spread
 
     wide = _quality_scored_wide(
@@ -642,6 +641,29 @@ def quality_classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the scan + per-doc distinct run once, not twice (a deployment
     # persists the featurized corpus between the two passes the same way)
     fb = _qc_featbuckets(wide).localCheckpoint()
+    model, c_q16 = qc_train_model(spark, fb, lab)
+    return (
+        qc_score(wide.select("doc_id"), fb, model, c_q16)
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id", "train_label", "n_feats", "qc_llr_q16",
+            "predicted_high",
+        )
+    )
+
+
+def qc_train_model(
+    spark: SparkSession, fb: DataFrame, lab: DataFrame
+) -> tuple[DataFrame, int]:
+    """Train the Bernoulli-NB model from featurized docs ``fb``
+    (doc_id, b) and weak labels ``lab`` (doc_id, train_label) —
+    factored out of :func:`quality_classifier_scored` (round 12) so
+    the continuous-curation index can train once at bootstrap and
+    freeze the model, the same init-time-frozen contract as the
+    SemDeDup quantizer.  Returns (per-bucket weight frame (b, w),
+    the doc-independent constant c_q16); counts are distributed, the
+    model itself is a bounded ≤QC_B-row collect."""
+    from ..functions import intlog
 
     tl = fb.join(lab.where(F.col("train_label").isNotNull()), "doc_id")
     cnt_rows = (
@@ -682,8 +704,17 @@ def quality_classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         csum += l(np_ - dp + 1) + l(nn_ + 2) - l(nn_ - dn + 1) - l(np_ + 2)
     c_q16 = l(np_) - l(nn_) + csum
-    model = spark.createDataFrame(w_rows, "b long, w long")
+    return spark.createDataFrame(w_rows, "b long, w long"), c_q16
 
+
+def qc_score(
+    doc_ids: DataFrame, fb: DataFrame, model: DataFrame, c_q16: int
+) -> DataFrame:
+    """Score ``doc_ids`` (doc_id) with a trained model: one broadcast
+    join of the featurized docs against the ≤QC_B-row weight frame +
+    a per-doc sum — the scan-bound shape a frozen classifier runs at
+    ingest time.  Output (doc_id, n_feats, qc_llr_q16,
+    predicted_high), bit-identical to the training-time scorer."""
     per_doc = (
         fb.join(F.broadcast(model), "b")
         .groupBy("doc_id")
@@ -693,21 +724,15 @@ def quality_classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     llr = F.lit(c_q16) + F.coalesce("sw", F.lit(0))
-    return (
-        wide.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .join(lab, "doc_id", "left")
-        .select(
-            "doc_id",
-            "train_label",
-            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
-            llr.cast("long").alias("qc_llr_q16"),
-            (llr > 0).alias("predicted_high"),
-        )
+    return doc_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        llr.cast("long").alias("qc_llr_q16"),
+        (llr > 0).alias("predicted_high"),
     )
 
 
-def _classifier_oracle_sql() -> str:
+def _classifier_oracle_sql(train_pred: str = "TRUE") -> str:
     from ..functions import intlog, texts
 
     h = texts.hash32_sql("g")
@@ -753,8 +778,13 @@ s AS (
     FROM f
 ),
 lab AS (
+    -- train_pred restricts the training COHORT (round 12: the curation
+    -- index trains at bootstrap on the init corpus only — default TRUE
+    -- reproduces the full-corpus entry verbatim); scoring always covers
+    -- every document.
     SELECT doc_id,
-           CASE WHEN doc_id % {QC_TRAIN_STRIDE} <> 0 THEN NULL
+           CASE WHEN doc_id % {QC_TRAIN_STRIDE} <> 0
+                     OR NOT ({train_pred}) THEN NULL
                 WHEN score >= {QS_HIGH} THEN 'pos'
                 WHEN score < {QS_LOW} THEN 'neg' END AS train_label
     FROM s
