@@ -1695,19 +1695,22 @@ _ER_EMPTY_REMAP = "old_label long, new_label long"
 
 
 def _er_doc_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, lang, h, len, score) persisted doc-state rows."""
-    from .quality import quality_score_of
+    """(doc_id, text, lang, h, len, score) persisted doc-state rows —
+    one scan: the quality score comes from the shared wide projection
+    directly (round 12: the previous quality_score_of().join(docs) form
+    self-joined the same scan on doc_id, a whole shuffle for columns the
+    wide frame already carries; same expressions, so stored rows are
+    bit-identical)."""
+    from .quality import _quality_scored_wide
 
-    scored = quality_score_of(docs.select("doc_id", "lang", "text")).select(
-        "doc_id", "score"
-    )
-    return docs.select(
+    return _quality_scored_wide(docs.select("doc_id", "lang", "text")).select(
         "doc_id",
         "text",
         "lang",
         F.md5("text").alias("h"),
         F.length("text").cast("long").alias("len"),
-    ).join(scored, "doc_id")
+        "score",
+    )
 
 
 def _er_doc_grams(d: DataFrame) -> DataFrame:
@@ -1732,19 +1735,38 @@ def _er_doc_grams(d: DataFrame) -> DataFrame:
     )
 
 
-def _er_qgram_prefix(d: DataFrame, dford: DataFrame) -> DataFrame:
+def _er_qgram_prefix(
+    d: DataFrame, dford: DataFrame, grams: DataFrame | None = None
+) -> DataFrame:
     """Frozen-df-ordered q-gram prefix rows (doc_id, x, len) over a
     (doc_id, text, len) frame — the persisted TYPO candidate index
     (module note above: order = (df0 ASC, x ASC), df0 from the
-    bootstrap-frozen ``dford`` table, unseen grams at 0)."""
-    qg = _er_doc_grams(d).join(dford, "x", "left").select(
-        "doc_id", "len", "x", F.coalesce("df0", F.lit(0)).alias("df0")
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df0"), F.asc("x"))
+    bootstrap-frozen ``dford`` table, unseen grams at 0).
+
+    ``grams`` short-circuits the gram scan with a pre-staged
+    ``_er_doc_grams`` frame (round 12: the bootstrap derives dford from
+    the same rows, so it stages them once).  The prefix itself is a
+    per-doc array aggregate — collect the (df0, x) structs, array_sort
+    (struct order = field order, exactly the old window's (df0 ASC,
+    x ASC); (df0, x) is unique per doc after the gram distinct, so the
+    order is total), slice — which replaces the row_number window's
+    exchange+sort with one hash aggregate; per-doc gram counts are
+    bounded by text length, so the collected arrays are row-sized, not
+    corpus-sized."""
+    qg = (grams if grams is not None else _er_doc_grams(d)).join(
+        dford, "x", "left"
+    ).select("doc_id", "len", "x", F.coalesce("df0", F.lit(0)).alias("df0"))
     return (
-        qg.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= ER_PREFIX_LEN)
-        .select("doc_id", "x", "len")
+        qg.groupBy("doc_id", "len")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("df0", "x"))),
+                1,
+                ER_PREFIX_LEN,
+            ).alias("p")
+        )
+        .select("doc_id", F.explode("p").alias("s"), "len")
+        .select("doc_id", F.col("s.x").alias("x"), "len")
     )
 
 
@@ -1944,14 +1966,17 @@ def er_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None
     base = os.path.join(index_path, snap)
     drows = _er_doc_rows(docs).localCheckpoint()
     sig = minhash_signatures(spark, docs).localCheckpoint()
+    # Stage the gram rows once (round 12): dford and the prefix index
+    # both derive from the same _er_doc_grams scan — the previous form
+    # ran the explode+distinct twice.
+    grams = _er_doc_grams(drows).localCheckpoint()
     # Freeze the q-gram df order on the bootstrap corpus (module note).
     dford = (
-        _er_doc_grams(drows)
-        .groupBy("x")
+        grams.groupBy("x")
         .agg(F.count(F.lit(1)).alias("df0"))
         .localCheckpoint()
     )
-    qg = _er_qgram_prefix(drows, dford).localCheckpoint()
+    qg = _er_qgram_prefix(drows, dford, grams=grams).localCheckpoint()
     edges = _er_edges(spark, drows, drows, sig, sig, qg, qg)
     labels = _er_closure(spark, edges)
     ent = (
@@ -2060,7 +2085,8 @@ def er_index_update(
             "doc_id",
             F.coalesce("component", F.col("doc_id")).alias("entity"),
         )
-        .localCheckpoint()
+        # no checkpoint: written exactly once below, and every input is
+        # already materialized (drows checkpoint, driver-built closure)
     )
     # CURRENT entities whose label moved: remap entries for this batch.
     # Keyed on current (never retired) labels, so batch_remap.old_label
@@ -2089,7 +2115,8 @@ def er_index_update(
             F.coalesce("_n", F.col("new_label")).alias("new_label"),
         )
         .unionByName(batch_remap)
-        .localCheckpoint()
+        # no checkpoint: written exactly once below; old_remap is the
+        # committed parquet, closure is driver-built
     )
 
     nxt = snapshots.snap_next(live, "er_v")
