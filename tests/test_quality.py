@@ -428,6 +428,41 @@ def test_quality_classifier_generalizes_to_holdout(spark, sf_dir):
     assert correct >= int(0.9 * len(holdout))
 
 
+def test_quality_lr_beats_nb_on_holdout(spark, sf_dir):
+    """The discriminative LR twin (round 12, VERDICT r11 item 6) must
+    match or beat the Bernoulli-NB entry on the SAME held-out protocol:
+    odd doc_ids, heuristic band as truth (measured at build time: 99.4%
+    vs NB's 97% at sf0.01)."""
+    lr = {
+        r.doc_id: r for r in quality.quality_lr_scored(spark, sf_dir).collect()
+    }
+    nb = {
+        r.doc_id: r
+        for r in quality.quality_classifier_scored(spark, sf_dir).collect()
+    }
+    band = {
+        r.doc_id: r.band for r in quality.quality_score(spark, sf_dir).collect()
+    }
+    assert set(lr) == set(nb) == set(band)
+    # identical training cohort and labels as the NB entry
+    for d, r in lr.items():
+        assert r.train_label == nb[d].train_label
+        assert r.n_feats == nb[d].n_feats  # same featurization
+    holdout = [
+        d for d in lr
+        if d % quality.QC_TRAIN_STRIDE != 0 and band[d] in ("high", "low")
+    ]
+    assert len(holdout) > 20
+    lr_correct = sum(
+        1 for d in holdout if lr[d].predicted_high == (band[d] == "high")
+    )
+    nb_correct = sum(
+        1 for d in holdout if nb[d].predicted_high == (band[d] == "high")
+    )
+    assert lr_correct >= nb_correct, (lr_correct, nb_correct, len(holdout))
+    assert lr_correct >= int(0.9 * len(holdout))
+
+
 def test_quality_classifier_learns_token_signal(spark, tmp_path):
     """Distribution-shift shape (the sample_dsir test model): on a
     corpus where vocabulary correlates with the band labels, held-out
