@@ -43,6 +43,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
     streamq,
     temporal,
     text,
+    unigram,
 )
 
 # Order matters: the driver's correctness gate checks the first 50 registry
@@ -61,7 +62,7 @@ from engineering_school_bigdata_project_f1_weather_spark.operators import (
 _MODULES = [
     marts, analytics, dedup, text, events, temporal, multimodal,
     curate, curate_index, corpus, reshape, quality, search, streamq,
-    similarity, sketch, graph, olap_deep, bpe,
+    similarity, sketch, graph, olap_deep, bpe, unigram,
 ]
 
 # First-50 driver window for round 10 (VERDICT r9 item 7): slots 1-10
@@ -155,11 +156,47 @@ _WINDOW_R11 = [
     "tpch_revenue_by_nation", "tpch_shipmode_priority",
     "tpch_shipping_priority",
 ]
+assert len(_WINDOW_R11) == 50 and len(set(_WINDOW_R11)) == 50
+
+# Round-12 window (VERDICT r11 item 5): slots 1-4 are the never-
+# driver-witnessed entries — the three round-12 additions (the
+# continuous-curation capstone, the LR quality classifier, the unigram
+# tokenizer apply) plus dedup_lines_apply (added late in r11, missed
+# that window); slots 5-12 are the 8 r7-vintage marts the r11 window
+# deferred on golden-pytest evidence (now the registry's oldest
+# witnesses — age beats the deferral rationale on the second pass, the
+# r11 precedent); the fill is the 38 alphabetically-first entries of
+# the 50-strong r8-vintage cohort (last witnessed in CORRECTNESS_r08 —
+# computed from the CORRECTNESS_r01..r11 green-row union; the remaining
+# 12 r8-vintage entries lead the r13 fill).  Every registry entry is
+# additionally re-verified on current data via tools/selfcheck.py →
+# SELFCHECK_r12.json.
+_WINDOW_R12 = [
+    # never driver-witnessed (round-12 additions + the r11 straggler)
+    "curate_incremental", "quality_lr_scored", "text_unigram_apply",
+    "dedup_lines_apply",
+    # r7-vintage marts deferred from the r11 window
+    "q1_wins", "q2_fastestlap", "q4_weather", "q5_evopoints",
+    "q8_circuit_stats", "q9_top10", "p1_f1_formatted", "p3_combined",
+    # r8-vintage fill (38 of 50, alphabetical)
+    "corpus_card", "dedup_cluster_stats", "dedup_components",
+    "dedup_embedding", "dedup_er_incremental", "dedup_exact",
+    "dedup_fingerprint", "dedup_keep_best", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_recall_report", "dedup_simhash",
+    "dedup_winnow", "doc_pagerank", "documents_zipf", "events_ab_test",
+    "events_dau_mau", "events_ewma", "events_scd2", "events_scd2_lookup",
+    "events_transitions", "join_anti_customers", "join_outer_audit",
+    "join_semi_customers", "multimodal_dedup", "multimodal_fingerprint",
+    "multimodal_segments", "sample_balanced", "sample_quality_weighted",
+    "stream_heavy_hitters", "stream_kmv", "stream_user_bloom",
+    "stream_user_cms", "stream_value_hist", "stream_value_quantiles",
+    "text_collocations", "text_langid", "text_langid_ngram",
+]
 # Rotation-intent guard (VERDICT r8 item 1: the r8 list had 51 names and
 # the driver's first-50 check silently dropped the last one).
-assert len(_WINDOW_R11) == 50, f"window must be exactly 50, got {len(_WINDOW_R11)}"
-assert len(set(_WINDOW_R11)) == 50, "window has duplicate entries"
-_WINDOW = _WINDOW_R11
+assert len(_WINDOW_R12) == 50, f"window must be exactly 50, got {len(_WINDOW_R12)}"
+assert len(set(_WINDOW_R12)) == 50, "window has duplicate entries"
+_WINDOW = _WINDOW_R12
 
 
 def _ordered(merged: dict) -> dict:

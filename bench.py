@@ -385,6 +385,20 @@ def _bench_hll_index_update(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_unigram_train(spark, sf_dir: str) -> None:
+    """Unigram-LM tokenizer training (round 12): one corpus-scale
+    word-count pass + seeding + UNI_EM_ITERS Viterbi-EM rounds on the
+    vocab frame; pytest-parity verified against a pure-Python reference
+    (tests/test_unigram.py)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import unigram
+
+    vocab = unigram.train_unigram(spark, sf_dir)
+    if not any(len(p) > 1 for p in vocab):
+        raise RuntimeError(
+            "unigram training kept no multi-char pieces at bench scale"
+        )
+
+
 def _bench_bpe_train(spark, sf_dir: str) -> None:
     """BPE tokenizer training (round 4): one corpus-scale word-count pass
     + N_MERGES vocab-frame merge rounds; pytest-parity verified against a
@@ -582,6 +596,7 @@ EXTRA_BENCH = {
     "kmv_index_update": _bench_kmv_index_update,
     "qsample_index_update": _bench_qsample_index_update,
     "text_bpe_train": _bench_bpe_train,
+    "text_unigram_train": _bench_unigram_train,
 }
 
 # Full-registry coverage (VERDICT r8 item 3): 70 registry entries never
@@ -673,8 +688,11 @@ SLOPE_QUERIES = [
     # round-12: the continuous-curation capstone (init + update +
     # resolve across four index families; fixture pins k=K_CENTROIDS
     # for the unrolled-CTE oracle, so the semdedup leg's slope caveat
-    # from dedup_semantic_incremental applies here too)
+    # from dedup_semantic_incremental applies here too), and the
+    # unigram trainer (one corpus word-count pass + vocab-frame EM —
+    # should scale with distinct words, not rows)
     "curate_incremental",
+    "text_unigram_train",
 ]
 
 
