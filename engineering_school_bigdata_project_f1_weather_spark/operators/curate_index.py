@@ -62,11 +62,11 @@ from .corpus import (
 from .dedup import (
     COMPONENT_MIN_JACCARD_E6,
     _components_oracle_sql,
+    _er_closure,
     _minhash_live_dir,
     minhash_index_init,
     minhash_index_update,
     minhash_pairs_of,
-    propagate_components,
 )
 from .quality import (
     _classifier_oracle_sql,
@@ -90,13 +90,22 @@ _DOC_ROWS_SCHEMA = (
 )
 
 
-def _doc_rows(d: DataFrame, model: DataFrame, c_q16: int) -> DataFrame:
+def _doc_rows(
+    d: DataFrame,
+    model: DataFrame,
+    c_q16: int,
+    wide: DataFrame | None = None,
+    fb: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc roster rows for a (doc_id, lang, text) frame, scored with
     the frozen classifier: (doc_id, lang, n_tokens, h = md5(text),
     n_feats, qc_llr_q16, qc_keep).  One featurize scan + one broadcast
-    model join — the ingest-time cost of the quality gate."""
-    wide = _quality_scored_wide(d)
-    fb = _qc_featbuckets(wide)
+    model join — the ingest-time cost of the quality gate.  ``wide``/
+    ``fb`` short-circuit the featurize with the frames the bootstrap
+    already staged for training (round 12: init was featurizing the
+    whole corpus twice)."""
+    wide = _quality_scored_wide(d) if wide is None else wide
+    fb = _qc_featbuckets(wide) if fb is None else fb
     scored = qc_score(wide.select("doc_id"), fb, model, int(c_q16))
     return (
         wide.select(
@@ -158,7 +167,7 @@ def curate_index_init(
     ).select("doc_a", "doc_b", "jaccard_e6")
 
     model_b = F.broadcast(spark.read.parquet(f"{index_path}/model"))
-    rows = _doc_rows(d, model_b, c_q16)
+    rows = _doc_rows(d, model_b, c_q16, wide=wide, fb=fb)
     snap = f"{CUR_PREFIX}0"
     sdir = os.path.join(index_path, snap)
     rows.write.mode("overwrite").parquet(f"{sdir}/docs")
@@ -240,7 +249,14 @@ def curate_resolve(spark: SparkSession, index_path: str) -> DataFrame:
     base = os.path.join(index_path, snapshots.snap_live(index_path))
     docs = spark.read.parquet(f"{base}/docs")
     pairs = spark.read.parquet(f"{base}/pairs")
-    labels = propagate_components(spark, pairs, "doc_a", "doc_b")
+    # size-dispatched closure (the ER family's engine): the pair log is
+    # near-dup edges only — orders smaller than the corpus — so below
+    # the edge threshold a driver union-find answers in milliseconds
+    # what Hash-Min pays scheduler rounds for; above it the distributed
+    # engine takes over with identical semantics.
+    labels = _er_closure(
+        spark, pairs.select(F.col("doc_a"), F.col("doc_b"))
+    )
     sem = semdedup_resolve(spark, f"{index_path}/sem").select(
         F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep")
     )
