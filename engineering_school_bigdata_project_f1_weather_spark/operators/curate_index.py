@@ -78,6 +78,7 @@ from .quality import (
 )
 from .similarity import (
     _semantic_incremental_oracle_sql,
+    semdedup_index_compact,
     semdedup_index_init,
     semdedup_index_update,
     semdedup_resolve,
@@ -232,6 +233,31 @@ def curate_index_update(
     snapshots.link_parquet_files(f"{base}/pairs", f"{nxt_dir}/pairs")
     snapshots.snap_commit(index_path, nxt, CUR_PREFIX)
     return rows
+
+
+def curate_index_compact(spark: SparkSession, index_path: str) -> None:
+    """Merge-on-write maintenance for the curation index (the LSM
+    compaction contract every append-only index family carries — the
+    substring / SemDeDup precedents): rewrite the accumulated per-batch
+    docs/pairs delta files into one compact file set, committed as a
+    fresh snapshot via the atomic CURRENT swap, and compact the SemDeDup
+    sub-index through its own contract.  (The minhash sub-index's
+    signature snapshot is rewritten the same way on the next
+    bootstrap-scale maintenance; its per-batch files are append-only
+    parquet that serving unions transparently.)  Serving is identical
+    before and after; per-batch ingest stays ∝ batch because updates
+    only append, and compaction amortizes read-side file-count growth
+    on its own schedule.  Idempotent."""
+    semdedup_index_compact(spark, f"{index_path}/sem")
+    live = snapshots.snap_live(index_path)
+    base = os.path.join(index_path, live)
+    docs = spark.read.parquet(f"{base}/docs").localCheckpoint()
+    pairs = spark.read.parquet(f"{base}/pairs").localCheckpoint()
+    nxt = snapshots.snap_next(live, CUR_PREFIX)
+    nxt_dir = os.path.join(index_path, nxt)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{nxt_dir}/docs")
+    pairs.coalesce(1).write.mode("overwrite").parquet(f"{nxt_dir}/pairs")
+    snapshots.snap_commit(index_path, nxt, CUR_PREFIX)
 
 
 def curate_resolve(spark: SparkSession, index_path: str) -> DataFrame:

@@ -140,6 +140,55 @@ def test_curate_index_batch_composition(spark, sf_dir, tmp_path):
     assert _ledger(spark, idx_one) == _ledger(spark, idx_two)
 
 
+def test_curate_index_compact_preserves_serving(spark, sf_dir, tmp_path):
+    """curate_index_compact: fewer data files, identical ledger, and
+    ingest still works afterwards — the LSM compaction contract every
+    append-only index family carries."""
+    import glob
+    import os
+
+    from engineering_school_bigdata_project_f1_weather_spark.functions import (
+        snapshots,
+    )
+
+    docs, vecs, half = _split(spark, sf_dir)
+    q3 = docs.agg(F.expr("div(3 * max(doc_id), 4)").alias("q")).first()["q"]
+    idx = str(tmp_path / "cidx_compact")
+    curate_index.curate_index_init(
+        spark,
+        docs.where(F.col("doc_id") <= half),
+        vecs.where(F.col("vec_id") <= half),
+        idx,
+    )
+    curate_index.curate_index_update(
+        spark,
+        docs.where((F.col("doc_id") > half) & (F.col("doc_id") <= q3)),
+        vecs.where((F.col("vec_id") > half) & (F.col("vec_id") <= q3)),
+        idx,
+    )
+
+    def n_files():
+        live = snapshots.snap_live(idx)
+        return len(
+            glob.glob(os.path.join(idx, live, "*", "part-*"))
+        )
+
+    before_files = n_files()
+    before = _ledger(spark, idx)
+    curate_index.curate_index_compact(spark, idx)
+    assert n_files() < before_files
+    assert _ledger(spark, idx) == before  # serving identical
+    # post-compaction ingest still composes
+    curate_index.curate_index_update(
+        spark,
+        docs.where(F.col("doc_id") > q3),
+        vecs.where(F.col("vec_id") > q3),
+        idx,
+    )
+    led = {r[0] for r in _ledger(spark, idx)}
+    assert led == {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
 def test_curate_ledger_internal_consistency(spark, sf_dir):
     """kept ⇔ conjunction of the four gates; seq_id present iff kept;
     packed sequences respect the budget arithmetic (seq_id monotone
