@@ -1092,6 +1092,160 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE curation funnel — the streaming twin of the batch
+    ``corpus_curate`` gates plus the online decontamination flag, per
+    document: the shape a training-data pipeline runs in front of its
+    landing zone so every crawl batch lands already labeled.  Three
+    drains over the same document stream, composed post-drain into the
+    per-doc ledger (doc_id, lang, n_tokens, q_keep, exact_keep,
+    contaminated, kept):
+
+    - **gate rows** (STATELESS, append): per-doc token count, TTR and
+      content hash — narrow projections, bounded per micro-batch at any
+      ingest rate.
+    - **exact keeper** (STATEFUL aggregation, complete): ``min(doc_id)``
+      per content hash.  State is one row per DISTINCT content — the
+      same state a batch exact-dedup shuffles, maintained continuously;
+      ``min`` is order-insensitive, so arrival order never matters and
+      the drained result equals the batch window keeper bit-for-bit.
+    - **contamination seeds** (STATELESS, append): the
+      ``stream_decontaminate`` digest probe — w-gram md5s joined against
+      the BROADCAST eval-split digest registry, no watermark, no state.
+
+    The eval split (doc_id % EVAL_STRIDE == 0) is held out of the
+    curated stream (it is the registry, not corpus).  ``kept`` =
+    quality ∧ exact-keeper ∧ ¬contaminated — the near-dup/SemDeDup gates
+    are index lookups in production (their incremental indexes,
+    ``curate_index.py``) rather than stream state: LSH banding needs the
+    accumulated signature store, which is exactly what the nightly
+    ``curate_index_update`` maintains; this entry is the per-arrival
+    half of that split.  Reference parity: the reference
+    (`Lucas files/finalversion`) has no streaming or curation surface —
+    extension for the training-data mandate."""
+    from ..functions import texts
+    from ..sources.tables import load_table
+    from .corpus import EVAL_STRIDE
+    from .curate import QUALITY_MIN_TTR_E6
+    from .dedup import DECON_W_GATE, _substr_occ
+    from .text import QUALITY_MAX_TOKENS, QUALITY_MIN_TOKENS
+
+    w = DECON_W_GATE
+    ev_docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % EVAL_STRIDE == 0)
+        .select("doc_id", "text")
+    )
+    eval_h = _substr_occ(ev_docs, w).select("h").distinct()
+
+    d = (
+        events_stream.stream_documents(spark, sf_dir)
+        .where(F.col("doc_id") % EVAL_STRIDE != 0)
+        .select(
+            "doc_id",
+            "lang",
+            texts.tokens(F.col("text")).alias("t"),
+            F.md5("text").alias("h"),
+        )
+    )
+
+    flags = d.select(
+        "doc_id",
+        "lang",
+        "h",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr("div(size(array_distinct(t)) * 1000000, size(t))").alias(
+            "ttr_e6"
+        ),
+    )
+    fl = _drain_append(flags, "stream_curate_flags", spark)
+
+    keeper = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    kp = _drain(keeper, "stream_curate_keeper", spark)
+
+    shingle_h = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (w - 1)),
+        lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("t"), p, w))),
+    )
+    seeds = (
+        d.where(F.size("t") >= w)
+        .select("doc_id", F.explode(shingle_h).alias("sh"))
+        .join(F.broadcast(eval_h), F.col("sh") == F.col("h"))
+        .select("doc_id")
+    )
+    cont = (
+        _drain_append(seeds, "stream_curate_seeds", spark)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+
+    return (
+        fl.join(kp, "h")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (
+                (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+                & (F.col("n_tokens") <= QUALITY_MAX_TOKENS)
+                & (F.col("ttr_e6") > QUALITY_MIN_TTR_E6)
+            ).alias("q_keep"),
+            (F.col("doc_id") == F.col("keeper")).alias("exact_keep"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+        .withColumn(
+            "kept",
+            F.col("q_keep") & F.col("exact_keep") & ~F.col("contaminated"),
+        )
+    )
+
+
+def _curate_stream_oracle_sql() -> str:
+    from .corpus import EVAL_STRIDE
+    from .curate import QUALITY_MIN_TTR_E6
+    from .dedup import DECON_W_GATE
+    from .text import QUALITY_MAX_TOKENS, QUALITY_MIN_TOKENS
+
+    w = DECON_W_GATE
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, lang, text, string_split(text, ' ') AS t
+    FROM documents WHERE doc_id % {EVAL_STRIDE} <> 0
+),
+ev AS (
+    SELECT DISTINCT md5(array_to_string(t[p:p+{w - 1}], ' ')) AS h
+    FROM (SELECT string_split(text, ' ') AS t FROM documents
+          WHERE doc_id % {EVAL_STRIDE} = 0),
+         unnest(range(1, len(t) - {w} + 2)) AS u(p)
+    WHERE len(t) >= {w}
+),
+cont AS (
+    SELECT DISTINCT doc_id
+    FROM corpus, unnest(range(1, len(t) - {w} + 2)) AS u(p)
+    WHERE len(t) >= {w}
+      AND md5(array_to_string(t[p:p+{w - 1}], ' ')) IN (SELECT h FROM ev)
+),
+base AS (
+    SELECT doc_id, lang,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           (len(list_distinct(t)) * 1000000) // len(t) AS ttr_e6,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM corpus
+)
+SELECT b.doc_id, b.lang, b.n_tokens,
+       (b.n_tokens BETWEEN {QUALITY_MIN_TOKENS} AND {QUALITY_MAX_TOKENS}
+        AND b.ttr_e6 > {QUALITY_MIN_TTR_E6}) AS q_keep,
+       b.doc_id = b.keeper AS exact_keep,
+       c.doc_id IS NOT NULL AS contaminated,
+       ((b.n_tokens BETWEEN {QUALITY_MIN_TOKENS} AND {QUALITY_MAX_TOKENS}
+         AND b.ttr_e6 > {QUALITY_MIN_TTR_E6})
+        AND b.doc_id = b.keeper
+        AND c.doc_id IS NULL) AS kept
+FROM base b LEFT JOIN cont c USING (doc_id)
+"""
+
+
 def _decontaminate_stream_oracle_sql() -> str:
     from .corpus import EVAL_STRIDE
     from .dedup import DECON_W_GATE
@@ -1121,6 +1275,7 @@ FROM seeds GROUP BY doc_id
 QUERIES = {
     "stream_transitions": stream_transitions,
     "stream_decontaminate": stream_decontaminate,
+    "stream_curate": stream_curate,
     "stream_view_purchase_join": stream_view_purchase_join,
     "stream_view_purchase_outer": stream_view_purchase_outer,
     "stream_view_purchase_full": stream_view_purchase_full,
@@ -1148,6 +1303,7 @@ _TRANSITIONS_ORACLE = _EVENTS_ORACLE_SQL["events_transitions"]
 ORACLE_SQL = {
     "stream_transitions": _TRANSITIONS_ORACLE,
     "stream_decontaminate": _decontaminate_stream_oracle_sql(),
+    "stream_curate": _curate_stream_oracle_sql(),
     "stream_view_purchase_join": _VP_JOIN_ORACLE,
     "stream_view_purchase_outer": _VP_OUTER_ORACLE,
     "stream_view_purchase_full": _VP_FULL_ORACLE,
