@@ -385,6 +385,20 @@ def _bench_hll_index_update(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_wordpiece_train(spark, sf_dir: str) -> None:
+    """WordPiece tokenizer training: one corpus-scale word-count pass +
+    WP_N_MERGES likelihood-argmax rounds on the vocab frame;
+    pytest-parity verified against a pure-Python reference
+    (tests/test_wordpiece.py)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import wordpiece
+
+    vocab = wordpiece.train_wordpiece(spark, sf_dir)
+    if not any(len(p.lstrip("#")) > 1 for p in vocab):
+        raise RuntimeError(
+            "wordpiece training learned no multi-char pieces at bench scale"
+        )
+
+
 def _bench_unigram_train(spark, sf_dir: str) -> None:
     """Unigram-LM tokenizer training (round 12): one corpus-scale
     word-count pass + seeding + UNI_EM_ITERS Viterbi-EM rounds on the
@@ -597,6 +611,7 @@ EXTRA_BENCH = {
     "qsample_index_update": _bench_qsample_index_update,
     "text_bpe_train": _bench_bpe_train,
     "text_unigram_train": _bench_unigram_train,
+    "text_wordpiece_train": _bench_wordpiece_train,
 }
 
 # Full-registry coverage (VERDICT r8 item 3): 70 registry entries never
@@ -693,6 +708,9 @@ SLOPE_QUERIES = [
     # should scale with distinct words, not rows)
     "curate_incremental",
     "text_unigram_train",
+    # round-12 third wave: the WordPiece trainer (same vocab-frame loop
+    # cost model as BPE/unigram — slope should track distinct words)
+    "text_wordpiece_train",
 ]
 
 
