@@ -20,6 +20,8 @@ vs the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -286,6 +288,12 @@ NPROBE = 4
 # guard; sim is integer e6 (|sim| <= 1e6), so the key tops out near 2**41 —
 # exact in BIGINT on both engines and far below DOUBLE's 2**53 mantissa.
 ORD_MULT = 2**21
+# Quantizer-training size dispatch (round 12): at or below this many
+# vectors the kmeans loop runs as a driver numpy twin in ONE bounded
+# collect (65,536 × 64 int64 ≈ 34 MB — an explicit, model-scale bound;
+# the _er_closure size-dispatch precedent).  Above it, the distributed
+# loop with identical semantics.  0 forces the distributed path (tests).
+KM_DRIVER_MAX = int(os.environ.get("SPARK_GRAFT_KM_DRIVER_MAX", "65536"))
 
 
 def _seed_centroids(base: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
@@ -319,7 +327,24 @@ def _train_centroids(
     spark: SparkSession, base: DataFrame, k: int = K_CENTROIDS, iters: int = 3
 ) -> DataFrame:
     """Training loop over an arbitrary quantized (vec_id, q, n2) frame —
-    shared by the sf_dir registry path and the incremental index."""
+    shared by the sf_dir registry path and the incremental index.
+
+    Size-dispatched (round 12, the ``_er_closure`` precedent): below
+    ``KM_DRIVER_MAX`` vectors a driver numpy twin runs the bit-identical
+    iteration in one bounded collect — Lloyd's on a small init corpus is
+    k·n·DIM·iters of arithmetic that the distributed loop pays ~2 jobs
+    of scheduler latency per round for (measured 3.0 s at sf0.1 for
+    1,000 vectors, ~0.1 s on the driver; it is the dominant fixed cost
+    of every quantizer-training entry).  Above the threshold the
+    distributed loop takes over with identical semantics — the
+    assignment is the exact IEEE-754 sequence both physical paths
+    already share (``_assign_lists_arrow``'s contract), the M-step is
+    the same exact-integer rounded mean, so the dispatch is invisible
+    to every oracle hash (pinned by
+    tests/test_similarity.py::test_kmeans_driver_twin_bit_identical)."""
+    n_vecs = base.count()  # caller caches base, so this is a cheap scan
+    if n_vecs <= KM_DRIVER_MAX:
+        return _train_centroids_driver(spark, base, k, iters)
     cents = _seed_centroids(base, k).localCheckpoint()
     # Loop-scoped shuffle sizing (same move as propagate_components): the
     # per-iteration shuffles carry n·assign / k·DIM rows, so at bench scale
@@ -327,7 +352,6 @@ def _train_centroids(
     # empty tasks); size them to the data and restore the session conf
     # after. At cluster scale the formula climbs back to the session value.
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    n_vecs = base.count()  # caller caches base, so this is a cheap scan
     loop_parts = max(4, min(int(saved_parts), n_vecs // 50_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
@@ -335,6 +359,69 @@ def _train_centroids(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     return cents
+
+
+def _train_centroids_driver(
+    spark: SparkSession, base: DataFrame, k: int, iters: int
+) -> DataFrame:
+    """Driver numpy twin of :func:`_kmeans_iterations` — ONE bounded
+    collect (≤ KM_DRIVER_MAX quantized rows, an explicit constant), then
+    the identical per-round computation:
+
+    - E-step: the exact int64 matmul + IEEE-754 cosine sequence
+      (d·1e6 / sqrt(n2a·n2b), floor, non-finite→0) and the strictly
+      unique ranking key ``sim_e6·2^21 − centroid_id`` — byte-for-byte
+      the ``_assign_lists_arrow`` body (which is itself pinned
+      bit-identical to the JVM expression path).
+    - M-step: the exact-integer rounded mean
+      ``div(2s + c − pmod(2s + c, 2c), 2c)`` per (cluster, pos); empty
+      clusters keep their previous centroid; cn2 = Σm².
+
+    Both steps are order-insensitive (per-row assignment, integer sums),
+    so driver and distributed runs agree bit-for-bit."""
+    import numpy as np
+
+    rows = base.select("vec_id", "q", "n2").collect()  # ≤ KM_DRIVER_MAX
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.array([r["q"] for r in rows], dtype=np.int64)
+    n2 = np.array([r["n2"] for r in rows], dtype=np.float64)
+    seed_mask = (ids >= 1) & (ids <= k)
+    order = np.argsort(ids[seed_mask], kind="stable")
+    cid = ids[seed_mask][order]
+    C = Q[seed_mask][order].copy()
+    if cid.size == 0 or len(rows) == 0:
+        return spark.createDataFrame(
+            [], "centroid_id long, cq array<long>, cn2 long"
+        )
+    cn2 = np.einsum("ij,ij->i", C, C).astype(np.float64)
+    for _ in range(iters):
+        d = Q @ C.T  # exact int64
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.floor(
+                d.astype(np.float64)
+                * 1_000_000.0
+                / np.sqrt(n2[:, None] * cn2[None, :])
+            )
+        s = np.where(np.isfinite(s), s, 0.0)
+        key = s * (2.0**21) - cid[None, :].astype(np.float64)
+        j = np.argsort(-key, axis=1, kind="stable")[:, 0]
+        assigned = cid[j]
+        for ci in range(cid.size):
+            mask = assigned == cid[ci]
+            c = int(mask.sum())
+            if c == 0:
+                continue  # empty cluster keeps its previous centroid
+            ssum = Q[mask].sum(axis=0, dtype=np.int64)
+            num = 2 * ssum + c
+            C[ci] = (num - (num % (2 * c))) // (2 * c)
+        cn2 = np.einsum("ij,ij->i", C, C).astype(np.float64)
+    return spark.createDataFrame(
+        [
+            (int(cid[i]), [int(x) for x in C[i]], int(cn2[i]))
+            for i in range(cid.size)
+        ],
+        "centroid_id long, cq array<long>, cn2 long",
+    )
 
 
 def _kmeans_iterations(base, cents, k: int, iters: int):
