@@ -24,6 +24,8 @@ plan anyway (the production data-quality monitor shape).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 
@@ -752,6 +754,12 @@ LR_ITERS = 16
 LR_NUM, LR_DEN = 4, 1  # learning rate as an exact rational
 _Q16 = 65536
 _BIAS_B = -1  # sentinel bucket carrying the bias gradient
+# Gradient-loop size dispatch (round 12, the KM_DRIVER_MAX precedent):
+# at or below this many LABELED docs the 16 gradient steps run on the
+# driver over one bounded collect of (label, bucket-array) rows — every
+# step is exact integer arithmetic, so driver and distributed loops
+# agree bit-for-bit.  0 forces the distributed path (tests).
+LR_DRIVER_MAX = int(os.environ.get("SPARK_GRAFT_LR_DRIVER_MAX", "65536"))
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -800,7 +808,10 @@ def lr_train_model(
         .agg(F.collect_list("b").alias("bs"))
         .localCheckpoint()
     )
-    n_lab = max(int(docs_bs.count()), 1)
+    n_rows = int(docs_bs.count())
+    n_lab = max(n_rows, 1)
+    if n_rows <= LR_DRIVER_MAX:
+        return _lr_train_driver(spark, docs_bs, n_lab)
     w = {b: 0 for b in range(QC_B)}
     bias = 0
     y = F.when(F.col("train_label") == "pos", F.lit(_Q16)).otherwise(F.lit(0))
@@ -830,6 +841,49 @@ def lr_train_model(
                 bias += step
             else:
                 w[row["b"]] += step
+    model = spark.createDataFrame(
+        [(int(b), int(v)) for b, v in w.items()], "b long, w long"
+    )
+    return model, bias
+
+
+def _lr_train_driver(
+    spark: SparkSession, docs_bs: DataFrame, n_lab: int
+) -> tuple[DataFrame, int]:
+    """Driver twin of the distributed gradient loop — one bounded
+    collect (≤ LR_DRIVER_MAX labeled rows), then the identical 16 steps
+    in exact Python integers: margin = bias + Σw[b] (duplicates in the
+    bucket array count, as in the Spark fold), the Q16 hard sigmoid
+    with TRUNCATING /8 (``_tdiv`` — Spark's ``x - x%8`` then exact
+    double division), per-bucket residual sums restricted to buckets
+    PRESENT in the cohort (absent buckets get no gradient row in either
+    engine), and the truncating-division weight step.  Bit-identical to
+    the distributed loop (tests/test_quality.py::
+    test_lr_driver_twin_bit_identical); the distributed path paid one
+    cohort scan + one bounded collect of scheduler latency per step
+    (~0.25 s × 16 at sf0.1) for arithmetic the driver does in
+    milliseconds."""
+    rows = docs_bs.select("train_label", "bs").collect()  # bounded
+    data = [
+        (_Q16 if r["train_label"] == "pos" else 0, list(r["bs"]))
+        for r in rows
+    ]
+    w = {b: 0 for b in range(QC_B)}
+    bias = 0
+    for _ in range(LR_ITERS):
+        g: dict[int, int] = {}
+        gbias = 0
+        for yv, bs in data:
+            margin = bias + sum(w[b] for b in bs)
+            hs = min(max(32768 + _tdiv(margin, 8), 0), _Q16)
+            r = yv - hs
+            for b in bs:
+                g[b] = g.get(b, 0) + r
+            gbias += r
+        for b, gv in g.items():
+            w[b] += _tdiv(LR_NUM * gv, n_lab * LR_DEN)
+        if data:  # the bias sentinel row exists iff the cohort does
+            bias += _tdiv(LR_NUM * gbias, n_lab * LR_DEN)
     model = spark.createDataFrame(
         [(int(b), int(v)) for b, v in w.items()], "b long, w long"
     )
