@@ -1201,6 +1201,124 @@ def stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE ANN serving: query vectors arrive as a STREAM and are
+    answered against the frozen IVF index — the shape a retrieval
+    service runs in front of a vector store.  Per micro-batch,
+    STATELESS end-to-end:
+
+    - **probe selection** without a window (windows are illegal on an
+      un-watermarked stream): the k-row centroid table is collected at
+      plan-build time (steering-sized — the same table every IVF path
+      broadcasts) and unrolled into a LITERAL array of (ord, cluster)
+      structs per query row; ``array_sort`` + ``slice`` picks the
+      NPROBE nearest.  The ordering key ``sim_e6·ORD_MULT − cid`` is
+      injective, so the array selection equals the batch row_number
+      probe exactly.
+    - **list search**: the exploded (query, cluster) probes join the
+      static inverted-list frame (corpus assignment, localCheckpointed
+      so per-batch re-planning reads computed blocks, never re-runs the
+      assignment) and verify with the exact integer cosine.
+
+    Candidates drain through the append file sink; the per-query top-k
+    rank runs on the drained frame (output-proportional — the
+    stream_decontaminate rollup precedent).  The oracle is the batch
+    ``sim_ivf`` serving path VERBATIM (``_ivf_oracle_sql``): the hash
+    gate pins that streaming arrival changes nothing."""
+    from ..functions import vectors
+    from .similarity import (
+        NPROBE,
+        ORD_MULT,
+        QUERY_STRIDE,
+        TOPK,
+        _quantized,
+        _seed_centroids,
+    )
+
+    base = _quantized(spark, sf_dir).cache()
+    cents = _seed_centroids(base)
+    crows = cents.collect()  # bounded: K_CENTROIDS rows (steering)
+
+    # static inverted lists: corpus assignment under the frozen seeds
+    csim = vectors.sim_e6(
+        vectors.dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")
+    )
+    assign = (
+        base.join(F.broadcast(cents), F.lit(True))
+        .select(
+            "vec_id",
+            "centroid_id",
+            (csim * F.lit(ORD_MULT) - F.col("centroid_id")).alias("ord"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max_by("centroid_id", "ord").alias("cluster"))
+        .join(base, "vec_id")
+        .localCheckpoint()
+    )
+
+    qstream = (
+        events_stream.stream_embeddings(spark, sf_dir)
+        .where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            vectors.quantize(F.col("embedding")).alias("qq"),
+        )
+        .withColumn("qn2", vectors.norm2(F.col("qq")))
+    )
+    probes = F.array(
+        *[
+            F.struct(
+                (
+                    vectors.sim_e6(
+                        vectors.dot(
+                            F.col("qq"),
+                            F.array(*[F.lit(int(x)) for x in r["cq"]]),
+                        ),
+                        F.col("qn2"),
+                        F.lit(int(r["cn2"])),
+                    )
+                    * F.lit(ORD_MULT)
+                    - F.lit(int(r["centroid_id"]))
+                ).alias("ord"),
+                F.lit(int(r["centroid_id"])).alias("cluster"),
+            )
+            for r in crows
+        ]
+    )
+    qp = qstream.select(
+        "query_id",
+        "qq",
+        "qn2",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(probes)), 1, NPROBE)
+        ).alias("p"),
+    ).select("query_id", "qq", "qn2", F.col("p.cluster").alias("cluster"))
+
+    sim = vectors.sim_e6(
+        vectors.dot(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")
+    )
+    cand = (
+        qp.join(assign, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim_e6"),
+        )
+    )
+    drained = _drain_append(cand, "stream_ann_probe", spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_e6"), F.asc("neighbor_id")
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "sim_e6", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _curate_stream_oracle_sql() -> str:
     from .corpus import EVAL_STRIDE
     from .curate import QUALITY_MIN_TTR_E6
@@ -1276,6 +1394,7 @@ QUERIES = {
     "stream_transitions": stream_transitions,
     "stream_decontaminate": stream_decontaminate,
     "stream_curate": stream_curate,
+    "stream_ann_probe": stream_ann_probe,
     "stream_view_purchase_join": stream_view_purchase_join,
     "stream_view_purchase_outer": stream_view_purchase_outer,
     "stream_view_purchase_full": stream_view_purchase_full,
@@ -1297,6 +1416,7 @@ QUERIES = {
 # that literal: reference events_transitions' SQL instead of a copy,
 # so an edit to the batch oracle reaches the streaming parity check.
 from .events import ORACLE_SQL as _EVENTS_ORACLE_SQL
+from . import similarity as _similarity
 
 _TRANSITIONS_ORACLE = _EVENTS_ORACLE_SQL["events_transitions"]
 
@@ -1304,6 +1424,9 @@ ORACLE_SQL = {
     "stream_transitions": _TRANSITIONS_ORACLE,
     "stream_decontaminate": _decontaminate_stream_oracle_sql(),
     "stream_curate": _curate_stream_oracle_sql(),
+    # the batch IVF serving-path oracle, verbatim: streaming arrival
+    # must change nothing (see stream_ann_probe's docstring).
+    "stream_ann_probe": _similarity._ivf_oracle_sql(),
     "stream_view_purchase_join": _VP_JOIN_ORACLE,
     "stream_view_purchase_outer": _VP_OUTER_ORACLE,
     "stream_view_purchase_full": _VP_FULL_ORACLE,

@@ -48,6 +48,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("event_time", F.col("ts"))
 
 
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet — the online
+    query-vector ingest shape (used by the streaming ANN probe,
+    operators/streamq.py::stream_ann_probe)."""
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["embeddings"])
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet — the
     continuous-crawl ingest shape (used by the online decontamination

@@ -1620,3 +1620,24 @@ def test_stream_curate_exact_keeper_on_injected_duplicates(spark, tmp_path):
         13: (False, True, False, False),  # quality fail
         17: (True, True, False, True),
     }
+
+
+def test_stream_ann_probe_equals_batch_ivf(spark, sf_dir):
+    """The streaming ANN probe must equal the batch sim_ivf serving path
+    row-for-row: literal-array probe selection ≡ the window rank (the
+    ordering key is injective), and drained candidates rank identically."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        similarity,
+        streamq,
+    )
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim_e6)
+        for r in streamq.stream_ann_probe(spark, sf_dir).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim_e6)
+        for r in similarity.sim_ivf(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous at fixture scale
