@@ -717,6 +717,215 @@ LIMIT {BM25_TOPK}
 """
 
 
+# ------------------- incremental retrieval index (round 12) ------------
+# The one extension family that had no continuous-ingest twin: an LSM
+# postings + doc-length index with the shared versioned-snapshot
+# convention (minhash / occ-log / SemDeDup precedents), hive-partitioned
+# on a token bucket so query-time probes prune to the query terms'
+# buckets on disk.  Serving recomputes (N, T, df) from the merged index,
+# so BM25's global statistics stay exact after every batch — the
+# search_incremental entry's oracle is the full-corpus batch BM25
+# VERBATIM, pinning that incremental ingest loses nothing.
+
+SEARCH_TB = 64  # token-bucket partition count (prunes query probes)
+SIDX_PREFIX = "si_v"
+
+
+def _tb_of(token_col: F.Column) -> F.Column:
+    """Partition value 't{hash32(token) % SEARCH_TB}' (string-prefixed —
+    the occ-log 'b' trick keeps hive type inference off integers)."""
+    return F.concat(F.lit("t"), texts.hash32(token_col) % SEARCH_TB)
+
+
+def _tb_of_py(token: str) -> str:
+    import hashlib
+
+    return f"t{int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % SEARCH_TB}"
+
+
+def _sidx_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclen) for a (doc_id, text) frame: postings =
+    (doc_id, token, tf, tb) — the text_search_bm25 tf semantics
+    (unfiltered explode, the empty token never matches a query) —
+    doclen = (doc_id, dl = size(tokens))."""
+    toks = docs.select(
+        "doc_id", texts.tokens(F.col("text")).alias("toks")
+    )
+    postings = (
+        toks.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", _tb_of(F.col("token")))
+    )
+    doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    return postings, doclen
+
+
+def _sidx_write(postings: DataFrame, doclen: DataFrame, sdir: str) -> None:
+    (
+        postings.repartition("tb")
+        .write.partitionBy("tb")
+        .mode("overwrite")
+        .parquet(f"{sdir}/postings")
+    )
+    doclen.write.mode("overwrite").parquet(f"{sdir}/doclen")
+
+
+def search_index_init(
+    spark: SparkSession, docs: DataFrame, index_path: str
+) -> None:
+    """Bootstrap the retrieval index on an initial corpus; commits
+    snapshot ``si_v0`` via the atomic CURRENT swap."""
+    import os
+
+    from ..functions import snapshots
+
+    os.makedirs(index_path, exist_ok=True)
+    d = docs.select("doc_id", "text").localCheckpoint()
+    postings, doclen = _sidx_rows(d)
+    snap = f"{SIDX_PREFIX}0"
+    _sidx_write(postings, doclen, f"{index_path}/{snap}")
+    snapshots.snap_commit(index_path, snap, SIDX_PREFIX)
+
+
+def search_index_update(
+    spark: SparkSession, new_docs: DataFrame, index_path: str
+) -> DataFrame:
+    """Ingest one document batch: per-batch work ∝ batch (one tokenize
+    + (doc, token) agg over the batch only; appended via hard-linked
+    snapshots).  Idempotent under retry (anti-join on the doc-length
+    roster); returns the batch's doclen rows (empty on a clean retry)."""
+    from ..functions import snapshots
+
+    live = snapshots.snap_live(index_path)
+    base = f"{index_path}/{live}"
+    roster = spark.read.parquet(f"{base}/doclen").select("doc_id")
+    batch = (
+        new_docs.select("doc_id", "text")
+        .join(roster, "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+    if batch.limit(1).count() == 0:
+        return spark.createDataFrame([], "doc_id long, dl long")
+    postings, doclen = _sidx_rows(batch)
+    doclen = doclen.localCheckpoint()
+    nxt = snapshots.snap_next(live, SIDX_PREFIX)
+    nxt_dir = f"{index_path}/{nxt}"
+    _sidx_write(postings, doclen, nxt_dir)
+    snapshots.link_parquet_files(f"{base}/postings", f"{nxt_dir}/postings")
+    snapshots.link_parquet_files(f"{base}/doclen", f"{nxt_dir}/doclen")
+    snapshots.snap_commit(index_path, nxt, SIDX_PREFIX)
+    return doclen
+
+
+def search_index_compact(spark: SparkSession, index_path: str) -> None:
+    """Merge-on-write maintenance (the family's LSM compaction
+    contract): rewrite accumulated per-batch files into one compact
+    file set per token-bucket partition, committed as a fresh snapshot.
+    Serving identical before and after; idempotent."""
+    from ..functions import snapshots
+
+    live = snapshots.snap_live(index_path)
+    base = f"{index_path}/{live}"
+    postings = (
+        spark.read.parquet(f"{base}/postings")
+        .select("doc_id", "token", "tf", "tb")
+        .localCheckpoint()
+    )
+    doclen = spark.read.parquet(f"{base}/doclen").localCheckpoint()
+    nxt = snapshots.snap_next(live, SIDX_PREFIX)
+    nxt_dir = f"{index_path}/{nxt}"
+    (
+        postings.repartition("tb")  # one file per bucket post-compaction
+        .write.partitionBy("tb")
+        .mode("overwrite")
+        .parquet(f"{nxt_dir}/postings")
+    )
+    doclen.coalesce(1).write.mode("overwrite").parquet(f"{nxt_dir}/doclen")
+    snapshots.snap_commit(index_path, nxt, SIDX_PREFIX)
+
+
+def search_index_serve(
+    spark: SparkSession, index_path: str, query: list[str] | None = None
+) -> DataFrame:
+    """BM25 top-k over everything ingested — the text_search_bm25
+    arithmetic verbatim, with (N, T) and per-term df recomputed from the
+    merged index so every global statistic reflects all batches.  The
+    postings probe filters on the query terms' tb partition values, so
+    parquet partition pruning skips every other bucket's files."""
+    from ..functions import snapshots
+
+    q = SEARCH_QUERY if query is None else query
+    base = f"{index_path}/{snapshots.snap_live(index_path)}"
+    tbs = sorted({_tb_of_py(t) for t in q})
+    tc = (
+        spark.read.parquet(f"{base}/postings")
+        .where(F.col("tb").isin(tbs))
+        .where(F.col("token").isin(q))
+        .select("doc_id", "token", "tf")
+    )
+    dl = spark.read.parquet(f"{base}/doclen")
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    idf = (
+        tc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.expr("div((2 * n_docs - 2 * df + 1) * 1000, 2 * df + 1)").alias(
+                "idf_e3"
+            ),
+        )
+    )
+    hits = (
+        tc.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "div(22 * tf * idf_e3 * 1000000,"
+                " 10000000 * tf + 3000000"
+                " + 9 * div(dl * n_docs * 1000000, t_tokens))"
+            ).alias("term_e6"),
+        )
+    )
+    scored = hits.groupBy("doc_id").agg(
+        F.sum("term_e6").cast("long").alias("bm25_e6")
+    )
+    return scored.orderBy(F.desc("bm25_e6"), F.asc("doc_id")).limit(BM25_TOPK)
+
+
+def search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: bootstrap the retrieval index on the first half
+    of the corpus (doc_id <= max/2), ingest the second half as an update
+    batch, serve SEARCH_QUERY.  The oracle is the FULL-CORPUS batch BM25
+    (``_bm25_oracle_sql`` verbatim) — the hash gate pins that the
+    incremental index's merged postings, document lengths, and global
+    (N, T, df) statistics reproduce one batch build exactly."""
+    import shutil
+    import tempfile
+
+    docs = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    half = docs.agg(F.expr("div(max(doc_id), 2)").alias("h")).first()["h"]
+    tmp = tempfile.mkdtemp(prefix="search_idx_")
+    try:
+        search_index_init(
+            spark, docs.where(F.col("doc_id") <= half), f"{tmp}/idx"
+        )
+        search_index_update(
+            spark, docs.where(F.col("doc_id") > half), f"{tmp}/idx"
+        )
+        return search_index_serve(spark, f"{tmp}/idx").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
     "text_postings": text_postings,
     "text_search": text_search,
@@ -726,6 +935,7 @@ QUERIES = {
     "text_keywords": text_keywords,
     "hybrid_search_rrf": hybrid_search_rrf,
     "text_search_bm25": text_search_bm25,
+    "search_incremental": search_incremental,
 }
 
 ORACLE_SQL = {
@@ -737,4 +947,7 @@ ORACLE_SQL = {
     "text_keywords": _keywords_oracle_sql(),
     "hybrid_search_rrf": _hybrid_rrf_oracle_sql(),
     "text_search_bm25": _bm25_oracle_sql(),
+    # the full-corpus batch BM25, verbatim: incremental ingest must
+    # reproduce one batch build exactly (see search_incremental).
+    "search_incremental": _bm25_oracle_sql(),
 }
