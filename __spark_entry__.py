@@ -166,14 +166,14 @@ assert len(_WINDOW_R11) == 50 and len(set(_WINDOW_R11)) == 50
 # that window); slots 5-12 are the 8 r7-vintage marts the r11 window
 # deferred on golden-pytest evidence (now the registry's oldest
 # witnesses — age beats the deferral rationale on the second pass, the
-# r11 precedent); the fill is the 34 alphabetically-first entries of
+# r11 precedent); the fill is the 32 alphabetically-first entries of
 # the 50-strong r8-vintage cohort (last witnessed in CORRECTNESS_r08 —
 # computed from the CORRECTNESS_r01..r11 green-row union; the remaining
-# 16 r8-vintage entries, stream_value_quantiles / text_collocations /
-# text_langid / text_langid_ngram first, lead the r13 fill —
-# stream_curate, text_wordpiece_apply, stream_ann_probe and
-# search_incremental were added mid-round and took the last four fill
-# slots).
+# 18 r8-vintage entries, stream_user_cms / stream_value_hist /
+# stream_value_quantiles / text_collocations first, lead the r13 fill —
+# stream_curate, text_wordpiece_apply, stream_ann_probe,
+# search_incremental, join_size_estimate and lineitem_ndv_profile were
+# added mid-round and took the last six fill slots).
 # Every registry entry is
 # additionally re-verified on current data via tools/selfcheck.py →
 # SELFCHECK_r12.json.
@@ -181,7 +181,7 @@ _WINDOW_R12 = [
     # never driver-witnessed (round-12 additions + the r11 straggler)
     "curate_incremental", "quality_lr_scored", "text_unigram_apply",
     "stream_curate", "text_wordpiece_apply", "stream_ann_probe",
-    "search_incremental",
+    "search_incremental", "join_size_estimate", "lineitem_ndv_profile",
     "dedup_lines_apply",
     # r7-vintage marts deferred from the r11 window
     "q1_wins", "q2_fastestlap", "q4_weather", "q5_evopoints",
@@ -197,7 +197,6 @@ _WINDOW_R12 = [
     "join_semi_customers", "multimodal_dedup", "multimodal_fingerprint",
     "multimodal_segments", "sample_balanced", "sample_quality_weighted",
     "stream_heavy_hitters", "stream_kmv", "stream_user_bloom",
-    "stream_user_cms", "stream_value_hist",
 ]
 # Rotation-intent guard (VERDICT r8 item 1: the r8 list had 51 names and
 # the driver's first-50 check silently dropped the last one).

@@ -2192,6 +2192,295 @@ ORDER BY e.month_us
 """
 
 
+# ------------------------------ Sketch-driven planner statistics (round 12)
+# The pre-execution statistics a cost-based optimizer / AQE consults at
+# 100 TB, built from the SAME mergeable summaries the serving entries
+# store: (a) join-output cardinality from two Count-Min counter tables
+# (the frequency-vector inner product — Alon-Matias-Szegedy STOC'96 §2,
+# Cormode-Muthukrishnan 2005 §4.2: for every hash row r,
+# Σ_b cmsR[r][b]·cmsS[r][b] = Σ_v fR(v)·fS(v) + non-negative collision
+# cross-terms, so each row overestimates and the row-wise MIN is still
+# ≥ the true join size), and (b) a per-column NDV + null-count table
+# profile from ONE melt pass + HLL registers (the ANALYZE TABLE shape).
+# Both summaries are fixed-size regardless of data volume and merge
+# (counter-SUM / register-MAX) across partitions, days, clusters — the
+# estimate is available BEFORE the shuffle it prices.
+
+
+def _cms_counters_of(per_key: DataFrame) -> DataFrame:
+    """(user_id, n) frequency frame → (r, bucket, cnt) CMS counter
+    table (d·w ≤ 1536 rows, map-side combinable).  Linear in the
+    frequency vector: counters(f+g) = counters(f) + counters(g) —
+    tests/test_sketch.py pins this by building the two halves of the
+    event log separately and SUM-merging."""
+    return (
+        _cms_expand(per_key)
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _cms_inner_product(cv: DataFrame, cp: DataFrame) -> DataFrame:
+    """Row-wise inner product of two counter tables → 1-row (cms_est).
+    Inner join on (r, bucket): a bucket absent from either side
+    contributes a zero term, so the inner join IS the sparse inner
+    product.  min over the d hash rows tightens the collision
+    overestimate (est_r ≥ true for every r)."""
+    return (
+        cv.withColumnRenamed("cnt", "cnt_v")
+        .join(cp.withColumnRenamed("cnt", "cnt_p"), ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt_v") * F.col("cnt_p")).alias("est_r"))
+        .agg(F.min("est_r").alias("cms_est"))
+    )
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle join-cardinality estimate: |views ⋈ purchases on
+    user_id| from two CMS counter tables, next to the exact size.
+
+    The 100 TB story: the true output size of a many-to-many join is
+    Σ_u f_views(u)·f_purchases(u) — computing it exactly costs the very
+    shuffle you are trying to price.  The CMS estimate needs only the
+    two d×w counter tables (≤ 1536 rows each, one map-combinable pass
+    per side, maintainable incrementally by counter-SUM), and
+    overestimates by at most the collision mass ‖f_V‖₁·‖f_P‖₁·e/w per
+    row w.h.p.  This is what lets a planner pick broadcast vs shuffle
+    vs skew-salt BEFORE running the join.  Exact-integer end to end
+    (counts × counts), so the DuckDB oracle — the identical formula —
+    hashes bit-for-bit; the overestimate guarantee (cms_est ≥
+    true_size) is visible in the result and pytest-pinned along with
+    counter linearity."""
+    e = load_events(spark, sf_dir)
+
+    def per_user(etype: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    views, purchases = per_user("view"), per_user("purchase")
+    true_size = (
+        views.alias("v")
+        .join(purchases.alias("p"), "user_id")
+        .agg(F.sum(F.col("v.n") * F.col("p.n")).alias("true_size"))
+    )
+    est = _cms_inner_product(
+        _cms_counters_of(views), _cms_counters_of(purchases)
+    )
+    return true_size.crossJoin(est).select(
+        "true_size",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_size")).alias("overestimate"),
+    )
+
+
+_JOIN_SIZE_ORACLE = f"""
+WITH per_v AS (
+    SELECT user_id, COUNT(*) AS n FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+per_p AS (
+    SELECT user_id, COUNT(*) AS n FROM events
+    WHERE event_type = 'purchase' GROUP BY 1
+),
+cv AS (
+    SELECT r,
+           {texts.hash32_sql(
+               "'cms' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+           )} % {CMS_W} AS bucket,
+           SUM(n) AS cnt_v
+    FROM per_v, (SELECT unnest([{', '.join(str(r) for r in range(CMS_D))}]) AS r)
+    GROUP BY 1, 2
+),
+cp AS (
+    SELECT r,
+           {texts.hash32_sql(
+               "'cms' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+           )} % {CMS_W} AS bucket,
+           SUM(n) AS cnt_p
+    FROM per_p, (SELECT unnest([{', '.join(str(r) for r in range(CMS_D))}]) AS r)
+    GROUP BY 1, 2
+),
+per_r AS (
+    SELECT cv.r, SUM(cv.cnt_v * cp.cnt_p) AS est_r
+    FROM cv JOIN cp ON cp.r = cv.r AND cp.bucket = cv.bucket
+    GROUP BY 1
+),
+t AS (
+    SELECT CAST(SUM(v.n * p.n) AS BIGINT) AS true_size
+    FROM per_v v JOIN per_p p ON p.user_id = v.user_id
+)
+SELECT t.true_size,
+       CAST(MIN(per_r.est_r) AS BIGINT) AS cms_est,
+       CAST(MIN(per_r.est_r) AS BIGINT) - t.true_size AS overestimate
+FROM per_r, t
+GROUP BY t.true_size
+"""
+
+
+# Per-column canonicalization for the NDV profile, defined ONCE as
+# (name, kind) and rendered into BOTH engines from the same table so
+# the hash domains are bit-identical: ids/strings cast as-is, doubles
+# at Q4 fixed point via floor(x·10⁴ + ½) (the +½ absorbs binary
+# representation noise on either side of the integer; FLOOR then agrees
+# between Spark's truncating and DuckDB's rounding double→int casts),
+# timestamps at their natural day grain.
+_NDV_PROFILE_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "id"),
+    ("l_partkey", "id"),
+    ("l_suppkey", "id"),
+    ("l_linenumber", "id"),
+    ("l_quantity", "q4"),
+    ("l_extendedprice", "q4"),
+    ("l_discount", "q4"),
+    ("l_tax", "q4"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "date"),
+]
+
+
+def _ndv_canon_spark(name: str, kind: str) -> Column:
+    c = F.col(name)
+    if kind == "id":
+        return c.cast("string")
+    if kind == "q4":
+        return F.floor(c * 10000 + F.lit(0.5)).cast("string")
+    if kind == "date":
+        return F.date_format(c, "yyyy-MM-dd")
+    return c
+
+
+def _ndv_canon_sql(name: str, kind: str) -> str:
+    if kind == "id":
+        return f"CAST({name} AS VARCHAR)"
+    if kind == "q4":
+        return f"CAST(CAST(FLOOR({name} * 10000 + 0.5) AS BIGINT) AS VARCHAR)"
+    if kind == "date":
+        return f"strftime({name}, '%Y-%m-%d')"
+    return name
+
+
+def lineitem_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-shape statistics for every lineitem column in ONE
+    pass: row count, null count, exact NDV (the fixture-scale truth
+    column), and the HLL register estimate a production profiler would
+    keep instead.
+
+    Plan shape: melt the 11 columns into (col_name, v) with a single
+    explode over the row (one scan of the table regardless of column
+    count), then two map-side-combinable aggregates — per-column
+    counts and per-(column, register) rho-MAX (512 registers/column,
+    5,632 register rows TOTAL shuffled at any scale).  The per-column
+    salt rides inside the hash input ('ndv:' || col || ':' || v) so
+    one register frame serves all columns.  ``ndv_true`` (exact
+    COUNT DISTINCT per column) is the audit column, quadratic in
+    nothing but memory-bounded by the distinct domain — at deployment
+    scale the profiler keeps only the registers, which MAX-merge
+    across partitions/files/days (the events_mau_hll law).  Estimator
+    columns are the same exact-integer FFGM surface as
+    ``events_dau_hll`` (raw estimate + small-range flag; the
+    linear-counting correction applies downstream where flagged —
+    envelope pytest-pinned per column across both regimes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        _ndv_canon_spark(name, kind).alias("v"),
+                    )
+                    for name, kind in _NDV_PROFILE_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.v")
+    base = melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.count_distinct(F.col("v")).alias("ndv_true"),
+    )
+    h = melted.where(F.col("v").isNotNull()).select(
+        "col_name",
+        texts.hash32(
+            F.concat(F.lit("ndv:"), F.col("col_name"), F.lit(":"), F.col("v"))
+        ).alias("h"),
+    )
+    w = F.expr(f"div(h, {HLL_M})")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        h.select("col_name", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho"))
+        .groupBy("col_name", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    return (
+        base.join(_hll_estimate(regs, "col_name"), "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            "ndv_true",
+            "n_zero_regs",
+            "z_scaled",
+            "hll_raw",
+            "small_range",
+        )
+        .orderBy("col_name")
+    )
+
+
+def _ndv_profile_oracle_sql() -> str:
+    branches = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, {_ndv_canon_sql(name, kind)} AS v"
+        f" FROM lineitem"
+        for name, kind in _NDV_PROFILE_COLS
+    )
+    zs = f"z_present + ({HLL_M} - n_present) * {1 << (HLL_W_BITS + 1)}"
+    return f"""
+WITH melted AS (
+    {branches}
+),
+base AS (
+    SELECT col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           COUNT(DISTINCT v) AS ndv_true
+    FROM melted GROUP BY 1
+),
+h AS (
+    SELECT col_name,
+           {texts.hash32_sql("'ndv:' || col_name || ':' || v")} AS h
+    FROM melted WHERE v IS NOT NULL
+),
+regs AS (
+    SELECT col_name, h % {HLL_M} AS reg,
+           MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_W_BITS + 1}
+                    ELSE {HLL_W_BITS + 1} - LENGTH(bin(h // {HLL_M}))
+               END) AS m_reg
+    FROM h GROUP BY 1, 2
+),
+per AS (
+    SELECT col_name, COUNT(*) AS n_present,
+           CAST(SUM(CAST(POW(2, {HLL_W_BITS + 1} - m_reg) AS BIGINT))
+                AS BIGINT) AS z_present
+    FROM regs GROUP BY 1
+)
+SELECT b.col_name, b.n_rows, b.n_null, b.ndv_true,
+       CAST({HLL_M} - n_present AS BIGINT) AS n_zero_regs,
+       CAST({zs} AS BIGINT) AS z_scaled,
+       CAST({HLL_RAW_NUM} // ({zs}) AS BIGINT) AS hll_raw,
+       ({HLL_RAW_NUM} // ({zs})) * 2 <= {5 * HLL_M}
+           AND ({HLL_M} - n_present) > 0 AS small_range
+FROM base b JOIN per USING (col_name)
+ORDER BY col_name
+"""
+
+
 QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_heavy_hitters_monthly": events_heavy_hitters_monthly,
@@ -2206,6 +2495,8 @@ QUERIES = {
     "events_value_hist_monthly": events_value_hist_monthly,
     "events_kmv_monthly": events_kmv_monthly,
     "segment_jaccard_kmv": segment_jaccard_kmv,
+    "join_size_estimate": join_size_estimate,
+    "lineitem_ndv_profile": lineitem_ndv_profile,
 }
 
 ORACLE_SQL = {
@@ -2222,4 +2513,6 @@ ORACLE_SQL = {
     "events_value_hist_monthly": _HIST_MONTHLY_ORACLE,
     "events_kmv_monthly": _KMV_MONTHLY_ORACLE,
     "segment_jaccard_kmv": _SEG_KMV_ORACLE,
+    "join_size_estimate": _JOIN_SIZE_ORACLE,
+    "lineitem_ndv_profile": _ndv_profile_oracle_sql(),
 }

@@ -994,3 +994,78 @@ def test_qsample_index_update_merges_and_is_idempotent(spark, sf_dir, tmp_path):
     sketch.qsample_index_update(spark, second, idx)
     snaps = [d for d in os.listdir(idx) if d.startswith("qs_v")]
     assert snaps == [sketch._snap_live(idx)]
+
+
+# ---------------------- Sketch-driven planner statistics (round 12)
+
+
+def test_join_size_estimate_overestimates_and_counters_are_linear(
+    spark, sf_dir
+):
+    """The two contracts that make the CMS join-size estimate usable as
+    a planner statistic: (a) AMS overestimate — every hash row's inner
+    product carries only non-negative collision cross-terms, so the
+    row-wise min still bounds the true join size from above; (b)
+    counter linearity — sketching the two halves of the event log
+    separately and SUM-merging gives the bit-identical counter table,
+    hence the identical estimate, which is what lets the statistic be
+    maintained incrementally instead of recomputed."""
+    row = sketch.join_size_estimate(spark, sf_dir).collect()[0]
+    assert row["true_size"] > 0
+    assert row["cms_est"] >= row["true_size"]
+    assert row["overestimate"] == row["cms_est"] - row["true_size"]
+
+    e = sketch.load_events(spark, sf_dir).where(
+        F.col("event_type") == "view"
+    )
+
+    def counters(df):
+        per = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        return sketch._cms_counters_of(per)
+
+    whole = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in counters(e).collect()
+    }
+    merged = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in (
+            counters(e.where(F.col("event_id") % 2 == 0))
+            .unionByName(counters(e.where(F.col("event_id") % 2 == 1)))
+            .groupBy("r", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        ).collect()
+    }
+    assert whole == merged
+
+
+def test_ndv_profile_estimates_track_exact_per_column(spark, sf_dir):
+    """One profile row per lineitem column; the corrected HLL estimate
+    (ln small-range correction applied OUTSIDE the hash-checked
+    surface, as in the DAU test) tracks the exact NDV within 15% in
+    BOTH regimes — the sf fixture spans them: low-cardinality flag
+    columns (linear counting) and the 10k+-distinct key columns (raw
+    estimator)."""
+    import math
+
+    rows = sketch.lineitem_ndv_profile(spark, sf_dir).collect()
+    assert [r["col_name"] for r in rows] == sorted(
+        name for name, _ in sketch._NDV_PROFILE_COLS
+    )
+    regimes = set()
+    n_rows = {r["n_rows"] for r in rows}
+    assert len(n_rows) == 1  # every column melted from the same scan
+    for r in rows:
+        assert r["n_null"] == 0  # fixture has no nulls; exactness pin
+        assert r["ndv_true"] > 0
+        if r["small_range"] and r["n_zero_regs"] > 0:
+            est = sketch.HLL_M * math.log(sketch.HLL_M / r["n_zero_regs"])
+        else:
+            est = r["hll_raw"]
+        regimes.add(bool(r["small_range"]))
+        assert abs(est - r["ndv_true"]) <= max(3, 0.15 * r["ndv_true"]), (
+            r["col_name"],
+            est,
+            r["ndv_true"],
+        )
+    assert regimes == {True, False}
