@@ -929,11 +929,14 @@ def quality_lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lr_oracle_sql(train_pred: str = "TRUE") -> str:
+def _lr_scored_ctes(train_pred: str = "TRUE") -> str:
     """The full LR training loop unrolled as chained CTEs (the kmeans /
     PQ iteration-unroll precedent): per iteration, per-labeled-doc
     margins and hard-sigmoid residuals, per-bucket gradient sums, then
     the truncating-division weight update — every step exact BIGINT.
+    Ends with ``per_doc`` (doc_id, n_feats, sw); the trained bias lives
+    in ``b{LR_ITERS}``.  Factored round 12 so the scored entry and the
+    PR-sweep entry build on the SAME training chain and cannot drift.
 
     Every chained CTE is AS MATERIALIZED: DuckDB inlines plain CTEs per
     reference, and each unrolled level references its predecessor twice
@@ -975,8 +978,7 @@ b{k + 1} AS MATERIALIZED (
 )""")
     chain = ",\n".join(iters)
     kf = LR_ITERS
-    return f"""
-WITH {_qc_feature_ctes(train_pred)},
+    return f"""{_qc_feature_ctes(train_pred)},
 tl AS MATERIALIZED (
     SELECT fb.doc_id, fb.b, lab.train_label
     FROM fb JOIN lab USING (doc_id)
@@ -993,7 +995,15 @@ per_doc AS (
     SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
            CAST(SUM(w.w) AS BIGINT) AS sw
     FROM fb JOIN w{kf} w USING (b) GROUP BY fb.doc_id
-)
+)"""
+
+
+def _lr_oracle_sql(train_pred: str = "TRUE") -> str:
+    """Scored-entry oracle: the shared training chain + the per-doc
+    margin projection (every document, model applied as bias + Σw)."""
+    kf = LR_ITERS
+    return f"""
+WITH {_lr_scored_ctes(train_pred)}
 SELECT d.doc_id, lab.train_label,
        CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
        CAST((SELECT bias FROM b{kf}) + COALESCE(sw, 0) AS BIGINT)
@@ -1002,6 +1012,139 @@ SELECT d.doc_id, lab.train_label,
 FROM documents d
 LEFT JOIN per_doc USING (doc_id)
 LEFT JOIN lab USING (doc_id)
+"""
+
+
+def quality_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the trained LR quality classifier:
+    the exact precision/recall/F1 sweep a pipeline runs BEFORE
+    committing to a filter threshold — the step between "the classifier
+    scores documents" and "the curation gate drops documents".
+
+    Evaluation cohort: the HELD-OUT parity half (never seen in
+    training), with the same heuristic band as reference labels
+    (pos = score ≥ QS_HIGH, neg = score < QS_LOW, mid-band excluded) —
+    the CCNet evaluation shape: weak reference labels on a disjoint
+    split.  One output row per distinct margin value among the eval
+    points, each the confusion at threshold "predict pos iff margin ≥
+    thr": exact-integer tp/fp/fn plus Q16 precision/recall/F1
+    (truncating division — identical in both engines) and the best-F1
+    marker.
+
+    100 TB shape: scoring is the broadcast-model scan
+    ``quality_lr_scored`` already runs; the sweep input aggregates
+    map-side to ≤ |distinct margins| rows (bounded by the labeled eval
+    cohort, NOT the corpus) before the cumulative window, so the
+    single-partition window pass is over a sketch-sized frame — the
+    same by-design shape as the sketch estimators' final reduce."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table_spread
+
+    wide = _quality_scored_wide(
+        load_table_spread(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+    )
+    lab = wide.select("doc_id", _qc_label_col().alias("train_label"))
+    fb = _qc_featbuckets(wide).localCheckpoint()
+    model, bias = lr_train_model(spark, fb, lab)
+    per_doc = (
+        fb.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("sw"))
+    )
+    ev = (
+        wide.where(F.col("doc_id") % QC_TRAIN_STRIDE != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("score") >= QS_HIGH, F.lit(1))
+            .when(F.col("score") < QS_LOW, F.lit(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .where(F.col("y").isNotNull())
+    )
+    pts = ev.join(per_doc, "doc_id", "left").select(
+        (F.lit(bias) + F.coalesce("sw", F.lit(0)))
+        .cast("long")
+        .alias("thr_q16"),
+        "y",
+    )
+    by_m = pts.groupBy("thr_q16").agg(
+        F.sum("y").cast("long").alias("pos_m"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg_m"),
+    )
+    wcum = Window.orderBy(F.desc("thr_q16")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = by_m.select(
+        "thr_q16",
+        F.sum("pos_m").over(wcum).cast("long").alias("tp"),
+        F.sum("neg_m").over(wcum).cast("long").alias("fp"),
+        (F.sum("pos_m").over(wall) - F.sum("pos_m").over(wcum))
+        .cast("long")
+        .alias("fn"),
+    )
+    out = cum.select(
+        "thr_q16",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("div(tp * 65536, tp + fp)").alias("precision_q16"),
+        F.expr("div(tp * 65536, tp + fn)").alias("recall_q16"),
+        F.expr("div(2 * tp * 65536, 2 * tp + fp + fn)").alias("f1_q16"),
+    )
+    return out.withColumn(
+        "is_best_f1",
+        F.col("f1_q16") == F.max("f1_q16").over(Window.partitionBy()),
+    ).orderBy(F.desc("thr_q16"))
+
+
+def _pr_sweep_oracle_sql() -> str:
+    kf = LR_ITERS
+    f1 = "CAST((2 * tp * 65536) // (2 * tp + fp + fn) AS BIGINT)"
+    return f"""
+WITH {_lr_scored_ctes()},
+marg AS (
+    SELECT d.doc_id,
+           CAST((SELECT bias FROM b{kf}) + COALESCE(sw, 0) AS BIGINT)
+               AS thr_q16
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+),
+ev AS (
+    SELECT doc_id,
+           CASE WHEN score >= {QS_HIGH} THEN 1
+                WHEN score < {QS_LOW} THEN 0 END AS y
+    FROM s WHERE doc_id % {QC_TRAIN_STRIDE} <> 0
+),
+pts AS (
+    SELECT m.thr_q16, CAST(ev.y AS BIGINT) AS y
+    FROM ev JOIN marg m USING (doc_id) WHERE ev.y IS NOT NULL
+),
+by_m AS (
+    SELECT thr_q16, CAST(SUM(y) AS BIGINT) AS pos_m,
+           CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_m
+    FROM pts GROUP BY 1
+),
+cum AS (
+    SELECT thr_q16,
+           CAST(SUM(pos_m) OVER w AS BIGINT) AS tp,
+           CAST(SUM(neg_m) OVER w AS BIGINT) AS fp,
+           CAST((SELECT SUM(pos_m) FROM by_m) - SUM(pos_m) OVER w
+                AS BIGINT) AS fn
+    FROM by_m
+    WINDOW w AS (ORDER BY thr_q16 DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT thr_q16, tp, fp, fn,
+       CAST((tp * 65536) // (tp + fp) AS BIGINT) AS precision_q16,
+       CAST((tp * 65536) // (tp + fn) AS BIGINT) AS recall_q16,
+       {f1} AS f1_q16,
+       {f1} = MAX({f1}) OVER () AS is_best_f1
+FROM cum
+ORDER BY thr_q16 DESC
 """
 
 
@@ -1815,6 +1958,7 @@ QUERIES = {
     "quality_score": quality_score,
     "quality_classifier_scored": quality_classifier_scored,
     "quality_lr_scored": quality_lr_scored,
+    "quality_pr_sweep": quality_pr_sweep,
     "quality_perplexity": quality_perplexity,
     "quality_perplexity_banded": quality_perplexity_banded,
     "quality_gopher_rules": quality_gopher_rules,
@@ -1838,6 +1982,7 @@ ORACLE_SQL = {
     "quality_score": _quality_score_oracle_sql(),
     "quality_classifier_scored": _classifier_oracle_sql(),
     "quality_lr_scored": _lr_oracle_sql(),
+    "quality_pr_sweep": _pr_sweep_oracle_sql(),
     "quality_perplexity": _perplexity_oracle_sql(),
     # bit-identical by construction (exact rank = exact ntile): the
     # banded scale path shares the ntile twin's oracle verbatim.

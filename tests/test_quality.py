@@ -541,3 +541,58 @@ def test_lr_driver_twin_bit_identical(spark, sf_dir):
     assert {(r["b"], r["w"]) for r in drv_model.collect()} == {
         (r["b"], r["w"]) for r in dist_model.collect()
     }
+
+
+def test_pr_sweep_confusion_exact_and_monotone(spark, sf_dir):
+    """The sweep's contracts: (a) every row's confusion is exactly the
+    direct filter's confusion at that threshold (checked at the best-F1
+    row and the endpoints); (b) recall is non-decreasing as the
+    threshold drops and reaches 100% at the lowest threshold (fn = 0 —
+    every eval positive is predicted positive); (c) at least one row
+    carries the best-F1 marker and no row beats it."""
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table_spread,
+    )
+
+    rows = quality.quality_pr_sweep(spark, sf_dir).collect()
+    assert rows, "sweep produced no thresholds"
+    # (b) thresholds strictly descending, recall non-decreasing, fn -> 0
+    thrs = [r["thr_q16"] for r in rows]
+    assert thrs == sorted(set(thrs), reverse=True)
+    recalls = [r["recall_q16"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert rows[-1]["fn"] == 0 and rows[-1]["recall_q16"] == 65536
+    # (c) best-F1 marker
+    best = [r for r in rows if r["is_best_f1"]]
+    assert best and max(r["f1_q16"] for r in rows) == best[0]["f1_q16"]
+    # (a) recompute the confusion directly at the best threshold from
+    # the scored frame + held-out band labels
+    scored = quality.quality_lr_scored(spark, sf_dir)
+    wide = quality._quality_scored_wide(
+        load_table_spread(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+    )
+    ev = (
+        wide.where(F.col("doc_id") % quality.QC_TRAIN_STRIDE != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("score") >= quality.QS_HIGH, F.lit(1))
+            .when(F.col("score") < quality.QS_LOW, F.lit(0))
+            .alias("y"),
+        )
+        .where(F.col("y").isNotNull())
+    )
+    pts = {
+        r["doc_id"]: (r["y"], None)
+        for r in ev.collect()
+    }
+    for r in scored.collect():
+        if r["doc_id"] in pts:
+            pts[r["doc_id"]] = (pts[r["doc_id"]][0], r["lr_margin_q16"])
+    for probe in (rows[0], best[0], rows[-1]):
+        t = probe["thr_q16"]
+        tp = sum(1 for y, m in pts.values() if y == 1 and m >= t)
+        fp = sum(1 for y, m in pts.values() if y == 0 and m >= t)
+        fn = sum(1 for y, m in pts.values() if y == 1 and m < t)
+        assert (probe["tp"], probe["fp"], probe["fn"]) == (tp, fp, fn)
