@@ -385,6 +385,36 @@ def _bench_hll_index_update(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_ndv_index_update(spark, sf_dir: str) -> float:
+    """Incremental table-profile batch cost (round 12): the register +
+    count state is built on the even-orderkey half OUTSIDE the measured
+    span; timed is one MAX/SUM merge batch + serving — the steady-state
+    cost of continuous ANALYZE maintenance."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from engineering_school_bigdata_project_f1_weather_spark.operators import sketch
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_ndv_index_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        sketch.ndv_index_init(
+            spark, li.where(F.col("l_orderkey") % 2 == 0), tmp
+        )
+        t0 = time.perf_counter()
+        sketch.ndv_index_update(
+            spark, li.where(F.col("l_orderkey") % 2 == 1), tmp, "bench"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_wordpiece_train(spark, sf_dir: str) -> None:
     """WordPiece tokenizer training: one corpus-scale word-count pass +
     WP_N_MERGES likelihood-argmax rounds on the vocab frame;
@@ -607,6 +637,7 @@ EXTRA_BENCH = {
     "er_index_update": _bench_er_index_update,
     "hll_index_update": _bench_hll_index_update,
     "hist_index_update": _bench_hist_index_update,
+    "ndv_index_update": _bench_ndv_index_update,
     "kmv_index_update": _bench_kmv_index_update,
     "qsample_index_update": _bench_qsample_index_update,
     "text_bpe_train": _bench_bpe_train,

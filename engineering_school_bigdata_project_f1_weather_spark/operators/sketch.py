@@ -2363,6 +2363,54 @@ def _ndv_canon_sql(name: str, kind: str) -> str:
     return name
 
 
+def _ndv_melted(df: DataFrame) -> DataFrame:
+    """lineitem rows → (col_name, v) canonical melt — one explode over
+    the row, shared by the batch profile and the incremental index so
+    the hash domain cannot drift between them."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        _ndv_canon_spark(name, kind).alias("v"),
+                    )
+                    for name, kind in _NDV_PROFILE_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.v")
+
+
+def _ndv_regs_of(melted: DataFrame) -> DataFrame:
+    """(col_name, v) → (col_name, reg, m_reg) HLL registers, per-column
+    salt inside the hash input."""
+    h = melted.where(F.col("v").isNotNull()).select(
+        "col_name",
+        texts.hash32(
+            F.concat(F.lit("ndv:"), F.col("col_name"), F.lit(":"), F.col("v"))
+        ).alias("h"),
+    )
+    w = F.expr(f"div(h, {HLL_M})")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        h.select("col_name", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho"))
+        .groupBy("col_name", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
+def _ndv_counts_of(melted: DataFrame) -> DataFrame:
+    """(col_name, v) → per-column (n_rows, n_null) — the SUM-mergeable
+    half of the profile state."""
+    return melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
 def lineitem_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE-shape statistics for every lineitem column in ONE
     pass: row count, null count, exact NDV (the fixture-scale truth
@@ -2384,42 +2432,14 @@ def lineitem_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events_dau_hll`` (raw estimate + small-range flag; the
     linear-counting correction applies downstream where flagged —
     envelope pytest-pinned per column across both regimes)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    melted = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("col_name"),
-                        _ndv_canon_spark(name, kind).alias("v"),
-                    )
-                    for name, kind in _NDV_PROFILE_COLS
-                ]
-            )
-        ).alias("s")
-    ).select("s.col_name", "s.v")
+    melted = _ndv_melted(load_table(spark, sf_dir, "lineitem"))
     base = melted.groupBy("col_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
         F.count_distinct(F.col("v")).alias("ndv_true"),
     )
-    h = melted.where(F.col("v").isNotNull()).select(
-        "col_name",
-        texts.hash32(
-            F.concat(F.lit("ndv:"), F.col("col_name"), F.lit(":"), F.col("v"))
-        ).alias("h"),
-    )
-    w = F.expr(f"div(h, {HLL_M})")
-    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
-    )
-    regs = (
-        h.select("col_name", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho"))
-        .groupBy("col_name", "reg")
-        .agg(F.max("rho").alias("m_reg"))
-    )
     return (
-        base.join(_hll_estimate(regs, "col_name"), "col_name")
+        base.join(_hll_estimate(_ndv_regs_of(melted), "col_name"), "col_name")
         .select(
             "col_name",
             "n_rows",
@@ -2479,6 +2499,96 @@ SELECT b.col_name, b.n_rows, b.n_null, b.ndv_true,
 FROM base b JOIN per USING (col_name)
 ORDER BY col_name
 """
+
+
+def ndv_index_init(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Materialize the table-profile state for an initial corpus — the
+    continuous-ingest twin of :func:`lineitem_ndv_profile`, completing
+    the family contract every other sketch index carries.  State per
+    snapshot: ``regs`` (col_name, reg, m_reg — MAX-mergeable, ≤ 11·512
+    rows forever), ``counts`` (col_name, n_rows, n_null — SUM-merged,
+    so exactly-once via the ``batches`` ledger, the hist/CMS index
+    convention), 11 + 5,632 rows of state however large the table
+    grows.  The exact-NDV audit column of the batch entry is
+    deliberately NOT maintained (it is corpus-sized state); serving
+    emits the estimator profile."""
+    os.makedirs(path, exist_ok=True)
+    base = os.path.join(path, "ndv_v0")
+    melted = _ndv_melted(df)
+    _ndv_regs_of(melted).write.mode("overwrite").parquet(
+        os.path.join(base, "regs")
+    )
+    _ndv_counts_of(melted).write.mode("overwrite").parquet(
+        os.path.join(base, "counts")
+    )
+    spark.createDataFrame([("__init__",)], "batch_id string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "batches"))
+    _snap_commit(path, "ndv_v0", "ndv_v")
+
+
+def ndv_index_update(
+    spark: SparkSession, df: DataFrame, path: str, batch_id: str
+) -> DataFrame:
+    """Merge one ingest batch into the profile state: registers by
+    register-wise MAX (idempotent by algebra), counts by SUM (made
+    exactly-once by the snapshot-embedded ledger — a re-delivered
+    ``batch_id`` returns the live profile untouched).  Per-batch work
+    is O(|batch| + state), state is fixed-size; returns the post-merge
+    serving profile.  Serving parity with the batch entry's estimator
+    columns is pytest-pinned (init on half A, update with half B ≡
+    one-shot profile of A ∪ B — MAX/SUM merge laws compose)."""
+    live = _snap_live(path)
+    base = os.path.join(path, live)
+    ledger = spark.read.parquet(os.path.join(base, "batches"))
+    if ledger.where(F.col("batch_id") == batch_id).limit(1).count() > 0:
+        return ndv_index_profile(spark, path)
+    melted = _ndv_melted(df)
+    regs = (
+        spark.read.parquet(os.path.join(base, "regs"))
+        .unionByName(_ndv_regs_of(melted))
+        .groupBy("col_name", "reg")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    counts = (
+        spark.read.parquet(os.path.join(base, "counts"))
+        .unionByName(_ndv_counts_of(melted))
+        .groupBy("col_name")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_null").alias("n_null"),
+        )
+    )
+    nxt = f"ndv_v{int(live.rsplit('_v', 1)[1]) + 1}"
+    nbase = os.path.join(path, nxt)
+    regs.write.mode("overwrite").parquet(os.path.join(nbase, "regs"))
+    counts.write.mode("overwrite").parquet(os.path.join(nbase, "counts"))
+    ledger.unionByName(
+        spark.createDataFrame([(batch_id,)], "batch_id string")
+    ).write.mode("overwrite").parquet(os.path.join(nbase, "batches"))
+    _snap_commit(path, nxt, "ndv_v")
+    return ndv_index_profile(spark, path)
+
+
+def ndv_index_profile(spark: SparkSession, path: str) -> DataFrame:
+    """Serve the estimator profile from the live state — the batch
+    entry's columns minus the corpus-sized exact-NDV audit column."""
+    base = os.path.join(path, _snap_live(path))
+    counts = spark.read.parquet(os.path.join(base, "counts"))
+    regs = spark.read.parquet(os.path.join(base, "regs"))
+    return (
+        counts.join(_hll_estimate(regs, "col_name"), "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            "n_zero_regs",
+            "z_scaled",
+            "hll_raw",
+            "small_range",
+        )
+        .orderBy("col_name")
+    )
 
 
 QUERIES = {

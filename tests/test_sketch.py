@@ -1069,3 +1069,47 @@ def test_ndv_profile_estimates_track_exact_per_column(spark, sf_dir):
             r["ndv_true"],
         )
     assert regimes == {True, False}
+
+
+def test_ndv_index_update_merges_and_is_exactly_once(spark, sf_dir, tmp_path):
+    """Serving parity: init on the even-orderkey half + one update with
+    the odd half equals the one-shot batch profile of the whole table
+    on every estimator column (register MAX and count SUM merges
+    compose exactly).  Exactly-once: re-delivering the same batch_id
+    returns the identical profile (ledger absorption), and the
+    committed snapshot is the only one on disk (GC)."""
+    import os as _os
+
+    from engineering_school_bigdata_project_f1_weather_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    idx = str(tmp_path / "ndv_idx")
+    sketch.ndv_index_init(spark, li.where(F.col("l_orderkey") % 2 == 0), idx)
+    odd = li.where(F.col("l_orderkey") % 2 == 1)
+    merged = sorted(
+        map(tuple, sketch.ndv_index_update(spark, odd, idx, "b1").collect())
+    )
+    want = {
+        r["col_name"]: r
+        for r in sketch.lineitem_ndv_profile(spark, sf_dir).collect()
+    }
+    assert len(merged) == len(want)
+    for r in sketch.ndv_index_profile(spark, idx).collect():
+        w = want[r["col_name"]]
+        for c in (
+            "n_rows",
+            "n_null",
+            "n_zero_regs",
+            "z_scaled",
+            "hll_raw",
+            "small_range",
+        ):
+            assert r[c] == w[c], (r["col_name"], c)
+    again = sorted(
+        map(tuple, sketch.ndv_index_update(spark, odd, idx, "b1").collect())
+    )
+    assert again == merged
+    snaps = [d for d in _os.listdir(idx) if d.startswith("ndv_v")]
+    assert snaps == [sketch._snap_live(idx)]
