@@ -1658,6 +1658,251 @@ FROM comp c JOIN q USING (doc_id)
 """
 
 
+# ------------------- Fellegi-Sunter probabilistic linkage (round 12)
+# The trained sibling of the rule-based ER capstone: instead of
+# hard-unioning the three evidence signals, LEARN how much each one is
+# worth.  Fellegi-Sunter (JASA 1969) under conditional independence:
+# each candidate pair carries an agreement pattern γ = (exact, near,
+# typo) ∈ {0,1}³; EM estimates the match prevalence λ and per-signal
+# conditional agreement rates m_g = P(γ_g|match), u_g = P(γ_g|unmatch)
+# from the UNLABELED pattern counts (Winkler 1988's unsupervised
+# variant), and the served weight is the pattern's match posterior.
+# Everything is exact Q16 fixed point with truncating division (the LR
+# hard-sigmoid precedent), so the DuckDB oracle — the identical EM
+# unrolled as chained CTEs — hashes bit-for-bit.
+#
+# 100 TB shape: the corpus-scale work is building candidate pairs
+# (the three generators' own bounded paths, reused verbatim) and ONE
+# map-combinable groupBy onto ≤ 2³ = 8 pattern rows.  EM then runs on
+# the 8-row table — driver-side by construction, the bounded-collect
+# rule (≤ 8 rows regardless of corpus size; no distributed twin is
+# needed because the sufficient statistics are already sketch-sized).
+# Serving is one broadcast join of the 8-row posterior table back onto
+# the pairs.
+
+FS_ITERS = 20
+_FS_Q = 65536
+_FS_INIT = (32768, 58982, 6554)  # λ₀ = ½, m₀ ≈ 0.9, u₀ ≈ 0.1 in Q16
+
+
+def _fs_clamp(x: int) -> int:
+    return min(max(x, 1), _FS_Q - 1)
+
+
+def _fs_posts(
+    counts: list[tuple[int, int, int, int]],
+) -> dict[tuple[int, int, int], int]:
+    """Exact-integer EM over (γ_exact, γ_near, γ_typo, count) rows →
+    per-pattern match posterior in Q16.  Parameters are clamped to
+    [1, Q−1] each step (a rate hitting exactly 0/1 would zero every
+    product through it and freeze EM — standard smoothing, and it keeps
+    the truncating-division algebra total)."""
+    lam, m, u = _FS_INIT[0], [_FS_INIT[1]] * 3, [_FS_INIT[2]] * 3
+
+    def posterior(gs: tuple[int, int, int]) -> int:
+        num, den = lam, _FS_Q - lam
+        for g, mg, ug in zip(gs, m, u):
+            num = num * (mg if g else _FS_Q - mg) // _FS_Q
+            den = den * (ug if g else _FS_Q - ug) // _FS_Q
+        return (num * _FS_Q) // (num + den) if num + den else 0
+
+    for _ in range(FS_ITERS):
+        post = {(g1, g2, g3): posterior((g1, g2, g3)) for g1, g2, g3, _ in counts}
+        tot = sum(c for *_, c in counts)
+        sp = sum(c * post[(g1, g2, g3)] for g1, g2, g3, c in counts)
+        sn = sum(c * (_FS_Q - post[(g1, g2, g3)]) for g1, g2, g3, c in counts)
+        lam = _fs_clamp(sp // tot)
+        for i in range(3):
+            spg = sum(
+                c * post[(g1, g2, g3)]
+                for g1, g2, g3, c in counts
+                if (g1, g2, g3)[i] == 1
+            )
+            sng = sum(
+                c * (_FS_Q - post[(g1, g2, g3)])
+                for g1, g2, g3, c in counts
+                if (g1, g2, g3)[i] == 1
+            )
+            if sp > 0:
+                m[i] = _fs_clamp(spg * _FS_Q // sp)
+            if sn > 0:
+                u[i] = _fs_clamp(sng * _FS_Q // sn)
+    return {(g1, g2, g3): posterior((g1, g2, g3)) for g1, g2, g3, _ in counts}
+
+
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every candidate pair with the EM-trained Fellegi-Sunter
+    match posterior (module note above).  Candidate universe = the ER
+    capstone's three generator outputs (exact hub pairs, LSH-verified
+    near pairs at the component threshold, EDjoin typo pairs); the
+    agreement pattern re-checks γ_exact by md5 equality on the pair
+    itself (a near/typo pair of byte-identical docs agrees on EXACT
+    too), γ_near/γ_typo by generator membership.  Output one row per
+    pair: the pattern bits, the learned Q16 posterior, and the λ=½
+    decision — the probabilistic alternative to the capstone's
+    hard-union edge set."""
+    docs = _docs(spark, sf_dir)
+    hashes = docs.select(F.md5("text").alias("h"), "doc_id")
+    keeper = hashes.groupBy("h").agg(F.min("doc_id").alias("k"))
+    exact_p = (
+        hashes.join(keeper, "h")
+        .where(F.col("doc_id") != F.col("k"))
+        .select(F.col("k").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    near_p = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("jaccard_e6") >= COMPONENT_MIN_JACCARD_E6)
+        .select("doc_a", "doc_b")
+    )
+    typo_p = dedup_edit_distance(spark, sf_dir).select("doc_a", "doc_b")
+    cands = (
+        exact_p.unionByName(near_p).unionByName(typo_p).distinct()
+    ).localCheckpoint()  # three generator subtrees: stage once, read 3×
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h_a"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h_b"))
+    g = (
+        cands.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .join(near_p.withColumn("nr", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .join(typo_p.withColumn("ty", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("h_a") == F.col("h_b"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("g_exact"),
+            F.coalesce("nr", F.lit(0)).cast("long").alias("g_near"),
+            F.coalesce("ty", F.lit(0)).cast("long").alias("g_typo"),
+        )
+    )
+    counts = [
+        (int(r["g_exact"]), int(r["g_near"]), int(r["g_typo"]), int(r["c"]))
+        for r in g.groupBy("g_exact", "g_near", "g_typo")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # bounded: <= 8 pattern rows at ANY corpus size
+    ]
+    posts = _fs_posts(sorted(counts))
+    post_df = spark.createDataFrame(
+        [
+            (g1, g2, g3, p, bool(p >= _FS_Q // 2))
+            for (g1, g2, g3), p in posts.items()
+        ],
+        "g_exact long, g_near long, g_typo long, post_q16 long, "
+        "is_match boolean",
+    )
+    return (
+        g.join(F.broadcast(post_df), ["g_exact", "g_near", "g_typo"])
+        .select(
+            "doc_a", "doc_b", "g_exact", "g_near", "g_typo",
+            "post_q16", "is_match",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _fs_num_den_sql(k: int) -> str:
+    """Per-pattern (num, den) under state s{k} — the three-factor Q16
+    product with truncating division after every factor, matching
+    `_fs_posts.posterior` term for term."""
+    num = f"(SELECT lam FROM s{k})"
+    den = f"(65536 - (SELECT lam FROM s{k}))"
+    for i, gcol in enumerate(("g_exact", "g_near", "g_typo"), start=1):
+        num = (
+            f"(({num}) * (CASE WHEN {gcol} = 1 THEN (SELECT m{i} FROM s{k})"
+            f" ELSE 65536 - (SELECT m{i} FROM s{k}) END)) // 65536"
+        )
+        den = (
+            f"(({den}) * (CASE WHEN {gcol} = 1 THEN (SELECT u{i} FROM s{k})"
+            f" ELSE 65536 - (SELECT u{i} FROM s{k}) END)) // 65536"
+        )
+    return f"{num} AS num, {den} AS den"
+
+
+def _fellegi_sunter_oracle_sql() -> str:
+    iters = []
+    for k in range(FS_ITERS):
+        upd = ["LEAST(GREATEST(SUM(c * post) // SUM(c), 1), 65535) AS lam"]
+        for i, gcol in enumerate(("g_exact", "g_near", "g_typo"), start=1):
+            upd.append(
+                f"LEAST(GREATEST(COALESCE("
+                f"SUM(CASE WHEN {gcol} = 1 THEN c * post ELSE 0 END) * 65536"
+                f" // NULLIF(SUM(c * post), 0),"
+                f" (SELECT m{i} FROM s{k})), 1), 65535) AS m{i}"
+            )
+            upd.append(
+                f"LEAST(GREATEST(COALESCE("
+                f"SUM(CASE WHEN {gcol} = 1 THEN c * (65536 - post) ELSE 0 END)"
+                f" * 65536 // NULLIF(SUM(c * (65536 - post)), 0),"
+                f" (SELECT u{i} FROM s{k})), 1), 65535) AS u{i}"
+            )
+        iters.append(f"""p{k} AS MATERIALIZED (
+    SELECT g_exact, g_near, g_typo, c,
+           CASE WHEN num + den = 0 THEN 0
+                ELSE (num * 65536) // (num + den) END AS post
+    FROM (SELECT g_exact, g_near, g_typo, c, {_fs_num_den_sql(k)} FROM pat)
+),
+s{k + 1} AS MATERIALIZED (
+    SELECT {', '.join(upd)} FROM p{k}
+)""")
+    kf = FS_ITERS
+    chain = ",\n".join(iters)
+    return f"""
+WITH exact_pairs AS MATERIALIZED (
+    SELECT k.k AS doc_a, d.doc_id AS doc_b
+    FROM documents d
+    JOIN (SELECT md5(text) AS h, MIN(doc_id) AS k
+          FROM documents GROUP BY md5(text)) k
+      ON md5(d.text) = k.h AND d.doc_id <> k.k
+),
+near_pairs AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM ({_minhash_oracle_sql()})
+    WHERE jaccard_e6 >= {COMPONENT_MIN_JACCARD_E6}
+),
+typo_pairs AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM ({_edit_distance_oracle_sql()})
+),
+cands AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM exact_pairs
+    UNION SELECT doc_a, doc_b FROM near_pairs
+    UNION SELECT doc_a, doc_b FROM typo_pairs
+),
+g AS MATERIALIZED (
+    SELECT c.doc_a, c.doc_b,
+           CAST(CASE WHEN md5(da.text) = md5(db.text) THEN 1 ELSE 0 END
+                AS BIGINT) AS g_exact,
+           CAST(CASE WHEN n.doc_a IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS g_near,
+           CAST(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS g_typo
+    FROM cands c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    LEFT JOIN near_pairs n ON n.doc_a = c.doc_a AND n.doc_b = c.doc_b
+    LEFT JOIN typo_pairs t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+pat AS MATERIALIZED (
+    SELECT g_exact, g_near, g_typo, COUNT(*) AS c
+    FROM g GROUP BY 1, 2, 3
+),
+s0 AS MATERIALIZED (
+    SELECT {_FS_INIT[0]} AS lam,
+           {_FS_INIT[1]} AS m1, {_FS_INIT[1]} AS m2, {_FS_INIT[1]} AS m3,
+           {_FS_INIT[2]} AS u1, {_FS_INIT[2]} AS u2, {_FS_INIT[2]} AS u3
+),
+{chain},
+final AS (
+    SELECT g_exact, g_near, g_typo,
+           CAST(CASE WHEN num + den = 0 THEN 0
+                ELSE (num * 65536) // (num + den) END AS BIGINT) AS post_q16
+    FROM (SELECT g_exact, g_near, g_typo, c, {_fs_num_den_sql(kf)} FROM pat)
+)
+SELECT g.doc_a, g.doc_b, g.g_exact, g.g_near, g.g_typo,
+       f.post_q16, f.post_q16 >= 32768 AS is_match
+FROM g JOIN final f USING (g_exact, g_near, g_typo)
+ORDER BY g.doc_a, g.doc_b
+"""
+
 
 # ------------------------ incremental entity resolution (round 8)
 # The continuous-ingest twin of the dedup_entity_resolution capstone
@@ -3348,6 +3593,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_keep_best": dedup_keep_best,
     "dedup_entity_resolution": dedup_entity_resolution,
+    "er_fellegi_sunter": er_fellegi_sunter,
     "dedup_er_incremental": dedup_er_incremental,
     "dedup_lines": dedup_lines,
     "dedup_lines_apply": dedup_lines_apply,
@@ -3385,6 +3631,7 @@ ORACLE_SQL = {
     "dedup_components": _components_oracle_sql(),
     "dedup_keep_best": _keep_best_oracle_sql(),
     "dedup_entity_resolution": _entity_resolution_oracle_sql(),
+    "er_fellegi_sunter": _fellegi_sunter_oracle_sql(),
     # the BATCH composition oracle, verbatim: the incremental path
     # must lose nothing vs recomputing from scratch (see
     # dedup_er_incremental).

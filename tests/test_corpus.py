@@ -1770,3 +1770,32 @@ def test_dedup_lines_apply_reconstructs_kept_text(spark, sf_dir):
         )
         assert r.n_tokens == len(toks)
         assert r.n_tokens - r.n_removed_tokens == len(kept)
+
+
+def test_fellegi_sunter_em_separates_and_scores(spark, sf_dir):
+    """er_fellegi_sunter (round 12): EM contract on a synthetic
+    two-component mixture (100 all-agree pairs in a sea of 900
+    all-disagree pairs): the all-agree pattern lands above the λ=½
+    decision line, all-disagree below.  Corpus entry: every candidate
+    pair carries ≥1 agreeing signal by construction (it came from a
+    generator), the decision column is exactly the posterior
+    threshold, and posteriors respect component-wise pattern dominance
+    (EM learns m > u per signal on this corpus, so more agreement
+    never lowers the posterior)."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    posts = dedup._fs_posts([(1, 1, 1, 100), (0, 0, 0, 900)])
+    assert posts[(1, 1, 1)] >= 32768 > posts[(0, 0, 0)]
+
+    rows = dedup.er_fellegi_sunter(spark, sf_dir).collect()
+    assert rows
+    byp = {}
+    for r in rows:
+        p = (r["g_exact"], r["g_near"], r["g_typo"])
+        assert sum(p) >= 1
+        assert r["is_match"] == (r["post_q16"] >= 32768)
+        byp[p] = r["post_q16"]
+    for a in byp:
+        for b in byp:
+            if a != b and all(x >= y for x, y in zip(a, b)):
+                assert byp[a] >= byp[b], (a, b, byp)
