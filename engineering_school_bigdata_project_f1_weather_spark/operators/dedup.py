@@ -1749,15 +1749,23 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("k"))
         .select(F.col("k").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
+    # Each generator subtree feeds BOTH the candidate union and its γ
+    # marker join — stage each ONCE (pair-set-sized) so the LSH verify
+    # and the banded Levenshtein run once, not twice.
     near_p = (
         dedup_minhash_lsh(spark, sf_dir)
         .where(F.col("jaccard_e6") >= COMPONENT_MIN_JACCARD_E6)
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
-    typo_p = dedup_edit_distance(spark, sf_dir).select("doc_a", "doc_b")
+    typo_p = (
+        dedup_edit_distance(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     cands = (
         exact_p.unionByName(near_p).unionByName(typo_p).distinct()
-    ).localCheckpoint()  # three generator subtrees: stage once, read 3×
+    ).localCheckpoint()  # read 3×: γ build, pattern counts, serving join
     ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h_a"))
     hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h_b"))
     g = (
