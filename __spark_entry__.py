@@ -166,15 +166,15 @@ assert len(_WINDOW_R11) == 50 and len(set(_WINDOW_R11)) == 50
 # that window); slots 5-12 are the 8 r7-vintage marts the r11 window
 # deferred on golden-pytest evidence (now the registry's oldest
 # witnesses — age beats the deferral rationale on the second pass, the
-# r11 precedent); the fill is the 30 alphabetically-first entries of
+# r11 precedent); the fill is the 29 alphabetically-first entries of
 # the 50-strong r8-vintage cohort (last witnessed in CORRECTNESS_r08 —
 # computed from the CORRECTNESS_r01..r11 green-row union; the remaining
-# 20 r8-vintage entries, stream_kmv / stream_user_bloom /
-# stream_user_cms / stream_value_hist first, lead the r13 fill —
+# 21 r8-vintage entries, stream_heavy_hitters / stream_kmv /
+# stream_user_bloom / stream_user_cms first, lead the r13 fill —
 # stream_curate, text_wordpiece_apply, stream_ann_probe,
 # search_incremental, join_size_estimate, lineitem_ndv_profile,
-# quality_pr_sweep and er_fellegi_sunter were added mid-round and took
-# the last eight fill slots).
+# quality_pr_sweep, er_fellegi_sunter and er_probabilistic_entities
+# were added mid-round and took the last nine fill slots).
 # Every registry entry is
 # additionally re-verified on current data via tools/selfcheck.py →
 # SELFCHECK_r12.json.
@@ -183,7 +183,7 @@ _WINDOW_R12 = [
     "curate_incremental", "quality_lr_scored", "text_unigram_apply",
     "stream_curate", "text_wordpiece_apply", "stream_ann_probe",
     "search_incremental", "join_size_estimate", "lineitem_ndv_profile",
-    "quality_pr_sweep", "er_fellegi_sunter",
+    "quality_pr_sweep", "er_fellegi_sunter", "er_probabilistic_entities",
     "dedup_lines_apply",
     # r7-vintage marts deferred from the r11 window
     "q1_wins", "q2_fastestlap", "q4_weather", "q5_evopoints",
@@ -198,7 +198,6 @@ _WINDOW_R12 = [
     "events_transitions", "join_anti_customers", "join_outer_audit",
     "join_semi_customers", "multimodal_dedup", "multimodal_fingerprint",
     "multimodal_segments", "sample_balanced", "sample_quality_weighted",
-    "stream_heavy_hitters",
 ]
 # Rotation-intent guard (VERDICT r8 item 1: the r8 list had 51 names and
 # the driver's first-50 check silently dropped the last one).

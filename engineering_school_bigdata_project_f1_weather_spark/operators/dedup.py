@@ -1591,6 +1591,18 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     typo_e = dedup_edit_distance(spark, sf_dir).select("doc_a", "doc_b")
     edges = exact_e.unionByName(near_e).unionByName(typo_e).distinct()
+    return _entities_of(spark, sf_dir, docs, edges)
+
+
+def _entities_of(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Edge set → (doc_id, entity, score, n_members, canonical): the
+    closure + keep-best tail shared by the hard-union capstone and the
+    probabilistic (Fellegi-Sunter-gated) variant — factored round 12 so
+    the two entity definitions differ ONLY in their edge evidence."""
+    from .quality import quality_score
+
     labels = propagate_components(spark, edges, "doc_a", "doc_b")
     comp = (
         docs.select("doc_id")
@@ -1741,6 +1753,10 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair: the pattern bits, the learned Q16 posterior, and the λ=½
     decision — the probabilistic alternative to the capstone's
     hard-union edge set."""
+    return _fs_scored(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     hashes = docs.select(F.md5("text").alias("h"), "doc_id")
     keeper = hashes.groupBy("h").agg(F.min("doc_id").alias("k"))
@@ -1799,14 +1815,62 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_exact long, g_near long, g_typo long, post_q16 long, "
         "is_match boolean",
     )
-    return (
-        g.join(F.broadcast(post_df), ["g_exact", "g_near", "g_typo"])
-        .select(
-            "doc_a", "doc_b", "g_exact", "g_near", "g_typo",
-            "post_q16", "is_match",
-        )
-        .orderBy("doc_a", "doc_b")
+    return g.join(
+        F.broadcast(post_df), ["g_exact", "g_near", "g_typo"]
+    ).select(
+        "doc_a", "doc_b", "g_exact", "g_near", "g_typo",
+        "post_q16", "is_match",
     )
+
+
+def er_probabilistic_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entities from the LEARNED match decision: close over the pairs
+    Fellegi-Sunter marks ``is_match`` (posterior ≥ ½) instead of the
+    capstone's hard generator union, then the shared keep-best tail —
+    the trained model actually FEEDING the pipeline, the quality-
+    classifier-inside-curate precedent.  On corpora where a generator
+    fires on weak evidence (here: near-only pairs, learned posterior
+    ≈ 0.1), the probabilistic entities split the hard capstone's
+    over-merged components — the difference is the point of the entry,
+    and the divergence is pytest-pinned.  Same output shape as
+    ``dedup_entity_resolution``; oracle composes the unrolled-EM chain
+    with the recursive closure verbatim."""
+    edges = (
+        _fs_scored(spark, sf_dir)
+        .where(F.col("is_match"))
+        .select("doc_a", "doc_b")
+    )
+    return _entities_of(spark, sf_dir, _docs(spark, sf_dir), edges)
+
+
+def _prob_entities_oracle_sql() -> str:
+    from .quality import _quality_score_oracle_sql
+
+    return f"""
+WITH RECURSIVE {_fs_scored_ctes()},
+mpairs AS (SELECT doc_a, doc_b FROM scored WHERE is_match),
+e AS (
+    SELECT doc_a AS s, doc_b AS d FROM mpairs
+    UNION SELECT doc_b, doc_a FROM mpairs
+),
+reach(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.s, r.label FROM reach r JOIN e ON r.doc_id = e.d
+),
+comp AS (
+    SELECT doc_id, MIN(label) AS entity FROM reach GROUP BY doc_id
+),
+q AS (
+    SELECT doc_id, score FROM ({_quality_score_oracle_sql()})
+)
+SELECT c.doc_id, c.entity, q.score,
+       CAST(COUNT(*) OVER (PARTITION BY c.entity) AS BIGINT) AS n_members,
+       ROW_NUMBER() OVER (
+           PARTITION BY c.entity ORDER BY q.score DESC, c.doc_id ASC
+       ) = 1 AS canonical
+FROM comp c JOIN q USING (doc_id)
+"""
 
 
 def _fs_num_den_sql(k: int) -> str:
@@ -1827,7 +1891,11 @@ def _fs_num_den_sql(k: int) -> str:
     return f"{num} AS num, {den} AS den"
 
 
-def _fellegi_sunter_oracle_sql() -> str:
+def _fs_scored_ctes() -> str:
+    """The full FS chain (generators → γ → pattern counts → unrolled EM
+    → per-pair posterior) ending with a ``scored`` CTE — shared by the
+    pair-scoring oracle and the probabilistic-entities oracle so the
+    learned decision cannot drift between them."""
     iters = []
     for k in range(FS_ITERS):
         upd = ["LEAST(GREATEST(SUM(c * post) // SUM(c), 1), 65535) AS lam"]
@@ -1855,8 +1923,7 @@ s{k + 1} AS MATERIALIZED (
 )""")
     kf = FS_ITERS
     chain = ",\n".join(iters)
-    return f"""
-WITH exact_pairs AS MATERIALIZED (
+    return f"""exact_pairs AS MATERIALIZED (
     SELECT k.k AS doc_a, d.doc_id AS doc_b
     FROM documents d
     JOIN (SELECT md5(text) AS h, MIN(doc_id) AS k
@@ -1904,11 +1971,20 @@ final AS (
            CAST(CASE WHEN num + den = 0 THEN 0
                 ELSE (num * 65536) // (num + den) END AS BIGINT) AS post_q16
     FROM (SELECT g_exact, g_near, g_typo, c, {_fs_num_den_sql(kf)} FROM pat)
-)
-SELECT g.doc_a, g.doc_b, g.g_exact, g.g_near, g.g_typo,
-       f.post_q16, f.post_q16 >= 32768 AS is_match
-FROM g JOIN final f USING (g_exact, g_near, g_typo)
-ORDER BY g.doc_a, g.doc_b
+),
+scored AS (
+    SELECT g.doc_a, g.doc_b, g.g_exact, g.g_near, g.g_typo,
+           f.post_q16, f.post_q16 >= 32768 AS is_match
+    FROM g JOIN final f USING (g_exact, g_near, g_typo)
+)"""
+
+
+def _fellegi_sunter_oracle_sql() -> str:
+    return f"""
+WITH {_fs_scored_ctes()}
+SELECT doc_a, doc_b, g_exact, g_near, g_typo, post_q16, is_match
+FROM scored
+ORDER BY doc_a, doc_b
 """
 
 
@@ -3602,6 +3678,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_entity_resolution": dedup_entity_resolution,
     "er_fellegi_sunter": er_fellegi_sunter,
+    "er_probabilistic_entities": er_probabilistic_entities,
     "dedup_er_incremental": dedup_er_incremental,
     "dedup_lines": dedup_lines,
     "dedup_lines_apply": dedup_lines_apply,
@@ -3640,6 +3717,7 @@ ORACLE_SQL = {
     "dedup_keep_best": _keep_best_oracle_sql(),
     "dedup_entity_resolution": _entity_resolution_oracle_sql(),
     "er_fellegi_sunter": _fellegi_sunter_oracle_sql(),
+    "er_probabilistic_entities": _prob_entities_oracle_sql(),
     # the BATCH composition oracle, verbatim: the incremental path
     # must lose nothing vs recomputing from scratch (see
     # dedup_er_incremental).

@@ -1799,3 +1799,33 @@ def test_fellegi_sunter_em_separates_and_scores(spark, sf_dir):
         for b in byp:
             if a != b and all(x >= y for x, y in zip(a, b)):
                 assert byp[a] >= byp[b], (a, b, byp)
+
+
+def test_probabilistic_entities_split_weak_evidence_merges(spark, sf_dir):
+    """er_probabilistic_entities (round 12): the learned decision's
+    edges are a SUBSET of the hard capstone's (is_match pairs ⊆ the
+    generator union), so its partition is never coarser — and on this
+    corpus, where near-only pairs carry a learned posterior below ½
+    (see the FS test), dropping them SPLITS over-merged components:
+    strictly more entities than dedup_entity_resolution.  Shape
+    invariants: every doc exactly once, exactly one canonical per
+    entity."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import dedup
+
+    hard = dedup.dedup_entity_resolution(spark, sf_dir).collect()
+    prob = dedup.er_probabilistic_entities(spark, sf_dir).collect()
+    assert len(prob) == len(hard)  # every doc appears in both
+    assert len({r["doc_id"] for r in prob}) == len(prob)
+    ents = {}
+    for r in prob:
+        ents.setdefault(r["entity"], []).append(r["canonical"])
+    assert all(sum(cs) == 1 for cs in ents.values())
+    n_hard = len({r["entity"] for r in hard})
+    n_prob = len(ents)
+    assert n_prob >= n_hard  # edge subset ⇒ never coarser
+    dropped = dedup._fs_scored(spark, sf_dir).where(~F.col("is_match"))
+    if dropped.limit(1).count() > 0:
+        assert n_prob > n_hard, (
+            "EM rejected some candidate pairs but no component split — "
+            "the learned gate changed nothing on this corpus"
+        )
