@@ -104,8 +104,11 @@ def _doc_rows(
     model join — the ingest-time cost of the quality gate.  ``wide``/
     ``fb`` short-circuit the featurize with the frames the bootstrap
     already staged for training (round 12: init was featurizing the
-    whole corpus twice)."""
-    wide = _quality_scored_wide(d) if wide is None else wide
+    whole corpus twice).  When they are NOT pre-staged (the update
+    path), the wide frame is checkpointed: it feeds both the feature
+    buckets and the roster projection, and the un-cut plan re-ran the
+    tokenize+regexp featurize per consumer (round 12 opt)."""
+    wide = _quality_scored_wide(d).localCheckpoint() if wide is None else wide
     fb = _qc_featbuckets(wide) if fb is None else fb
     scored = qc_score(wide.select("doc_id"), fb, model, int(c_q16))
     return (
@@ -171,8 +174,11 @@ def curate_index_init(
     rows = _doc_rows(d, model_b, c_q16, wide=wide, fb=fb)
     snap = f"{CUR_PREFIX}0"
     sdir = os.path.join(index_path, snap)
-    rows.write.mode("overwrite").parquet(f"{sdir}/docs")
-    pairs.write.mode("overwrite").parquet(f"{sdir}/pairs")
+    # Sized writes (round 12 opt, guide §6): both frames are checkpointed
+    # first (each is also corpus/pair-set-sized, cheap) so the file count
+    # can derive from a free count instead of one file per task.
+    snapshots.write_sized(rows.localCheckpoint(), f"{sdir}/docs")
+    snapshots.write_sized(pairs.localCheckpoint(), f"{sdir}/pairs")
     snapshots.snap_commit(index_path, snap, CUR_PREFIX)
 
 
@@ -227,8 +233,9 @@ def curate_index_update(
 
     nxt = snapshots.snap_next(live, CUR_PREFIX)
     nxt_dir = os.path.join(index_path, nxt)
-    rows.write.mode("overwrite").parquet(f"{nxt_dir}/docs")
-    new_pairs.write.mode("overwrite").parquet(f"{nxt_dir}/pairs")
+    # rows / new_pairs are checkpointed above — sized writes are free.
+    snapshots.write_sized(rows, f"{nxt_dir}/docs")
+    snapshots.write_sized(new_pairs, f"{nxt_dir}/pairs")
     snapshots.link_parquet_files(f"{base}/docs", f"{nxt_dir}/docs")
     snapshots.link_parquet_files(f"{base}/pairs", f"{nxt_dir}/pairs")
     snapshots.snap_commit(index_path, nxt, CUR_PREFIX)

@@ -1093,8 +1093,12 @@ def minhash_index_init(spark: SparkSession, docs: DataFrame, index_path: str) ->
     8 (VERDICT r7 item 1)."""
     os.makedirs(index_path, exist_ok=True)
     snap = "sig_v0"
-    minhash_signatures(spark, docs).write.mode("overwrite").parquet(
-        os.path.join(index_path, snap)
+    # checkpoint + sized write (round 12 opt, guide §6): the signature
+    # frame is narrow, and one-file-per-task writes cost task+commit
+    # overhead and grow the file count every later hard-linked snapshot.
+    snapshots.write_sized(
+        minhash_signatures(spark, docs).localCheckpoint(),
+        os.path.join(index_path, snap),
     )
     snapshots.snap_commit(index_path, snap, "sig_v")
 
@@ -1143,7 +1147,7 @@ def minhash_index_update(
     # live dir is ever touched.
     nxt = snapshots.snap_next(live, "sig_v")
     nxt_dir = os.path.join(index_path, nxt)
-    new_sig.write.mode("overwrite").parquet(nxt_dir)
+    snapshots.write_sized(new_sig, nxt_dir)  # checkpointed above
     snapshots.link_parquet_files(os.path.join(index_path, live), nxt_dir)
     snapshots.snap_commit(index_path, nxt, "sig_v")
     return result
@@ -1305,21 +1309,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     after pair generation (transitive closure: A~B, B~C ⇒ {A,B,C} even if
     A≁C directly).
 
-    Iterative Hash-Min + pointer-jumping label propagation: every edge doc
-    starts labeled with its own id; each round takes (a) the min label over
-    its neighbors, then (b) one pointer jump ``label := label[label]``
-    (path halving), so label information travels more than one hop per
-    materialized round — plain Hash-Min needs diameter rounds (17 at
-    sf0.1), the jump cuts that to 12 and the gap widens with diameter.
-    ``localCheckpoint`` truncates lineage each round; chaining MORE lazy
-    jumps per round without a checkpoint is a measured catastrophe (each
-    jump self-joins the round plan, doubling re-computation — >500 s at
-    sf0.1 for two chained jumps vs 3 s for one).
-
-    The driver only steers the loop. Within the loop the shuffle partition
-    count is dropped to match the (tiny) edge-endpoint frame and AQE's
-    per-round re-planning overhead is disabled, both restored after — at
-    cluster scale, size loop partitions to |edge endpoints| / 250k rows.
+    Size-dispatched closure (round 12 optimization — the ``_er_closure``
+    engine the ER index paths already use): the verified pair graph is
+    ORDERS smaller than the corpus, so below
+    ``ER_DRIVER_CLOSURE_MAX_EDGES`` a driver union-find with path
+    compression answers in milliseconds what the distributed Hash-Min +
+    pointer-jump loop (:func:`propagate_components`) pays ~12 scheduler
+    rounds for (measured at sf0.1: 5,714 edges, closure 8.5 s → <0.3 s;
+    the loop's design rationale lives in its own docstring).  Above the
+    edge threshold the distributed engine takes over with identical
+    semantics — component = min reachable id, edge endpoints only.
     The oracle is the same fixpoint via DuckDB's recursive CTE.
 
     Output: (doc_id, component) for every document; component = min doc_id
@@ -1328,7 +1327,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).where(
         F.col("jaccard_e6") >= COMPONENT_MIN_JACCARD_E6
     )
-    labels = propagate_components(spark, pairs, "doc_a", "doc_b")
+    labels = _er_closure(spark, pairs.select("doc_a", "doc_b"))
     return (
         _docs(spark, sf_dir)
         .select("doc_id")
@@ -1600,10 +1599,14 @@ def _entities_of(
     """Edge set → (doc_id, entity, score, n_members, canonical): the
     closure + keep-best tail shared by the hard-union capstone and the
     probabilistic (Fellegi-Sunter-gated) variant — factored round 12 so
-    the two entity definitions differ ONLY in their edge evidence."""
+    the two entity definitions differ ONLY in their edge evidence.
+    Closure is the size-dispatched ``_er_closure`` (round 12
+    optimization): match graphs are candidate-bounded, so the driver
+    union-find path covers them at bench scale and the distributed
+    engine takes over past ER_DRIVER_CLOSURE_MAX_EDGES."""
     from .quality import quality_score
 
-    labels = propagate_components(spark, edges, "doc_a", "doc_b")
+    labels = _er_closure(spark, edges.select("doc_a", "doc_b"))
     comp = (
         docs.select("doc_id")
         .join(labels, F.col("doc_id") == labels.node, "left")
@@ -1799,6 +1802,9 @@ def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nr", F.lit(0)).cast("long").alias("g_near"),
             F.coalesce("ty", F.lit(0)).cast("long").alias("g_typo"),
         )
+        # pair-set-sized; read twice (pattern counts + serving join) — the
+        # un-cut plan re-ran the four γ joins for the serve (round 12 opt)
+        .localCheckpoint()
     )
     counts = [
         (int(r["g_exact"]), int(r["g_near"]), int(r["g_typo"]), int(r["c"]))
@@ -2316,14 +2322,18 @@ def er_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None
             F.coalesce("component", F.col("doc_id")).alias("entity"),
         )
     )
-    drows.write.mode("overwrite").parquet(f"{base}/docs")
-    sig.write.mode("overwrite").parquet(f"{base}/sig")
-    qg.write.mode("overwrite").parquet(f"{base}/qg")
-    dford.write.mode("overwrite").parquet(f"{base}/dford")
-    ent.write.mode("overwrite").parquet(f"{base}/labels")
-    spark.createDataFrame([], _ER_EMPTY_REMAP).write.mode("overwrite").parquet(
-        f"{base}/remap"
-    )
+    # Sized writes (round 12 opt, guide §6): every sub-table is already
+    # materialized (checkpoint) or row-count-known, and one-file-per-task
+    # writes cost ~0.4 s each in task+commit overhead at bench scale.
+    n_docs = drows.count()
+    snapshots.write_sized(drows, f"{base}/docs", rows=n_docs)
+    snapshots.write_sized(sig, f"{base}/sig")
+    snapshots.write_sized(qg, f"{base}/qg")
+    snapshots.write_sized(dford, f"{base}/dford")
+    snapshots.write_sized(ent, f"{base}/labels", rows=n_docs)
+    spark.createDataFrame([], _ER_EMPTY_REMAP).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/remap")
     snapshots.snap_commit(index_path, snap, "er_v")
 
 
@@ -2444,17 +2454,23 @@ def er_index_update(
             F.coalesce("_n", F.col("new_label")).alias("new_label"),
         )
         .unionByName(batch_remap)
-        # no checkpoint: written exactly once below; old_remap is the
-        # committed parquet, closure is driver-built
+        # checkpointed at the write below (merge-event-sized) so the
+        # sized write can count it for free
     )
 
     nxt = snapshots.snap_next(live, "er_v")
     nbase = os.path.join(index_path, nxt)
-    drows.write.mode("overwrite").parquet(f"{nbase}/docs")
-    sig.write.mode("overwrite").parquet(f"{nbase}/sig")
-    qg.write.mode("overwrite").parquet(f"{nbase}/qg")
-    new_labels.write.mode("overwrite").parquet(f"{nbase}/labels")
-    remap.write.mode("overwrite").parquet(f"{nbase}/remap")
+    # Sized writes (round 12 opt, guide §6) — batch-proportional frames,
+    # one near-empty file per task otherwise.  new_labels has exactly one
+    # row per batch doc (drows is checkpointed, so the count is a cheap
+    # scan); remap is merge-event-sized and written once, so it is
+    # checkpointed (tiny) to make its count free.
+    n_batch = drows.count()
+    snapshots.write_sized(drows, f"{nbase}/docs", rows=n_batch)
+    snapshots.write_sized(sig, f"{nbase}/sig")
+    snapshots.write_sized(qg, f"{nbase}/qg")
+    snapshots.write_sized(new_labels, f"{nbase}/labels", rows=n_batch)
+    snapshots.write_sized(remap.localCheckpoint(), f"{nbase}/remap")
     for sub in ("docs", "sig", "qg", "labels", "dford"):
         snapshots.link_parquet_files(f"{base}/{sub}", f"{nbase}/{sub}")
     snapshots.snap_commit(index_path, nxt, "er_v")
@@ -3224,10 +3240,12 @@ def substr_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> 
         .localCheckpoint()
     )
     spans = _substr_spans(occ.join(dup, "h").select("doc_id", "pos"))
-    d.select("doc_id").write.mode("overwrite").parquet(f"{base}/docs")
+    # Sized writes (round 12 opt, guide §6): roster/dup/span frames are
+    # narrow and were writing one near-empty file per task each.
+    snapshots.write_sized(d.select("doc_id"), f"{base}/docs")
     _write_occ_bucketed(occ, f"{base}/occ", OCC_BUCKET_CHARS)
-    dup.write.mode("overwrite").parquet(f"{base}/dup")
-    spans.write.mode("overwrite").parquet(f"{base}/spans")
+    snapshots.write_sized(dup, f"{base}/dup")
+    snapshots.write_sized(spans.localCheckpoint(), f"{base}/spans")
     _occ_width_write(base, OCC_BUCKET_CHARS)
     snapshots.snap_commit(index_path, snap, "sub_v")
 
@@ -3320,10 +3338,11 @@ def substr_index_update(
 
     nxt = snapshots.snap_next(live, "sub_v")
     nbase = os.path.join(index_path, nxt)
-    fresh.select("doc_id").write.mode("overwrite").parquet(f"{nbase}/docs")
+    # Sized writes (round 12 opt, guide §6) — same rationale as init.
+    snapshots.write_sized(fresh.select("doc_id"), f"{nbase}/docs")
     _write_occ_bucketed(bocc, f"{nbase}/occ", chars)
-    newly_dup.write.mode("overwrite").parquet(f"{nbase}/dup")
-    spans.write.mode("overwrite").parquet(f"{nbase}/spans")
+    snapshots.write_sized(newly_dup, f"{nbase}/dup")
+    snapshots.write_sized(spans.localCheckpoint(), f"{nbase}/spans")
     for sub in ("docs", "occ", "dup"):
         snapshots.link_parquet_files(f"{base}/{sub}", f"{nbase}/{sub}")
     _occ_width_write(nbase, chars)

@@ -638,14 +638,20 @@ def quality_classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "text"
         )
     )
-    lab = wide.select("doc_id", _qc_label_col().alias("train_label"))
+    # lab is doc-count-sized (two narrow columns) and feeds the training
+    # counts, the prior agg, and the final output join — checkpoint so the
+    # featurize scan behind the label expression runs once, not three
+    # times (round 12 opt; same contract as fb below).
+    lab = wide.select(
+        "doc_id", _qc_label_col().alias("train_label")
+    ).localCheckpoint()
     # fb feeds BOTH the training counts and the scoring join; checkpoint
     # so the scan + per-doc distinct run once, not twice (a deployment
     # persists the featurized corpus between the two passes the same way)
     fb = _qc_featbuckets(wide).localCheckpoint()
     model, c_q16 = qc_train_model(spark, fb, lab)
     return (
-        qc_score(wide.select("doc_id"), fb, model, c_q16)
+        qc_score(lab.select("doc_id"), fb, model, c_q16)
         .join(lab, "doc_id", "left")
         .select(
             "doc_id", "train_label", "n_feats", "qc_llr_q16",
@@ -903,7 +909,13 @@ def quality_lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "text"
         )
     )
-    lab = wide.select("doc_id", _qc_label_col().alias("train_label"))
+    # Stage the two-column label frame once: it feeds the cohort staging
+    # join AND the output join, and every evaluation re-runs the featurize
+    # scan behind the score expression (round 12 opt — measured one full
+    # tokenize+regexp pass saved at sf0.1).
+    lab = wide.select(
+        "doc_id", _qc_label_col().alias("train_label")
+    ).localCheckpoint()
     fb = _qc_featbuckets(wide).localCheckpoint()
     model, bias = lr_train_model(spark, fb, lab)
     per_doc = (
@@ -916,7 +928,7 @@ def quality_lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     margin = F.lit(bias) + F.coalesce("sw", F.lit(0))
     return (
-        wide.select("doc_id")
+        lab.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .join(lab, "doc_id", "left")
         .select(
@@ -1046,7 +1058,12 @@ def quality_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "text"
         )
     )
-    lab = wide.select("doc_id", _qc_label_col().alias("train_label"))
+    # Stage the two-column (doc_id, score) frame once: the training label
+    # AND the eval-cohort reference label both derive from the heuristic
+    # score, and each un-staged use re-ran the featurize scan behind it
+    # (round 12 opt — same move as quality_lr_scored's lab checkpoint).
+    ds = wide.select("doc_id", "score").localCheckpoint()
+    lab = ds.select("doc_id", _qc_label_col().alias("train_label"))
     fb = _qc_featbuckets(wide).localCheckpoint()
     model, bias = lr_train_model(spark, fb, lab)
     per_doc = (
@@ -1055,7 +1072,7 @@ def quality_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("long").alias("sw"))
     )
     ev = (
-        wide.where(F.col("doc_id") % QC_TRAIN_STRIDE != 0)
+        ds.where(F.col("doc_id") % QC_TRAIN_STRIDE != 0)
         .select(
             "doc_id",
             F.when(F.col("score") >= QS_HIGH, F.lit(1))

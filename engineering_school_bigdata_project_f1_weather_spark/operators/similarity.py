@@ -1280,7 +1280,11 @@ def semdedup_index_init(
     snap = "sem_v0"
     sdir = f"{index_path}/{snap}"
     _semdedup_write_vectors(withcs, f"{sdir}/vectors")
-    dominated.write.mode("overwrite").parquet(f"{sdir}/dominated")
+    # checkpoint + sized write (round 12 opt, guide §6): dominated is
+    # loser-set-sized and was writing one near-empty file per task.
+    snapshots.write_sized(
+        dominated.localCheckpoint(), f"{sdir}/dominated"
+    )
     snapshots.snap_commit(index_path, snap, "sem_v")
 
 
@@ -1355,8 +1359,9 @@ def semdedup_index_update(
     nxt = snapshots.snap_next(live, "sem_v")
     nxt_dir = f"{index_path}/{nxt}"
     _semdedup_write_vectors(new_cs, f"{nxt_dir}/vectors")
-    newly_dom.select("vec_id").write.mode("overwrite").parquet(
-        f"{nxt_dir}/dominated"
+    # newly_dom is checkpointed above — the sized write's count is free.
+    snapshots.write_sized(
+        newly_dom.select("vec_id"), f"{nxt_dir}/dominated"
     )
     snapshots.link_parquet_files(f"{live_dir}/vectors", f"{nxt_dir}/vectors")
     snapshots.link_parquet_files(
@@ -1776,10 +1781,14 @@ def ann_index_init(
     cents = _train_centroids(spark, base, k=k)
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     snap = "state_v0"
-    base.write.mode("overwrite").parquet(f"{index_path}/{snap}/vectors")
-    _assign_lists(base, cents, ASSIGN_LISTS, k=k).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/{snap}/assign")
+    # sized writes (round 12 opt, guide §6): base is cached (count is a
+    # cheap scan); assign is n·ASSIGN_LISTS rows, checkpointed so the
+    # sizing count doesn't re-run the assignment.
+    snapshots.write_sized(base, f"{index_path}/{snap}/vectors")
+    snapshots.write_sized(
+        _assign_lists(base, cents, ASSIGN_LISTS, k=k).localCheckpoint(),
+        f"{index_path}/{snap}/assign",
+    )
     # Persist k as index metadata (round 7, VERDICT r6 item 6 / ADVICE
     # r5): the update path dispatches assignment strategy on k, and
     # without metadata it re-counted the centroid frame on every batch.
@@ -1875,8 +1884,9 @@ def ann_index_update(
     # state fully intact and the retry redoes the whole batch.
     nxt = snapshots.snap_next(live, "state_v")
     nxt_dir = f"{index_path}/{nxt}"
-    new_assign.write.mode("overwrite").parquet(f"{nxt_dir}/assign")
-    new_base.write.mode("overwrite").parquet(f"{nxt_dir}/vectors")
+    # both frames are checkpointed above — sized writes are free.
+    snapshots.write_sized(new_assign, f"{nxt_dir}/assign")
+    snapshots.write_sized(new_base, f"{nxt_dir}/vectors")
     snapshots.link_parquet_files(f"{live_dir}/assign", f"{nxt_dir}/assign")
     snapshots.link_parquet_files(f"{live_dir}/vectors", f"{nxt_dir}/vectors")
     snapshots.snap_commit(index_path, nxt, "state_v")
@@ -1890,18 +1900,24 @@ def sim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup CLUSTER assignment: connected components over the
     hyperplane-LSH pair graph (edges = bucket-verified cosine ≥ 0.3), so
     every embedding gets one canonical cluster id — the embedding-side
-    twin of dedup_components (same iterative engine,
-    ``dedup.propagate_components``), completing pair-detection → cluster →
-    keeper for the semantic path.
+    twin of dedup_components (same size-dispatched closure engine,
+    ``dedup._er_closure``: driver union-find below the edge threshold,
+    the distributed Hash-Min loop above — round 12 optimization),
+    completing pair-detection → cluster → keeper for the semantic path.
 
     Output: (vec_id, cluster) for every embedding; cluster = min vec_id
     reachable; isolated vectors map to themselves."""
-    from .dedup import propagate_components
+    from .dedup import _er_closure
 
     pairs = sim_lsh(spark, sf_dir).where(
         F.col("sim_e6") >= CLUSTER_MIN_SIM_E6
     )
-    labels = propagate_components(spark, pairs, "vec_a", "vec_b")
+    labels = _er_closure(
+        spark,
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        ),
+    )
     e = load_table_spread(spark, sf_dir, "embeddings").select("vec_id")
     return e.join(labels, e.vec_id == labels.node, "left").select(
         "vec_id",
