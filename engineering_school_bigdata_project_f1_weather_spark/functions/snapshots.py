@@ -53,13 +53,10 @@ def write_sized(df, path: str, rows: int | None = None) -> int:
     count used."""
     if rows is None:
         rows = df.count()
-    n = max(
-        1,
-        min(
-            df.rdd.getNumPartitions(),
-            (rows + SNAP_ROWS_PER_FILE - 1) // SNAP_ROWS_PER_FILE,
-        ),
-    )
+    # No partition-count cap needed: coalesce() never INCREASES the
+    # partition count, and asking for it (df.rdd) would convert to a
+    # Python RDD plan and, under AQE, materialize throwaway stages.
+    n = max(1, (rows + SNAP_ROWS_PER_FILE - 1) // SNAP_ROWS_PER_FILE)
     df.coalesce(n).write.mode("overwrite").parquet(path)
     return n
 

@@ -2331,9 +2331,13 @@ def er_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None
     snapshots.write_sized(qg, f"{base}/qg")
     snapshots.write_sized(dford, f"{base}/dford")
     snapshots.write_sized(ent, f"{base}/labels", rows=n_docs)
-    spark.createDataFrame([], _ER_EMPTY_REMAP).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{base}/remap")
+    # Empty remap as a pure-JVM relation: createDataFrame([], schema)
+    # builds a Python RDD whose (empty) partitions each pay a Python
+    # worker round-trip — coalesce(1) evaluates all of them SEQUENTIALLY
+    # in one task (measured: 5.1-5.8 s for an EMPTY write; round 12 opt).
+    spark.range(0).select(
+        F.col("id").alias("old_label"), F.col("id").alias("new_label")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/remap")
     snapshots.snap_commit(index_path, snap, "er_v")
 
 
