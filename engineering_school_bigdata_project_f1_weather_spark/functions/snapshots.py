@@ -61,6 +61,24 @@ def write_sized(df, path: str, rows: int | None = None) -> int:
     return n
 
 
+def meta_row(spark, schema: str, values: tuple):
+    """One-row metadata frame built as a pure-JVM relation (single
+    partition).  ``createDataFrame([row])`` parallelizes the local list
+    into defaultParallelism Python-RDD slices — a 32-task Python-worker
+    job and up to 32 files for ONE row (guide §4/§6); ``spark.range(1)``
+    + literals stays in the JVM and writes one file.
+
+    ``schema`` is the same DDL string the createDataFrame call took,
+    e.g. ``"c_q16 long"``; values positional."""
+    import pyspark.sql.functions as F  # local: this module is imported early
+
+    cols = []
+    for spec, v in zip([s.strip() for s in schema.split(",")], values):
+        name, typ = spec.rsplit(" ", 1)
+        cols.append(F.lit(v).cast(typ).alias(name))
+    return spark.range(1).select(*cols)
+
+
 def snap_live(path: str) -> str:
     """Name of the live snapshot directory under ``path``."""
     with open(os.path.join(path, "CURRENT")) as f:

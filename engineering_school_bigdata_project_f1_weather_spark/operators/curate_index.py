@@ -158,7 +158,7 @@ def curate_index_init(
     fb = _qc_featbuckets(wide).localCheckpoint()
     model, c_q16 = qc_train_model(spark, fb, lab)
     model.write.mode("overwrite").parquet(f"{index_path}/model")
-    spark.createDataFrame([(int(c_q16),)], "c_q16 long").write.mode(
+    snapshots.meta_row(spark, "c_q16 long", (int(c_q16),)).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/model_meta")
 

@@ -1263,7 +1263,7 @@ def semdedup_index_init(
     base = _quantize_vectors(vectors_df).cache()
     cents = _train_centroids(spark, base, k=k)
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
-    spark.createDataFrame([(int(k),)], "k long").write.mode(
+    snapshots.meta_row(spark, "k long", (int(k),)).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/meta")
     withcs = _semantic_withcs(base, cents, k).localCheckpoint()
@@ -1792,7 +1792,7 @@ def ann_index_init(
     # Persist k as index metadata (round 7, VERDICT r6 item 6 / ADVICE
     # r5): the update path dispatches assignment strategy on k, and
     # without metadata it re-counted the centroid frame on every batch.
-    spark.createDataFrame([(int(k),)], "k long").write.mode(
+    snapshots.meta_row(spark, "k long", (int(k),)).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/meta")
     snapshots.snap_commit(index_path, snap, "state_v")

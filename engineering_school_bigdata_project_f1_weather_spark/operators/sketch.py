@@ -1055,8 +1055,17 @@ ORDER BY 1
 # Shared with the corpus-sized dedup/ANN indexes since round 8 —
 # implementation lives in functions/snapshots.py; thin aliases kept so
 # the sketch tests' `_snap_live` probes stay valid.
+from ..functions.snapshots import meta_row as _meta_row  # noqa: E402
 from ..functions.snapshots import snap_commit as _snap_commit  # noqa: E402
 from ..functions.snapshots import snap_live as _snap_live  # noqa: E402
+
+
+def _snap_meta_row(spark: SparkSession, batch_id: str) -> DataFrame:
+    """One ledger row as a pure-JVM single-partition frame (round 12
+    opt): createDataFrame([(id,)]) parallelized the 1-row list into 32
+    Python-RDD slices — a Python-worker job plus up to 32 ledger files
+    PER BATCH; this writes one."""
+    return _meta_row(spark, "batch_id string", (batch_id,))
 
 
 # back-compat aliases for the HLL table (tests reference _hll_live)
@@ -1474,7 +1483,7 @@ def hist_index_init(spark: SparkSession, events_df: DataFrame, path: str) -> Non
     _daily_hist_of(events_df).write.mode("overwrite").parquet(
         os.path.join(base, "counts")
     )
-    spark.createDataFrame([("__init__",)], "batch_id string").write.mode(
+    _snap_meta_row(spark, "__init__").write.mode(
         "overwrite"
     ).parquet(os.path.join(base, "batches"))
     _snap_commit(path, snap, "hist_v")
@@ -1508,7 +1517,7 @@ def hist_index_update(
     nbase = os.path.join(path, nxt)
     merged.write.mode("overwrite").parquet(os.path.join(nbase, "counts"))
     ledger.unionByName(
-        spark.createDataFrame([(batch_id,)], "batch_id string")
+        _snap_meta_row(spark, batch_id)
     ).write.mode("overwrite").parquet(os.path.join(nbase, "batches"))
     _snap_commit(path, nxt, "hist_v")
     return spark.read.parquet(os.path.join(nbase, "counts"))
@@ -2402,12 +2411,26 @@ def _ndv_regs_of(melted: DataFrame) -> DataFrame:
     )
 
 
-def _ndv_counts_of(melted: DataFrame) -> DataFrame:
-    """(col_name, v) → per-column (n_rows, n_null) — the SUM-mergeable
-    half of the profile state."""
-    return melted.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+def _ndv_distinct(melted: DataFrame) -> DataFrame:
+    """(col_name, v) → one row per DISTINCT (column, value) with its
+    multiplicity — the single map-combinable shuffle both profile
+    halves derive from (round 12 optimization): counts come back via
+    SUM(c), exact NDV is the non-null row count, and the HLL registers
+    are invariant under duplicate removal (register update is a MAX, so
+    hashing each distinct value once is identical to hashing every
+    occurrence).  The previous form scanned + exploded the table once
+    per half."""
+    return melted.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _ndv_counts_of(dv: DataFrame) -> DataFrame:
+    """distinct frame (col_name, v, c) → per-column (n_rows, n_null) —
+    the SUM-mergeable half of the profile state."""
+    return dv.groupBy("col_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(
+            F.when(F.col("v").isNull(), F.col("c")).otherwise(F.lit(0))
+        ).alias("n_null"),
     )
 
 
@@ -2432,14 +2455,25 @@ def lineitem_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events_dau_hll`` (raw estimate + small-range flag; the
     linear-counting correction applies downstream where flagged —
     envelope pytest-pinned per column across both regimes)."""
-    melted = _ndv_melted(load_table(spark, sf_dir, "lineitem"))
-    base = melted.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
-        F.count_distinct(F.col("v")).alias("ndv_true"),
+    # ONE melt scan + ONE (col, value) distinct shuffle; counts, exact
+    # NDV, and registers all derive from the staged distinct frame
+    # (round 12 opt — the un-cut plan ran the scan+explode per half, and
+    # count_distinct's internal expansion re-did the same dedup anyway).
+    dv = _ndv_distinct(
+        _ndv_melted(load_table(spark, sf_dir, "lineitem"))
+    ).localCheckpoint()
+    base = dv.groupBy("col_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(
+            F.when(F.col("v").isNull(), F.col("c")).otherwise(F.lit(0))
+        ).alias("n_null"),
+        F.count(F.when(F.col("v").isNotNull(), F.lit(1))).alias("ndv_true"),
     )
     return (
-        base.join(_hll_estimate(_ndv_regs_of(melted), "col_name"), "col_name")
+        base.join(
+            _hll_estimate(_ndv_regs_of(dv.select("col_name", "v")), "col_name"),
+            "col_name",
+        )
         .select(
             "col_name",
             "n_rows",
@@ -2514,14 +2548,15 @@ def ndv_index_init(spark: SparkSession, df: DataFrame, path: str) -> None:
     emits the estimator profile."""
     os.makedirs(path, exist_ok=True)
     base = os.path.join(path, "ndv_v0")
-    melted = _ndv_melted(df)
-    _ndv_regs_of(melted).write.mode("overwrite").parquet(
+    # one melt scan; regs + counts both read the staged distinct frame
+    dv = _ndv_distinct(_ndv_melted(df)).localCheckpoint()
+    _ndv_regs_of(dv.select("col_name", "v")).write.mode("overwrite").parquet(
         os.path.join(base, "regs")
     )
-    _ndv_counts_of(melted).write.mode("overwrite").parquet(
+    _ndv_counts_of(dv).write.mode("overwrite").parquet(
         os.path.join(base, "counts")
     )
-    spark.createDataFrame([("__init__",)], "batch_id string").write.mode(
+    _snap_meta_row(spark, "__init__").write.mode(
         "overwrite"
     ).parquet(os.path.join(base, "batches"))
     _snap_commit(path, "ndv_v0", "ndv_v")
@@ -2543,16 +2578,17 @@ def ndv_index_update(
     ledger = spark.read.parquet(os.path.join(base, "batches"))
     if ledger.where(F.col("batch_id") == batch_id).limit(1).count() > 0:
         return ndv_index_profile(spark, path)
-    melted = _ndv_melted(df)
+    # one melt scan per batch; regs + counts read the staged distinct frame
+    dv = _ndv_distinct(_ndv_melted(df)).localCheckpoint()
     regs = (
         spark.read.parquet(os.path.join(base, "regs"))
-        .unionByName(_ndv_regs_of(melted))
+        .unionByName(_ndv_regs_of(dv.select("col_name", "v")))
         .groupBy("col_name", "reg")
         .agg(F.max("m_reg").alias("m_reg"))
     )
     counts = (
         spark.read.parquet(os.path.join(base, "counts"))
-        .unionByName(_ndv_counts_of(melted))
+        .unionByName(_ndv_counts_of(dv))
         .groupBy("col_name")
         .agg(
             F.sum("n_rows").alias("n_rows"),
@@ -2564,7 +2600,7 @@ def ndv_index_update(
     regs.write.mode("overwrite").parquet(os.path.join(nbase, "regs"))
     counts.write.mode("overwrite").parquet(os.path.join(nbase, "counts"))
     ledger.unionByName(
-        spark.createDataFrame([(batch_id,)], "batch_id string")
+        _snap_meta_row(spark, batch_id)
     ).write.mode("overwrite").parquet(os.path.join(nbase, "batches"))
     _snap_commit(path, nxt, "ndv_v")
     return ndv_index_profile(spark, path)
