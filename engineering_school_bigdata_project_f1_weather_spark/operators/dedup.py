@@ -1158,6 +1158,37 @@ PAGERANK_SCALE = 1_000_000_000  # pr as e9-scaled BIGINT
 PAGERANK_D_NUM, PAGERANK_D_DEN = 85, 100  # damping 0.85 as a ratio
 
 
+def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Driver twin of the doc_pagerank loop over a (s, d) directed edge
+    frame — the same PAGERANK_ITERS power iterations in the same exact
+    integer arithmetic (``//`` ≡ Spark's ``div`` on the non-negative
+    e9-scaled BIGINTs here), edges streamed via toLocalIterator (never a
+    collect of Row objects).  Equality with the distributed loop is
+    pytest-pinned (tests/test_corpus.py)."""
+    deg: dict = {}
+    elist: list = []
+    for row in edges.toLocalIterator():
+        s, d = int(row[0]), int(row[1])
+        deg[s] = deg.get(s, 0) + 1
+        elist.append((s, d))
+    if not deg:
+        return spark.createDataFrame([], "doc_id long, pr_e9 long")
+    base = (PAGERANK_SCALE * (PAGERANK_D_DEN - PAGERANK_D_NUM)) // (
+        PAGERANK_D_DEN * len(deg)
+    )
+    pr = {x: PAGERANK_SCALE for x in deg}
+    for _ in range(PAGERANK_ITERS):
+        incoming: dict = {}
+        for s, d in elist:
+            incoming[d] = incoming.get(d, 0) + (PAGERANK_D_NUM * pr[s]) // (
+                PAGERANK_D_DEN * deg[s]
+            )
+        pr = {x: base + incoming.get(x, 0) for x in deg}
+    return spark.createDataFrame(
+        [(int(x), int(pr[x])) for x in deg], "doc_id long, pr_e9 long"
+    )
+
+
 def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup pair graph — centrality of each document
     inside its duplicate neighborhood (the 'canonical-doc' signal a dedup
@@ -1180,6 +1211,18 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    n_edges = edges.count()
+    if n_edges <= ER_DRIVER_CLOSURE_MAX_EDGES:
+        # Size-dispatched driver twin (round 12 optimization — the
+        # ``_er_closure`` precedent): the pair graph is steering-sized
+        # at any corpus scale where an exact all-pairs PR is sane, and
+        # the distributed loop pays PAGERANK_ITERS × (join + agg +
+        # checkpoint) scheduler rounds for what plain dict arithmetic
+        # answers in milliseconds.  Bit-identical by construction:
+        # Python // on the same non-negative BIGINTs as Spark's div,
+        # order-free integer sums.  Above the threshold (same driver
+        # heap bound as the closure) the loop below takes over.
+        return _pagerank_driver(spark, edges)
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("s").alias("node"), "deg").localCheckpoint()
     n_nodes = nodes.count()

@@ -114,6 +114,29 @@ def test_propagate_components_raises_on_nonconvergence(spark):
     assert comps == {0}
 
 
+def test_pagerank_driver_twin_equals_distributed_loop(
+    spark, sf_dir, monkeypatch
+):
+    """doc_pagerank's size dispatch (round 12): the driver power-iteration
+    twin must match the distributed loop bit-for-bit on the same edges —
+    both run PAGERANK_ITERS iterations of the identical exact-integer
+    update, so the output may not depend on which engine ran."""
+    from engineering_school_bigdata_project_f1_weather_spark.operators import (
+        dedup,
+    )
+
+    driver_rows = sorted(
+        (r.doc_id, r.pr_e9) for r in dedup.doc_pagerank(spark, sf_dir).collect()
+    )
+    assert driver_rows, "fixture pair graph must be non-empty"
+    # Force the distributed loop on the same (sub-threshold) edge set.
+    monkeypatch.setattr(dedup, "ER_DRIVER_CLOSURE_MAX_EDGES", -1)
+    loop_rows = sorted(
+        (r.doc_id, r.pr_e9) for r in dedup.doc_pagerank(spark, sf_dir).collect()
+    )
+    assert driver_rows == loop_rows
+
+
 def test_curate_pipeline_end_to_end(spark, sf_dir, tmp_path):
     """documents -> gated -> split -> chunked shards + manifest. Pins the
     funnel's internal consistency and the (split, lang) lake layout."""
