@@ -2083,6 +2083,57 @@ def sim_pq(
 PQ_TRAIN_ITERS = 2
 
 
+def _pq_train_driver(spark: SparkSession, base: DataFrame, iters: int) -> DataFrame:
+    """Driver numpy twin of the :func:`pq_train_codebooks` loop — ONE
+    bounded collect (≤ KM_DRIVER_MAX quantized rows), then the identical
+    per-round integer computation per subspace:
+
+    - E-step: ``d2 = sn2 − 2·(S @ Cᵀ) + cn2`` in exact int64 and the
+      injective ranking key ``d2·PQ_K + code_id`` (argmin ≡ min_by —
+      two keys only collide on identical (d2, code)).
+    - M-step: the exact-integer rounded mean
+      ``(2s + c − (2s + c) mod 2c) // 2c`` per (code, pos) — numpy ``%``
+      is the same nonnegative-remainder pmod Spark uses; empty codes
+      keep their previous entry; cn2 = Σm².
+
+    Both steps are order-insensitive integer ops, so driver and
+    distributed runs agree bit-for-bit (pytest-pinned)."""
+    import numpy as np
+
+    rows = base.select("vec_id", "q").collect()  # ≤ KM_DRIVER_MAX
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.array([r["q"] for r in rows], dtype=np.int64)
+    seed_mask = (ids >= 1) & (ids <= PQ_K)
+    order = np.argsort(ids[seed_mask], kind="stable")
+    cid = ids[seed_mask][order]
+    out = []
+    if cid.size and len(rows):
+        for m in range(PQ_M):
+            S = Q[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            sn2 = np.einsum("ij,ij->i", S, S)
+            C = S[seed_mask][order].copy()
+            cn2 = np.einsum("ij,ij->i", C, C)
+            for _ in range(iters):
+                d2 = sn2[:, None] - 2 * (S @ C.T) + cn2[None, :]
+                j = np.argmin(d2 * PQ_K + cid[None, :], axis=1)
+                assigned = cid[j]
+                for ci in range(cid.size):
+                    mask = assigned == cid[ci]
+                    c = int(mask.sum())
+                    if c == 0:
+                        continue  # empty code keeps its previous entry
+                    num = 2 * S[mask].sum(axis=0, dtype=np.int64) + c
+                    C[ci] = (num - (num % (2 * c))) // (2 * c)
+                cn2 = np.einsum("ij,ij->i", C, C)
+            out.extend(
+                (m, int(cid[i]), [int(x) for x in C[i]], int(cn2[i]))
+                for i in range(cid.size)
+            )
+    return spark.createDataFrame(
+        out, "m integer, code_id long, cq array<long>, cn2 long"
+    )
+
+
 def pq_train_codebooks(
     spark: SparkSession, sf_dir: str, iters: int = PQ_TRAIN_ITERS
 ) -> DataFrame:
@@ -2098,13 +2149,22 @@ def pq_train_codebooks(
     bit-for-bit. Per-iteration driver traffic: none (localCheckpoint
     truncates lineage; the codebook never leaves the cluster)."""
     base = _quantized(spark, sf_dir).cache()
+    n_vecs = base.count()
+    if n_vecs <= KM_DRIVER_MAX:
+        # Size-dispatched driver twin (round 12, the _train_centroids
+        # precedent): PQ training is EXACT integer arithmetic end to end
+        # (int64 L2 distances, injective min_by key, exact rounded
+        # means), so the numpy twin reproduces the distributed loop
+        # bit-for-bit (pytest-pinned) while skipping its ~3 shuffles ×
+        # iters of scheduler rounds.  Above the threshold the loop below
+        # takes over unchanged.
+        return _pq_train_driver(spark, base, iters)
     sub = _pq_subvectors(base).localCheckpoint()
     cb = _pq_seed_codebook(sub).localCheckpoint()
     d2 = (
         F.col("sn2") - 2 * vectors.dot(F.col("sq"), F.col("cq")) + F.col("cn2")
     ).cast("long")
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    n_vecs = base.count()
     loop_parts = max(4, min(int(saved_parts), n_vecs // 50_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:

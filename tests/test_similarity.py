@@ -826,3 +826,26 @@ def test_kmeans_driver_twin_bit_identical(spark, sf_dir):
                 similarity._kmeans_iterations(frame, seeded, k, 3)
             )
             assert driver == dist, (k, frame is zeroed)
+
+
+def test_pq_train_driver_twin_bit_identical(spark, sf_dir, monkeypatch):
+    """pq_train_codebooks' size dispatch (round 12): the driver numpy
+    twin must equal the distributed Lloyd's loop bit-for-bit — same
+    exact-integer L2 argmin key, same rounded means, same empty-code
+    carry — on the fixture corpus."""
+    base = similarity._quantized(spark, sf_dir).cache()
+
+    def as_map(df):
+        return {
+            (r["m"], r["code_id"]): (list(r["cq"]), r["cn2"])
+            for r in df.collect()
+        }
+
+    driver = as_map(
+        similarity._pq_train_driver(spark, base, similarity.PQ_TRAIN_ITERS)
+    )
+    assert driver, "fixture corpus must seed a non-empty codebook"
+    # Force the distributed loop on the same (sub-threshold) corpus.
+    monkeypatch.setattr(similarity, "KM_DRIVER_MAX", -1)
+    dist = as_map(similarity.pq_train_codebooks(spark, sf_dir))
+    assert driver == dist
