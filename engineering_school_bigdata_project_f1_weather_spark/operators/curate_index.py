@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import snapshots
 from ..functions import texts
+from ..functions.jobs import run_overlapped
 from ..sources.tables import load_table_spread
 from .corpus import (
     PACK_BUDGET,
@@ -150,35 +151,49 @@ def curate_index_init(
     """Bootstrap the curation index on an initial corpus: train + freeze
     the classifier model, bootstrap the minhash and SemDeDup sub-indexes,
     log the within-init near-dup pairs, and commit the scored roster as
-    snapshot ``cur_v0``."""
+    snapshot ``cur_v0``.
+
+    The three sub-index families touch disjoint inputs and directories,
+    so their legs overlap from a driver thread pool (round 13, guide
+    §2.6): classifier train+score+roster write, minhash bootstrap+pair
+    log, SemDeDup bootstrap.  Every frame, write, and the commit-last
+    ordering are unchanged — only the job submission is concurrent."""
     os.makedirs(index_path, exist_ok=True)
     d = docs.select("doc_id", "lang", "text").localCheckpoint()
-    wide = _quality_scored_wide(d)
-    lab = wide.select("doc_id", _qc_label_col().alias("train_label"))
-    fb = _qc_featbuckets(wide).localCheckpoint()
-    model, c_q16 = qc_train_model(spark, fb, lab)
-    model.write.mode("overwrite").parquet(f"{index_path}/model")
-    snapshots.meta_row(spark, "c_q16 long", (int(c_q16),)).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/model_meta")
-
-    minhash_index_init(spark, d, f"{index_path}/mh")
-    semdedup_index_init(spark, vectors, f"{index_path}/sem")
-
-    sigs = spark.read.parquet(_minhash_live_dir(f"{index_path}/mh"))
-    pairs = minhash_pairs_of(sigs, sigs).where(
-        F.col("jaccard_e6") >= COMPONENT_MIN_JACCARD_E6
-    ).select("doc_a", "doc_b", "jaccard_e6")
-
-    model_b = F.broadcast(spark.read.parquet(f"{index_path}/model"))
-    rows = _doc_rows(d, model_b, c_q16, wide=wide, fb=fb)
     snap = f"{CUR_PREFIX}0"
     sdir = os.path.join(index_path, snap)
-    # Sized writes (round 12 opt, guide §6): both frames are checkpointed
-    # first (each is also corpus/pair-set-sized, cheap) so the file count
-    # can derive from a free count instead of one file per task.
-    snapshots.write_sized(rows.localCheckpoint(), f"{sdir}/docs")
-    snapshots.write_sized(pairs.localCheckpoint(), f"{sdir}/pairs")
+
+    def _leg_quality() -> None:
+        spark.sparkContext.setJobDescription("curate init: quality leg")
+        wide = _quality_scored_wide(d)
+        lab = wide.select("doc_id", _qc_label_col().alias("train_label"))
+        fb = _qc_featbuckets(wide).localCheckpoint()
+        model, c_q16 = qc_train_model(spark, fb, lab)
+        model.write.mode("overwrite").parquet(f"{index_path}/model")
+        snapshots.meta_row(spark, "c_q16 long", (int(c_q16),)).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/model_meta")
+        model_b = F.broadcast(spark.read.parquet(f"{index_path}/model"))
+        rows = _doc_rows(d, model_b, c_q16, wide=wide, fb=fb)
+        # Sized write (round 12 opt, guide §6): checkpointed first (the
+        # frame is corpus-sized, cheap) so the file count derives from a
+        # free count instead of one file per task.
+        snapshots.write_sized(rows.localCheckpoint(), f"{sdir}/docs")
+
+    def _leg_minhash() -> None:
+        spark.sparkContext.setJobDescription("curate init: minhash leg")
+        minhash_index_init(spark, d, f"{index_path}/mh")
+        sigs = spark.read.parquet(_minhash_live_dir(f"{index_path}/mh"))
+        pairs = minhash_pairs_of(sigs, sigs).where(
+            F.col("jaccard_e6") >= COMPONENT_MIN_JACCARD_E6
+        ).select("doc_a", "doc_b", "jaccard_e6")
+        snapshots.write_sized(pairs.localCheckpoint(), f"{sdir}/pairs")
+
+    def _leg_semdedup() -> None:
+        spark.sparkContext.setJobDescription("curate init: semdedup leg")
+        semdedup_index_init(spark, vectors, f"{index_path}/sem")
+
+    run_overlapped(_leg_quality, _leg_minhash, _leg_semdedup)
     snapshots.snap_commit(index_path, snap, CUR_PREFIX)
 
 
@@ -207,29 +222,44 @@ def curate_index_update(
         # so there is nothing to do anywhere.
         return spark.createDataFrame([], _DOC_ROWS_SCHEMA)
 
-    # Sub-index maintenance — each self-commits and is internally
-    # idempotent, so a partially-applied previous attempt reconverges.
-    bvecs = new_vectors.join(
-        batch.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-    )
-    semdedup_index_update(spark, bvecs, f"{index_path}/sem")
-    minhash_index_update(spark, batch, f"{index_path}/mh")
-
-    # Derived state — always recomputed from committed sub-index
-    # snapshots, never from the sub-update return values (retry safety).
-    old_pairs = spark.read.parquet(f"{base}/pairs")
-    new_pairs = (
-        _component_pair_delta(spark, batch.select("doc_id"), index_path)
-        .join(
-            old_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    # Sub-index maintenance + derived state in three INDEPENDENT legs,
+    # overlapped from a driver thread pool (round 13, guide §2.6).  Each
+    # sub-index self-commits into its own directory and is internally
+    # idempotent, so a partially-applied previous attempt reconverges
+    # regardless of leg completion order; the pair delta stays INSIDE
+    # the minhash leg, after that sub-index's commit, because it must
+    # read the COMMITTED signature state (module head, retry safety) —
+    # never the sub-update return value.
+    def _leg_semdedup() -> None:
+        spark.sparkContext.setJobDescription("curate update: semdedup leg")
+        bvecs = new_vectors.join(
+            batch.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
         )
-        .localCheckpoint()
-    )
-    c_q16 = int(
-        spark.read.parquet(f"{index_path}/model_meta").first()["c_q16"]
-    )
-    model_b = F.broadcast(spark.read.parquet(f"{index_path}/model"))
-    rows = _doc_rows(batch, model_b, c_q16).localCheckpoint()
+        semdedup_index_update(spark, bvecs, f"{index_path}/sem")
+
+    def _leg_pairs() -> DataFrame:
+        spark.sparkContext.setJobDescription("curate update: minhash leg")
+        minhash_index_update(spark, batch, f"{index_path}/mh")
+        old_pairs = spark.read.parquet(f"{base}/pairs")
+        return (
+            _component_pair_delta(spark, batch.select("doc_id"), index_path)
+            .join(
+                old_pairs.select("doc_a", "doc_b"),
+                ["doc_a", "doc_b"],
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+
+    def _leg_rows() -> DataFrame:
+        spark.sparkContext.setJobDescription("curate update: quality leg")
+        c_q16 = int(
+            spark.read.parquet(f"{index_path}/model_meta").first()["c_q16"]
+        )
+        model_b = F.broadcast(spark.read.parquet(f"{index_path}/model"))
+        return _doc_rows(batch, model_b, c_q16).localCheckpoint()
+
+    _, new_pairs, rows = run_overlapped(_leg_semdedup, _leg_pairs, _leg_rows)
 
     nxt = snapshots.snap_next(live, CUR_PREFIX)
     nxt_dir = os.path.join(index_path, nxt)

@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import snapshots, texts, vectors
+from ..functions.jobs import run_overlapped
 from ..sources.tables import load_table, load_table_spread
 
 # MinHash parameters — shared between the Spark plan and the generated
@@ -2342,19 +2343,32 @@ def er_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None
     os.makedirs(index_path, exist_ok=True)
     snap = "er_v0"
     base = os.path.join(index_path, snap)
-    drows = _er_doc_rows(docs).localCheckpoint()
-    sig = minhash_signatures(spark, docs).localCheckpoint()
-    # Stage the gram rows once (round 12): dford and the prefix index
-    # both derive from the same _er_doc_grams scan — the previous form
-    # ran the explode+distinct twice.
-    grams = _er_doc_grams(drows).localCheckpoint()
-    # Freeze the q-gram df order on the bootstrap corpus (module note).
-    dford = (
-        grams.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("df0"))
-        .localCheckpoint()
-    )
-    qg = _er_qgram_prefix(drows, dford, grams=grams).localCheckpoint()
+
+    # The doc-state chain (drows → grams → dford → qg) and the minhash
+    # signature scan are independent until _er_edges consumes both —
+    # overlapped from a driver thread pool (round 13, guide §2.6); the
+    # frames and their checkpoints are unchanged.
+    def _leg_doc_chain():
+        spark.sparkContext.setJobDescription("er init: doc/gram leg")
+        drows = _er_doc_rows(docs).localCheckpoint()
+        # Stage the gram rows once (round 12): dford and the prefix index
+        # both derive from the same _er_doc_grams scan — the previous form
+        # ran the explode+distinct twice.
+        grams = _er_doc_grams(drows).localCheckpoint()
+        # Freeze the q-gram df order on the bootstrap corpus (module note).
+        dford = (
+            grams.groupBy("x")
+            .agg(F.count(F.lit(1)).alias("df0"))
+            .localCheckpoint()
+        )
+        qg = _er_qgram_prefix(drows, dford, grams=grams).localCheckpoint()
+        return drows, dford, qg
+
+    def _leg_sig():
+        spark.sparkContext.setJobDescription("er init: signature leg")
+        return minhash_signatures(spark, docs).localCheckpoint()
+
+    (drows, dford, qg), sig = run_overlapped(_leg_doc_chain, _leg_sig)
     edges = _er_edges(spark, drows, drows, sig, sig, qg, qg)
     labels = _er_closure(spark, edges)
     ent = (
@@ -2368,19 +2382,23 @@ def er_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None
     # Sized writes (round 12 opt, guide §6): every sub-table is already
     # materialized (checkpoint) or row-count-known, and one-file-per-task
     # writes cost ~0.4 s each in task+commit overhead at bench scale.
+    # The six sub-table writes are independent jobs over materialized (or
+    # once-consumed) frames — overlapped like the legs above (§2.6).
     n_docs = drows.count()
-    snapshots.write_sized(drows, f"{base}/docs", rows=n_docs)
-    snapshots.write_sized(sig, f"{base}/sig")
-    snapshots.write_sized(qg, f"{base}/qg")
-    snapshots.write_sized(dford, f"{base}/dford")
-    snapshots.write_sized(ent, f"{base}/labels", rows=n_docs)
-    # Empty remap as a pure-JVM relation: createDataFrame([], schema)
-    # builds a Python RDD whose (empty) partitions each pay a Python
-    # worker round-trip — coalesce(1) evaluates all of them SEQUENTIALLY
-    # in one task (measured: 5.1-5.8 s for an EMPTY write; round 12 opt).
-    spark.range(0).select(
-        F.col("id").alias("old_label"), F.col("id").alias("new_label")
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/remap")
+    run_overlapped(
+        lambda: snapshots.write_sized(drows, f"{base}/docs", rows=n_docs),
+        lambda: snapshots.write_sized(sig, f"{base}/sig"),
+        lambda: snapshots.write_sized(qg, f"{base}/qg"),
+        lambda: snapshots.write_sized(dford, f"{base}/dford"),
+        lambda: snapshots.write_sized(ent, f"{base}/labels", rows=n_docs),
+        # Empty remap as a pure-JVM relation: createDataFrame([], schema)
+        # builds a Python RDD whose (empty) partitions each pay a Python
+        # worker round-trip — coalesce(1) evaluates all of them SEQUENTIALLY
+        # in one task (measured: 5.1-5.8 s for an EMPTY write; round 12 opt).
+        lambda: spark.range(0).select(
+            F.col("id").alias("old_label"), F.col("id").alias("new_label")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/remap"),
+    )
     snapshots.snap_commit(index_path, snap, "er_v")
 
 
@@ -2412,10 +2430,25 @@ def er_index_update(
     old_remap = spark.read.parquet(f"{base}/remap")
 
     dford = spark.read.parquet(f"{base}/dford")
-    fresh = new_docs.join(old_docs.select("doc_id"), "doc_id", "left_anti")
-    drows = _er_doc_rows(fresh).localCheckpoint()
-    sig = minhash_signatures(spark, fresh).localCheckpoint()
-    qg = _er_qgram_prefix(drows, dford).localCheckpoint()
+    # Stage the anti-join once (round 13): drows and sig each re-ran it
+    # inside their own checkpoint before; and the doc→gram-prefix chain
+    # is independent of the minhash signature scan, so the two legs
+    # overlap from a driver thread pool (guide §2.6) — same frames, same
+    # checkpoints, concurrent submission only.
+    fresh = new_docs.join(
+        old_docs.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
+
+    def _leg_doc_chain():
+        spark.sparkContext.setJobDescription("er update: doc/gram leg")
+        drows = _er_doc_rows(fresh).localCheckpoint()
+        return drows, _er_qgram_prefix(drows, dford).localCheckpoint()
+
+    def _leg_sig():
+        spark.sparkContext.setJobDescription("er update: signature leg")
+        return minhash_signatures(spark, fresh).localCheckpoint()
+
+    (drows, qg), sig = run_overlapped(_leg_doc_chain, _leg_sig)
 
     all_docs = old_docs.unionByName(drows)
     edges = _er_edges(
@@ -2513,11 +2546,20 @@ def er_index_update(
     # scan); remap is merge-event-sized and written once, so it is
     # checkpointed (tiny) to make its count free.
     n_batch = drows.count()
-    snapshots.write_sized(drows, f"{nbase}/docs", rows=n_batch)
-    snapshots.write_sized(sig, f"{nbase}/sig")
-    snapshots.write_sized(qg, f"{nbase}/qg")
-    snapshots.write_sized(new_labels, f"{nbase}/labels", rows=n_batch)
-    snapshots.write_sized(remap.localCheckpoint(), f"{nbase}/remap")
+    # Independent writes of materialized (or once-consumed) frames —
+    # overlapped (round 13, guide §2.6), then the hard links and the one
+    # atomic commit strictly after.
+    run_overlapped(
+        lambda: snapshots.write_sized(drows, f"{nbase}/docs", rows=n_batch),
+        lambda: snapshots.write_sized(sig, f"{nbase}/sig"),
+        lambda: snapshots.write_sized(qg, f"{nbase}/qg"),
+        lambda: snapshots.write_sized(
+            new_labels, f"{nbase}/labels", rows=n_batch
+        ),
+        lambda: snapshots.write_sized(
+            remap.localCheckpoint(), f"{nbase}/remap"
+        ),
+    )
     for sub in ("docs", "sig", "qg", "labels", "dford"):
         snapshots.link_parquet_files(f"{base}/{sub}", f"{nbase}/{sub}")
     snapshots.snap_commit(index_path, nxt, "er_v")
