@@ -41,8 +41,9 @@ SNAP_ROWS_PER_FILE = int(
 
 def write_sized(df, path: str, rows: int | None = None) -> int:
     """Parquet-write ``df`` with the output file count derived from its
-    row count (⌈rows / SNAP_ROWS_PER_FILE⌉, capped at the current
-    partition count) instead of one file per task — a 2,500-row index
+    row count (⌈rows / SNAP_ROWS_PER_FILE⌉ — implicitly capped by
+    coalesce semantics, which never increase the partition count)
+    instead of one file per task — a 2,500-row index
     snapshot leg was writing 32 near-empty files per sub-table and
     paying ~0.4 s of task + commit overhead each (measured, round 12).
     Scale-adaptive by construction: file count grows with the data, so
@@ -69,13 +70,18 @@ def meta_row(spark, schema: str, values: tuple):
     + literals stays in the JVM and writes one file.
 
     ``schema`` is the same DDL string the createDataFrame call took,
-    e.g. ``"c_q16 long"``; values positional."""
+    e.g. ``"c_q16 long"``; values positional.  Parsed via StructType
+    (ADVICE r12: the old ``rsplit(' ', 1)`` silently mis-split any type
+    containing a space, e.g. ``decimal(10, 2)``)."""
     import pyspark.sql.functions as F  # local: this module is imported early
+    from pyspark.sql.types import StructType
 
-    cols = []
-    for spec, v in zip([s.strip() for s in schema.split(",")], values):
-        name, typ = spec.rsplit(" ", 1)
-        cols.append(F.lit(v).cast(typ).alias(name))
+    fields = StructType.fromDDL(schema).fields
+    assert len(fields) == len(values), (schema, values)
+    cols = [
+        F.lit(v).cast(f.dataType).alias(f.name)
+        for f, v in zip(fields, values)
+    ]
     return spark.range(1).select(*cols)
 
 

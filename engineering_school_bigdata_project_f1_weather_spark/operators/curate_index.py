@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import snapshots
 from ..functions import texts
 from ..functions.jobs import run_overlapped
+from ..functions.localrel import empty_rel
 from ..sources.tables import load_table_spread
 from .corpus import (
     PACK_BUDGET,
@@ -220,7 +221,7 @@ def curate_index_update(
         # Clean retry of a fully-committed batch: every sub-index already
         # carries it (their rosters are supersets of ours at all times),
         # so there is nothing to do anywhere.
-        return spark.createDataFrame([], _DOC_ROWS_SCHEMA)
+        return empty_rel(spark, _DOC_ROWS_SCHEMA)
 
     # Sub-index maintenance + derived state in three INDEPENDENT legs,
     # overlapped from a driver thread pool (round 13, guide §2.6).  Each

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import snapshots, texts, vectors
 from ..functions.jobs import run_overlapped
+from ..functions.localrel import empty_rel, local_rows
 from ..sources.tables import load_table, load_table_spread
 
 # MinHash parameters — shared between the Spark plan and the generated
@@ -1173,7 +1174,9 @@ def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
         deg[s] = deg.get(s, 0) + 1
         elist.append((s, d))
     if not deg:
-        return spark.createDataFrame([], "doc_id long, pr_e9 long")
+        # pure-JVM empty relation (ADVICE r12: this was the exact
+        # Python-RDD empty-frame pattern the er_index_init fix removed)
+        return empty_rel(spark, "doc_id long, pr_e9 long")
     base = (PAGERANK_SCALE * (PAGERANK_D_DEN - PAGERANK_D_NUM)) // (
         PAGERANK_D_DEN * len(deg)
     )
@@ -1185,8 +1188,8 @@ def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
                 PAGERANK_D_DEN * deg[s]
             )
         pr = {x: base + incoming.get(x, 0) for x in deg}
-    return spark.createDataFrame(
-        [(int(x), int(pr[x])) for x in deg], "doc_id long, pr_e9 long"
+    return local_rows(
+        spark, [(int(x), int(pr[x])) for x in deg], "doc_id long, pr_e9 long"
     )
 
 
@@ -1857,7 +1860,8 @@ def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # bounded: <= 8 pattern rows at ANY corpus size
     ]
     posts = _fs_posts(sorted(counts))
-    post_df = spark.createDataFrame(
+    post_df = local_rows(
+        spark,
         [
             (g1, g2, g3, p, bool(p >= _FS_Q // 2))
             for (g1, g2, g3), p in posts.items()
@@ -2333,7 +2337,11 @@ def _er_closure(spark: SparkSession, edges: DataFrame) -> DataFrame:
         if m is None or x < m:
             comp_min[r] = x
     rows = [(int(x), int(comp_min[find(x)])) for x in parent]
-    return spark.createDataFrame(rows, "node long, component long")
+    # Arrow local relation (round 13, guide §4): the label frame is
+    # consumed by several downstream actions (entity join + snapshot
+    # write; the closure family re-reads it per serving pass), and a
+    # list-built frame re-pays a Python-RDD scan on each.
+    return local_rows(spark, rows, "node long, component long")
 
 
 def er_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> None:
@@ -3330,8 +3338,11 @@ def substr_index_init(spark: SparkSession, docs: DataFrame, index_path: str) -> 
     )
     spans = _substr_spans(occ.join(dup, "h").select("doc_id", "pos"))
     # Sized writes (round 12 opt, guide §6): roster/dup/span frames are
-    # narrow and were writing one near-empty file per task each.
-    snapshots.write_sized(d.select("doc_id"), f"{base}/docs")
+    # narrow and were writing one near-empty file per task each.  The
+    # roster is checkpointed first (ADVICE r12): write_sized counts its
+    # input, and an unmaterialized projection would run the scan once
+    # for the count and again for the write.
+    snapshots.write_sized(d.select("doc_id").localCheckpoint(), f"{base}/docs")
     _write_occ_bucketed(occ, f"{base}/occ", OCC_BUCKET_CHARS)
     snapshots.write_sized(dup, f"{base}/dup")
     snapshots.write_sized(spans.localCheckpoint(), f"{base}/spans")
@@ -3369,9 +3380,12 @@ def substr_index_update(
     old_dup = spark.read.parquet(f"{base}/dup")
     old_spans = spark.read.parquet(f"{base}/spans")
 
+    # Staged once (ADVICE r12): the anti-join feeds both the occurrence
+    # scan and the roster write below — unmaterialized it re-ran per
+    # consumer (write_sized's count alone executed it twice).
     fresh = new_docs.select("doc_id", "text").join(
         old_docs, "doc_id", "left_anti"
-    )
+    ).localCheckpoint()
     bocc = _substr_occ(fresh).localCheckpoint()
     batch_h = bocc.groupBy("h").agg(F.count(F.lit(1)).alias("bc"))
     # Buckets the batch touches — a bounded (≤ 16**OCC_BUCKET_CHARS)

@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 
 from ..functions import texts
+from ..functions.localrel import local_rows
 from ..sources.tables import load_table
 
 QTY_MIN, QTY_MAX = 1, 50
@@ -712,7 +713,7 @@ def qc_train_model(
         )
         csum += l(np_ - dp + 1) + l(nn_ + 2) - l(nn_ - dn + 1) - l(np_ + 2)
     c_q16 = l(np_) - l(nn_) + csum
-    return spark.createDataFrame(w_rows, "b long, w long"), c_q16
+    return local_rows(spark, w_rows, "b long, w long"), c_q16
 
 
 def qc_score(
@@ -847,8 +848,8 @@ def lr_train_model(
                 bias += step
             else:
                 w[row["b"]] += step
-    model = spark.createDataFrame(
-        [(int(b), int(v)) for b, v in w.items()], "b long, w long"
+    model = local_rows(
+        spark, [(int(b), int(v)) for b, v in w.items()], "b long, w long"
     )
     return model, bias
 
@@ -890,8 +891,8 @@ def _lr_train_driver(
             w[b] += _tdiv(LR_NUM * gv, n_lab * LR_DEN)
         if data:  # the bias sentinel row exists iff the cohort does
             bias += _tdiv(LR_NUM * gbias, n_lab * LR_DEN)
-    model = spark.createDataFrame(
-        [(int(b), int(v)) for b, v in w.items()], "b long, w long"
+    model = local_rows(
+        spark, [(int(b), int(v)) for b, v in w.items()], "b long, w long"
     )
     return model, bias
 

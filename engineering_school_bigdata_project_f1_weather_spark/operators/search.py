@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import texts
+from ..functions.localrel import empty_rel
 from ..sources.tables import load_table_spread
 
 # Bag-of-words query served by text_search (tokens from the fixture's
@@ -806,7 +807,7 @@ def search_index_update(
         .localCheckpoint()
     )
     if batch.limit(1).count() == 0:
-        return spark.createDataFrame([], "doc_id long, dl long")
+        return empty_rel(spark, "doc_id long, dl long")
     postings, doclen = _sidx_rows(batch)
     doclen = doclen.localCheckpoint()
     nxt = snapshots.snap_next(live, SIDX_PREFIX)

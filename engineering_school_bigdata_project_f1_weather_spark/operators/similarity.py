@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import snapshots, vectors
+from ..functions.localrel import empty_rel, local_rows
 from ..sources.tables import load_table_spread
 from .dedup import EMBED_DUP_MIN_E6
 
@@ -390,8 +391,8 @@ def _train_centroids_driver(
     cid = ids[seed_mask][order]
     C = Q[seed_mask][order].copy()
     if cid.size == 0 or len(rows) == 0:
-        return spark.createDataFrame(
-            [], "centroid_id long, cq array<long>, cn2 long"
+        return empty_rel(
+            spark, "centroid_id long, cq array<long>, cn2 long"
         )
     cn2 = np.einsum("ij,ij->i", C, C).astype(np.float64)
     for _ in range(iters):
@@ -415,7 +416,8 @@ def _train_centroids_driver(
             num = 2 * ssum + c
             C[ci] = (num - (num % (2 * c))) // (2 * c)
         cn2 = np.einsum("ij,ij->i", C, C).astype(np.float64)
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [
             (int(cid[i]), [int(x) for x in C[i]], int(cn2[i]))
             for i in range(cid.size)
@@ -2129,8 +2131,8 @@ def _pq_train_driver(spark: SparkSession, base: DataFrame, iters: int) -> DataFr
                 (m, int(cid[i]), [int(x) for x in C[i]], int(cn2[i]))
                 for i in range(cid.size)
             )
-    return spark.createDataFrame(
-        out, "m integer, code_id long, cq array<long>, cn2 long"
+    return local_rows(
+        spark, out, "m integer, code_id long, cq array<long>, cn2 long"
     )
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.localrel import local_rows
 from .events import HOUR_US, load_events
 
 DAY_US = 24 * HOUR_US
@@ -121,7 +122,7 @@ def _band_bins(spark: SparkSession) -> DataFrame:
     for band_id, lo, hi in VALUE_BANDS:
         for b in range(int(lo * BAND_GRID), int(hi * BAND_GRID)):
             rows.append((band_id, b, lo, hi))
-    return spark.createDataFrame(rows, "band_id INT, bin BIGINT, lo DOUBLE, hi DOUBLE")
+    return local_rows(spark, rows, "band_id INT, bin BIGINT, lo DOUBLE, hi DOUBLE")
 
 
 def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.localrel import empty_rel
 from ..schemas import TESTDATA_SCHEMAS
 
 WATERMARK = "1 hour"
@@ -182,7 +183,7 @@ def run_available_now_append_to_parquet(
     )
     q.awaitTermination()
     if not os.path.isdir(path):  # empty source: no batch ever fired
-        return spark.createDataFrame([], df.schema)
+        return empty_rel(spark, df.schema)
     return spark.read.parquet(path)
 
 
@@ -219,5 +220,5 @@ def run_available_now_to_parquet(
     )
     q.awaitTermination()
     if not os.path.isdir(path):  # empty source: no batch ever fired
-        return spark.createDataFrame([], df.schema)
+        return empty_rel(spark, df.schema)
     return spark.read.parquet(path)
